@@ -1,0 +1,23 @@
+"""PySpark-native CDC / incremental-ingest engine.
+
+A brand-new engine that generalizes the scrape-extract-load loop of the
+reference (``Rahul-404/bbc_news_etl_pipeline``) into a binlog/WAL-style
+change-event tail over an Iceberg-style lake of source-code repositories:
+
+- ordered change-event log (the reference's RabbitMQ work/task queues,
+  ``/root/reference/docs/components/rabbitmq.md:9-38``) -> offset-addressable
+  parquet event segments tailed in micro-batch epochs;
+- key-matched upsert (the reference's ``ON CONFLICT (url) DO NOTHING``,
+  ``/root/reference/src/clients/postgres/postgres_base.py:270``) -> LWW-by-LSN
+  MERGE via salted repartition + per-bucket ``applyInPandas``;
+- progress checkpoint (the reference's ``last_processed_date`` doc,
+  ``/root/reference/src/clients/mongo/work_generator_repository.py:64-134``)
+  -> epoch-fenced atomic manifest commits (exactly-once);
+- DLQ (``/root/reference/docs/architecture/high_level_data_flow.md:40``)
+  -> quarantine table; observability ids -> lineage + metrics tables.
+
+Everything is DataFrame ops + vectorized pandas/Arrow UDFs; no per-row
+Python UDFs and no RDDs anywhere (enforced by tests/test_guards.py).
+"""
+
+__version__ = "0.1.0"

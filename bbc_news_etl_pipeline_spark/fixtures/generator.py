@@ -1,0 +1,232 @@
+"""Deterministic synthetic CDC stream generator (FIXTURES.md section 2).
+
+Pure numpy/pandas, fully seeded: identical ``(seed, n_events)`` -> identical
+bytes. The stream models a binlog tail over source-code repositories:
+
+- ``lsn``: globally unique, strictly increasing logical commit order.
+- ``arrival_seq``: physical binlog offset. Within each generator epoch the
+  arrival order is a seeded shuffle of lsn order, and ~2% of events arrive
+  one epoch late — so arrival order != commit order, exactly the reference's
+  "re-scrape past dates" late-data case
+  (/root/reference/docs/components/producer.md:17-23).
+- skew: one hot repo ("org0/repo0") receives ~50% of all events, driving the
+  explicit skew-split path (north rule).
+- op mix ~60/30/10 insert/update/delete; ~5% of deletes hit never-inserted
+  ghost keys (must be silent no-ops).
+- schema_version is monotone in lsn: v1 for the first ~40% of lsn space,
+  v2 (size_bytes widened to long) to ~70%, v3 (+license) after. Late events
+  carry their original (older) version into newer epochs.
+
+Content is deterministic pseudo-code derived from sha256(repo|path|lsn); the
+oracle match is sha2(content, 256) equality (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+_UUID_NS = uuid.uuid5(uuid.NAMESPACE_URL, "bbc_news_etl_pipeline_spark/cdc")
+
+LANGS = ["py", "js", "go", "rs", "java", "c", "md"]
+LICENSES = ["mit", "apache-2.0", "bsd-3-clause", "gpl-3.0"]
+HOT_REPO = "org0/repo0"
+
+_SNIPPET = (
+    "def fn_{h8}(x):\n    return x * {m} + {a}\n"
+    "# {hex}\n"
+    "class C{h8}:\n    field = '{hex}'\n"
+)
+
+
+@dataclass(frozen=True)
+class StreamSpec:
+    n_events: int
+    n_epochs: int
+    seed: int = SEED
+
+    @property
+    def n_keys(self) -> int:
+        return max(8, self.n_events // 8)
+
+    @property
+    def n_repos(self) -> int:
+        return max(4, self.n_keys // 64)
+
+
+def _make_keys(spec: StreamSpec) -> pd.DataFrame:
+    """Deterministic key universe: (repo, path, lang) per key id."""
+    k = spec.n_keys
+    r = spec.n_repos
+    # hot repo owns the first quarter of keys; the rest spread over repos 1..r-1
+    key_id = np.arange(k)
+    hot_cut = max(1, k // 4)
+    repo_idx = np.where(key_id < hot_cut, 0, 1 + (key_id % max(1, r - 1)))
+    org = repo_idx % 17
+    repo = np.char.add(
+        np.char.add("org", org.astype(str)), np.char.add("/repo", repo_idx.astype(str))
+    )
+    ext_idx = key_id % len(LANGS)
+    path = np.array(
+        [f"src/dir{kid % 37}/file{kid}.{LANGS[e]}" for kid, e in zip(key_id, ext_idx)]
+    )
+    lang = np.array(LANGS, dtype=object)[ext_idx]
+    return pd.DataFrame({"key_id": key_id, "repo": repo, "path": path, "lang": lang})
+
+
+def _content_for(repo: str, path: str, lsn: int) -> str:
+    h = hashlib.sha256(f"{repo}|{path}|{lsn}".encode()).hexdigest()
+    base = _SNIPPET.format(h8=h[:8], m=int(h[8:12], 16), a=int(h[12:16], 16), hex=h)
+    # deterministic length in [200, 4000)
+    target = 200 + (int(h[:8], 16) % 3800)
+    reps = target // len(base) + 1
+    return (base * reps)[:target]
+
+
+def generate_events(spec: StreamSpec) -> pd.DataFrame:
+    """Full event stream as one pandas frame, in ARRIVAL order.
+
+    Columns: arrival_seq, epoch, lsn, event_id, op, repo, path, commit, lang,
+    content, size_bytes, license, ts, schema_version.
+    """
+    rng = np.random.default_rng(spec.seed)
+    e = spec.n_events
+    keys = _make_keys(spec)
+    hot_cut = max(1, spec.n_keys // 4)
+
+    # --- choose a key per event: 50% hot repo, rest zipf-ish over cold keys
+    is_hot = rng.random(e) < 0.5
+    hot_choice = rng.integers(0, hot_cut, size=e)
+    n_cold = max(1, spec.n_keys - hot_cut)
+    zipf_u = rng.random(e)
+    cold_choice = hot_cut + np.minimum(
+        (n_cold * zipf_u**2.0).astype(np.int64), n_cold - 1
+    )
+    key_id = np.where(is_hot, hot_choice, cold_choice)
+
+    lsn = np.arange(1, e + 1, dtype=np.int64)
+
+    # --- op mix: first touch of a key is insert; later touches 75/25 update/delete
+    first_touch = ~pd.Series(key_id).duplicated().to_numpy()
+    op_u = rng.random(e)
+    op = np.where(first_touch, "insert", np.where(op_u < 0.75, "update", "delete"))
+    # ~5% of deletes retarget a ghost key (never inserted) -> must be a no-op
+    del_idx = np.flatnonzero(op == "delete")
+    ghosts = del_idx[rng.random(len(del_idx)) < 0.05]
+    ghost_key = np.full(e, -1, dtype=np.int64)
+    ghost_key[ghosts] = spec.n_keys + (lsn[ghosts] % 1000)
+
+    df = pd.DataFrame({"lsn": lsn, "key_id": key_id, "op": op})
+    df = df.merge(keys, on="key_id", how="left")
+    gm = ghost_key >= 0
+    if gm.any():
+        df.loc[gm, "repo"] = "org_ghost/repo_ghost"
+        df.loc[gm, "path"] = [f"src/ghost/file{g}.py" for g in ghost_key[gm]]
+        df.loc[gm, "lang"] = "py"
+
+    # --- schema_version: monotone in lsn (v1 -> 40%, v2 -> 70%, v3 after)
+    sv = np.where(lsn <= int(e * 0.4), 1, np.where(lsn <= int(e * 0.7), 2, 3))
+    df["schema_version"] = sv.astype(np.int32)
+
+    # --- payload (NULL for deletes, like the reference's delete-has-no-body)
+    is_del = df["op"].to_numpy() == "delete"
+    content = np.empty(e, dtype=object)
+    commit = np.empty(e, dtype=object)
+    repos = df["repo"].to_numpy()
+    paths = df["path"].to_numpy()
+    for i in range(e):
+        if is_del[i]:
+            content[i] = None
+            commit[i] = None
+        else:
+            content[i] = _content_for(repos[i], paths[i], int(lsn[i]))
+            commit[i] = hashlib.sha1(
+                f"{repos[i]}|{paths[i]}|{lsn[i]}".encode()
+            ).hexdigest()
+    df["commit"] = commit
+    df["content"] = content
+    df.loc[is_del, "lang"] = None
+    df["size_bytes"] = pd.array(
+        [len(c) if c is not None else None for c in content], dtype="Int64"
+    )
+    lic = np.where(
+        (sv >= 3) & ~is_del,
+        np.array(LICENSES, dtype=object)[lsn % len(LICENSES)],
+        None,
+    )
+    df["license"] = lic
+    df["ts"] = pd.Timestamp("2026-01-01T00:00:00Z") + pd.to_timedelta(lsn, unit="s")
+    df["event_id"] = [str(uuid.uuid5(_UUID_NS, str(int(x)))) for x in lsn]
+
+    # --- epochs + arrival order: shuffle within epoch, ~2% arrive one epoch late
+    epoch_size = (e + spec.n_epochs - 1) // spec.n_epochs
+    epoch = ((lsn - 1) // epoch_size).astype(np.int64)
+    late = rng.random(e) < 0.02
+    epoch = np.minimum(epoch + late.astype(np.int64), spec.n_epochs - 1)
+    df["epoch"] = epoch
+    order = np.lexsort((rng.permutation(e), epoch))  # seeded shuffle inside epoch
+    df = df.iloc[order].reset_index(drop=True)
+    df["arrival_seq"] = np.arange(e, dtype=np.int64)
+    return df.drop(columns=["key_id"])
+
+
+EVENT_COLUMNS_V = {
+    1: ["arrival_seq", "lsn", "event_id", "op", "repo", "path", "commit", "lang",
+        "content", "size_bytes", "ts", "schema_version"],
+    2: ["arrival_seq", "lsn", "event_id", "op", "repo", "path", "commit", "lang",
+        "content", "size_bytes", "ts", "schema_version"],
+    3: ["arrival_seq", "lsn", "event_id", "op", "repo", "path", "commit", "lang",
+        "content", "size_bytes", "license", "ts", "schema_version"],
+}
+
+
+def write_event_log(df: pd.DataFrame, out_dir: str) -> list[dict]:
+    """Write the stream as arrival-ordered parquet segments (one per epoch).
+
+    Each segment is written with the PHYSICAL schema of the max
+    schema_version it contains (size_bytes int32 under v1, int64 under v2+;
+    license column only under v3) — i.e. the log itself evolves, and the
+    reader must reconcile (plans/schema_registry.cast_to_version).
+
+    Returns the segment manifest (also persisted as _segments.json).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    segments = []
+    for ep, g in df.groupby("epoch", sort=True):
+        ver = int(g["schema_version"].max())
+        cols = EVENT_COLUMNS_V[ver]
+        out = g[cols].copy()
+        if ver == 1:
+            out["size_bytes"] = out["size_bytes"].astype("Int32")
+        fname = f"segment-{int(ep):05d}.parquet"
+        fpath = os.path.join(out_dir, fname)
+        # micros, not pandas' default nanos — Spark TimestampType is micros
+        out.to_parquet(
+            fpath, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        segments.append(
+            {
+                "file": fname,
+                "epoch": int(ep),
+                "schema_version": ver,
+                "seq_lo": int(g["arrival_seq"].min()),
+                "seq_hi": int(g["arrival_seq"].max()),
+                "n_events": int(len(g)),
+            }
+        )
+    with open(os.path.join(out_dir, "_segments.json"), "w") as f:
+        json.dump(segments, f, indent=1)
+    return segments
+
+
+def build_stream(n_events: int, n_epochs: int, out_dir: str, seed: int = SEED) -> list[dict]:
+    """Generate + persist a stream; returns the segment manifest."""
+    spec = StreamSpec(n_events=n_events, n_epochs=n_epochs, seed=seed)
+    return write_event_log(generate_events(spec), out_dir)

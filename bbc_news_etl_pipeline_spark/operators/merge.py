@@ -1,0 +1,155 @@
+"""LWW MERGE: the engine's central operator.
+
+Generalizes the reference's insert-if-absent upsert
+(``ON CONFLICT (url) DO NOTHING``,
+/root/reference/src/clients/postgres/postgres_base.py:270) to full
+last-writer-wins by commit LSN within a ``(repo, path)`` key, with
+insert/update/delete ops — set-at-a-time instead of the reference's
+row-at-a-time client loop (``postgres_base.py:266-288``).
+
+Pipeline per epoch (exactly ONE wide shuffle feeds the Python boundary):
+
+1. validate      — malformed events -> quarantine (DLQ analog,
+                   /root/reference/docs/architecture/high_level_data_flow.md:40)
+2. compact       — two-stage SALTED aggregation: stage 1 groups by
+                   (repo, path, salt) where salt = pmod(xxhash64(lsn), S) —
+                   deterministic (derived from lsn, never rand()) so replay
+                   is stable; stage 2 reduces the <=S partial winners per key.
+                   This is the explicit hot-key split the north rule demands:
+                   the hot repo's 50% event share is spread over S
+                   subpartitions before any single reducer sees it.
+3. bucket merge  — winners + current base rows of TOUCHED buckets only are
+                   hash-repartitioned on bucket and merged per bucket by a
+                   vectorized ``applyInPandas`` (Arrow batches; no per-row
+                   Python). Tombstones are kept so any late lower-lsn event
+                   is a no-op forever (LWW is commutative + idempotent).
+
+Because compaction leaves at most one row per key and bucket =
+pmod(xxhash64(repo,path), P), per-bucket work is bounded by distinct keys —
+event skew cannot re-emerge after stage 2.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans import schema_registry as reg
+
+VALID_OPS = ("insert", "update", "delete")
+
+#: stage-1 salt fan-out for hot keys (subpartitions per key-group)
+DEFAULT_SALT_BUCKETS = 16
+#: a repo is "hot" when it carries more than this share of the epoch's events
+HOT_REPO_SHARE = 0.10
+
+
+def split_valid_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Validation filter: diverts malformed events instead of failing the
+    batch (reference DLQ semantics). Returns (valid, quarantine)."""
+    is_valid = (
+        F.col("op").isin(*VALID_OPS)
+        & F.col("repo").isNotNull()
+        & F.col("path").isNotNull()
+        & F.col("lsn").isNotNull()
+        & ((F.col("op") == "delete") | F.col("content").isNotNull())
+    )
+    valid = events.where(is_valid)
+    quarantine = events.where(~F.coalesce(is_valid, F.lit(False))).select(
+        F.to_json(F.struct(*events.columns)).alias("event_json"),
+        F.when(~F.col("op").isin(*VALID_OPS), F.lit("invalid op"))
+        .when(F.col("repo").isNull() | F.col("path").isNull(), F.lit("null key"))
+        .when(F.col("lsn").isNull(), F.lit("null lsn"))
+        .otherwise(F.lit("null content for upsert"))
+        .alias("error"),
+    )
+    return valid, quarantine
+
+
+def hot_repo_stats(valid: DataFrame) -> tuple[int, int]:
+    """(n_events, n_hot_repos) — cheap pre-aggregated skew probe, the analog
+    of the reference's per-date doc counts that decide work sharding
+    (/root/reference/src/clients/mongo/producer_repository.py:58-74)."""
+    rows = valid.groupBy("repo").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    total = sum(r["cnt"] for r in rows)
+    hot = sum(1 for r in rows if total > 0 and r["cnt"] / total > HOT_REPO_SHARE)
+    return total, hot
+
+
+def compact_lww(
+    valid: DataFrame, target_version: int, n_buckets: int, salt_buckets: int = DEFAULT_SALT_BUCKETS
+) -> DataFrame:
+    """Within-batch LWW compaction -> exactly one winner row per key, shaped
+    like the lake schema (tombstone rows for deletes), with `bucket`.
+
+    Two-stage salted reduce: the salt is pmod(xxhash64(lsn), S) so identical
+    input always salts identically (replay-stable, unlike rand()).
+    """
+    payload_cols = [n for n, _ in reg.payload_fields(target_version)]
+    ranked = F.struct(F.col("lsn"), F.col("event_id"))  # total order (ties impossible: lsn unique; event_id for safety)
+    w = F.struct(
+        F.col("lsn"), F.col("event_id"), F.col("op"), *[F.col(c) for c in payload_cols]
+    ).alias("w")
+
+    stage1 = (
+        valid.withColumn("_salt", F.pmod(F.xxhash64(F.col("lsn")), F.lit(salt_buckets)).cast("int"))
+        .groupBy("repo", "path", "_salt")
+        .agg(F.max_by(w, ranked).alias("w"))
+    )
+    stage2 = stage1.groupBy("repo", "path").agg(
+        F.max_by(F.col("w"), F.struct(F.col("w.lsn"), F.col("w.event_id"))).alias("w")
+    )
+    winners = stage2.select(
+        "repo",
+        "path",
+        *[F.col(f"w.{c}").alias(c) for c in payload_cols],
+        F.when(F.col("w.op") == "delete", F.lit(None).cast("string"))
+        .otherwise(F.sha2(F.col("w.content"), 256))
+        .alias("content_sha256"),
+        F.col("w.lsn").alias("lsn"),
+        (F.col("w.op") == "delete").alias("is_deleted"),
+    )
+    return winners.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def merged_schema(target_version: int) -> T.StructType:
+    """applyInPandas output: the lake schema + per-group merge timing."""
+    return T.StructType(
+        list(reg.lake_schema(target_version).fields)
+        + [T.StructField("_merge_ms", T.DoubleType(), True)]
+    )
+
+
+def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket merge (runs vectorized over an Arrow batch): base rows and
+    delta winners are both unique per key, so per key there are <=2 rows and
+    max-lsn wins. Equivalent to pandas sort + keep-last dedup."""
+    t0 = time.perf_counter()
+    out = pdf.sort_values("lsn", kind="mergesort").drop_duplicates(
+        subset=["repo", "path"], keep="last"
+    )
+    out = out.copy()
+    out["_merge_ms"] = round((time.perf_counter() - t0) * 1000.0, 3)
+    return out
+
+
+def merge_into_base(
+    delta: DataFrame, base: DataFrame, target_version: int
+) -> DataFrame:
+    """MERGE delta winners into current base rows (both lake-shaped,
+    tombstones included). One hash shuffle on `bucket`, then the grouped-map
+    merge. Output carries `_merge_ms` (dropped before the data write, kept
+    for lineage)."""
+    template = reg.lake_schema(target_version)
+    base_c = reg.cast_to_version(base, target_version, template)
+    delta_c = reg.cast_to_version(delta, target_version, template)
+    unioned = base_c.unionByName(delta_c)
+    return unioned.groupBy("bucket").applyInPandas(
+        _merge_bucket, schema=merged_schema(target_version)
+    )

@@ -1,0 +1,124 @@
+"""Schema registry: versioned event / lake schemas with evolution rules.
+
+The reference's raw lake is schema-less Mongo ("Schema-less design allows
+flexible storage", /root/reference/docs/components/storage.md:11-12) while its
+warehouse is DDL-fixed (/root/reference/src/clients/postgres/postgres_base.py:210-226).
+This engine replaces that split with *controlled* evolution: every epoch
+resolves an explicit schema version; files written under older versions are
+cast up on read (column add -> NULL backfill, int -> long widen).
+
+Versions (FIXTURES.md section 2):
+  v1: base columns, size_bytes int
+  v2: size_bytes widened int -> long
+  v3: + license string
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KEY_COLUMNS = ["repo", "path"]
+
+#: payload columns shared by the event log and the lake table, per version
+_PAYLOAD_FIELDS_BY_VERSION: dict[int, list[tuple[str, T.DataType]]] = {
+    1: [
+        ("commit", T.StringType()),
+        ("lang", T.StringType()),
+        ("content", T.StringType()),
+        ("size_bytes", T.IntegerType()),
+    ],
+    2: [
+        ("commit", T.StringType()),
+        ("lang", T.StringType()),
+        ("content", T.StringType()),
+        ("size_bytes", T.LongType()),
+    ],
+    3: [
+        ("commit", T.StringType()),
+        ("lang", T.StringType()),
+        ("content", T.StringType()),
+        ("size_bytes", T.LongType()),
+        ("license", T.StringType()),
+    ],
+}
+
+LATEST_VERSION = max(_PAYLOAD_FIELDS_BY_VERSION)
+
+
+def payload_fields(version: int) -> list[tuple[str, T.DataType]]:
+    if version not in _PAYLOAD_FIELDS_BY_VERSION:
+        raise ValueError(f"unknown schema_version {version}")
+    return list(_PAYLOAD_FIELDS_BY_VERSION[version])
+
+
+def event_schema(version: int) -> T.StructType:
+    """Physical schema of an event-log segment written at `version`.
+
+    arrival_seq is the physical binlog offset (file/arrival order, what the
+    epoch planner ranges over); lsn is the logical commit order (what LWW
+    resolves by) — late events have arrival_seq >> their lsn.
+    """
+    fields = [
+        T.StructField("arrival_seq", T.LongType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("event_id", T.StringType(), False),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+    ]
+    fields += [T.StructField(n, t, True) for n, t in payload_fields(version)]
+    fields += [
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("schema_version", T.IntegerType(), False),
+    ]
+    return T.StructType(fields)
+
+
+def lake_schema(version: int) -> T.StructType:
+    """Lake (merged current-state) schema at `version`.
+
+    `(repo, path)` is the natural primary key — the analog of the UNIQUE url
+    column in the reference warehouse
+    (/root/reference/src/clients/postgres/postgres_base.py:220). `lsn` is the
+    winning writer's commit sequence; `is_deleted` marks tombstones so that
+    late (lower-lsn) events remain no-ops after a delete (order-insensitive
+    LWW). `bucket` is the hash-bucket the row lives in (Iceberg-style hidden
+    partitioning on bucket(repo,path)).
+    """
+    fields = [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+    ]
+    fields += [T.StructField(n, t, True) for n, t in payload_fields(version)]
+    fields += [
+        # engine-maintained: sha2(content, 256), computed once at ingest so the
+        # per-row invariant check and lineage digests never rehash content
+        T.StructField("content_sha256", T.StringType(), True),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("is_deleted", T.BooleanType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+    return T.StructType(fields)
+
+
+def cast_to_version(df: DataFrame, target_version: int, template: T.StructType) -> DataFrame:
+    """Cast/evolve `df` to the column set+types of `template` at target_version.
+
+    Missing columns are NULL-backfilled (column add); narrower numeric types
+    are cast up (int -> long widen). Extra columns in df are dropped. This is
+    the single evolution primitive used on both the event-read path and the
+    base-table-read path.
+    """
+    cols = []
+    have = {f.name: f.dataType for f in df.schema.fields}
+    for f in template.fields:
+        if f.name in have:
+            c = F.col(f.name)
+            if have[f.name] != f.dataType:
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the CDC engine.
+
+Local-mode defaults match the sandbox (32 cores, single JVM); on a real
+cluster the same conf names apply — only master/memory change, which
+``spark-submit`` supplies (see jobs/replay.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "bbc_news_etl_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    - Arrow enabled: every Python crossing is vectorized (applyInPandas /
+      pandas_udf only — the north rule bans per-row Python).
+    - AQE on for joins/aggs; the merge path's partitioning is explicit
+      (salted bucket repartition), so AQE never re-splits a grouped map.
+    - UTC session timezone so timestamps compare exactly against DuckDB.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # match parallelism, not Spark's default 200 (too many tiny tasks locally)
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            shuffle_partitions = os.cpu_count() or 32 if inner == "*" else int(inner)
+        else:
+            shuffle_partitions = 200
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,76 @@
+"""Change-event log source: offset-addressable parquet segments.
+
+The analog of the reference's durable RabbitMQ queues
+(/root/reference/docs/components/rabbitmq.md:9-38): an ordered, ack-less,
+replayable log. ``arrival_seq`` is the physical offset (Kafka-offset-like);
+the epoch planner consumes half-open ranges ``(seq_lo, seq_hi]``.
+
+Segments may be written under different schema versions (the log itself
+evolves); the reader reconciles each segment group to the requested target
+version via the schema registry. Segment-level min/max offsets in
+``_segments.json`` give coarse pruning; parquet row-group stats + the pushed
+``arrival_seq`` predicate give fine pruning — so a range scan never reads
+the whole log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import schema_registry as reg
+
+
+class EventLog:
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def segments(self) -> list[dict]:
+        with open(os.path.join(self.log_dir, "_segments.json")) as f:
+            return json.load(f)
+
+    def max_seq(self) -> int:
+        segs = self.segments()
+        return max(s["seq_hi"] for s in segs) if segs else -1
+
+    def read_range(
+        self, spark: SparkSession, seq_lo: int, seq_hi: int, target_version: int
+    ) -> DataFrame:
+        """Events with ``seq_lo < arrival_seq <= seq_hi`` at target_version.
+
+        Groups surviving segments by physical schema version, reads each
+        group with its explicit schema (no inference, no mergeSchema — int vs
+        long would not merge), casts up, unions by name.
+        """
+        segs = [
+            s for s in self.segments() if s["seq_hi"] > seq_lo and s["seq_lo"] <= seq_hi
+        ]
+        template = reg.event_schema(target_version)
+        if not segs:
+            return spark.createDataFrame([], template)
+        by_ver: dict[int, list[str]] = {}
+        for s in segs:
+            by_ver.setdefault(s["schema_version"], []).append(
+                os.path.join(self.log_dir, s["file"])
+            )
+        parts = []
+        for ver, files in sorted(by_ver.items()):
+            df = spark.read.schema(reg.event_schema(ver)).parquet(*files)
+            parts.append(reg.cast_to_version(df, target_version, template))
+        out = reduce(lambda a, b: a.unionByName(b), parts)
+        return out.where(
+            (F.col("arrival_seq") > F.lit(seq_lo)) & (F.col("arrival_seq") <= F.lit(seq_hi))
+        )
+
+    def max_schema_version(self, seq_lo: int, seq_hi: int) -> int:
+        """Highest schema version among segments intersecting the range."""
+        vers = [
+            s["schema_version"]
+            for s in self.segments()
+            if s["seq_hi"] > seq_lo and s["seq_lo"] <= seq_hi
+        ]
+        return max(vers) if vers else 1

@@ -1,0 +1,382 @@
+"""Micro-batch replay loop: plan -> apply -> commit, epoch by epoch.
+
+This is the engine's query lifecycle (SURVEY.md section 3, "new-engine
+lifecycle"), the distributed analog of the reference's three service mains:
+
+- plan_epochs  == work generation: read checkpoint, derive pending ranges
+  (/root/reference/src/clients/mongo/work_generator_repository.py:64-134)
+- apply_epoch  == produce+consume: scan, validate, dedup/compact, upsert
+  (/root/reference/src/components/selenium_bot.py:553-626 +
+   /root/reference/src/clients/postgres/postgres_base.py:231-291)
+- LakeTable.commit == the ack: atomic, idempotent, epoch-fenced
+  (/root/reference/docs/components/rabbitmq.md:23-28)
+
+Crash model: every artifact of an epoch (data files, sidecar parquet) is
+written BEFORE the manifest rename and is invisible until it. A crash at any
+point leaves either (a) no manifest -> the epoch replans and overwrite-mode
+rewrites make the retry idempotent, or (b) a manifest -> the epoch is done
+and any re-delivery is skipped by the fence. That is exactly-once.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+from ..operators import merge as M
+from ..plans import schema_registry as reg
+from ..sources.event_log import EventLog
+from ..sources.lake import LakeTable
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("salt", T.IntegerType()),
+        T.StructField("lsn_lo", T.LongType()),
+        T.StructField("lsn_hi", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("duration_ms", T.DoubleType()),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType()),
+        T.StructField("events_applied_total", T.LongType()),
+        T.StructField("events_quarantined_total", T.LongType()),
+        T.StructField("events_per_sec", T.DoubleType()),
+        T.StructField("n_partitions", T.IntegerType()),
+        T.StructField("n_hot_keys_split", T.IntegerType()),
+    ]
+)
+
+QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType()),
+        T.StructField("event_json", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    seq_lo: int
+    seq_hi: int
+    skipped: bool = False
+    n_events: int = 0
+    n_quarantined: int = 0
+    n_buckets_touched: int = 0
+    n_hot_repos: int = 0
+    schema_version: int = 1
+    wall_sec: float = 0.0
+
+
+@dataclass
+class ReplayResult:
+    epochs: list[EpochResult] = field(default_factory=list)
+
+    @property
+    def events_applied(self) -> int:
+        return sum(e.n_events for e in self.epochs if not e.skipped)
+
+    @property
+    def wall_sec(self) -> float:
+        return sum(e.wall_sec for e in self.epochs)
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.events_applied / self.wall_sec if self.wall_sec else 0.0
+
+
+def plan_epochs(
+    log: EventLog, lake: LakeTable, events_per_epoch: int | None = None
+) -> list[tuple[int, int, int]]:
+    """Pending (epoch, seq_lo, seq_hi] ranges from the checkpoint forward.
+
+    Default epoch boundaries follow the log's segment boundaries; an explicit
+    ``events_per_epoch`` caps batch size instead (the backpressure analog of
+    the reference's KEDA queue-depth scaling and prefetch bounds,
+    /root/reference/docs/scaling/index.md:25-31).
+    """
+    next_epoch, last_seq, _ = lake.resume_point()
+    max_seq = log.max_seq()
+    if max_seq <= last_seq:
+        return []
+    plans: list[tuple[int, int, int]] = []
+    if events_per_epoch:
+        lo = last_seq
+        ep = next_epoch
+        while lo < max_seq:
+            hi = min(lo + events_per_epoch, max_seq)
+            plans.append((ep, lo, hi))
+            lo = hi
+            ep += 1
+    else:
+        cuts = sorted(
+            {s["seq_hi"] for s in log.segments() if s["seq_hi"] > last_seq}
+        )
+        lo = last_seq
+        ep = next_epoch
+        for hi in cuts:
+            plans.append((ep, lo, hi))
+            lo = hi
+            ep += 1
+    return plans
+
+
+def apply_epoch(
+    spark: SparkSession,
+    log: EventLog,
+    lake: LakeTable,
+    epoch: int,
+    seq_lo: int,
+    seq_hi: int,
+    active_version: int,
+    salt_buckets: int = M.DEFAULT_SALT_BUCKETS,
+) -> EpochResult:
+    """Apply one epoch's events to the lake. Idempotent: a committed epoch is
+    skipped before any work (the exactly-once fence)."""
+    if lake.has_epoch(epoch):
+        m = lake.manifest(epoch)
+        return EpochResult(
+            epoch, seq_lo, seq_hi, skipped=True, schema_version=m["schema_version"]
+        )
+    t0 = time.perf_counter()
+    ver = max(active_version, log.max_schema_version(seq_lo, seq_hi))
+
+    events = log.read_range(spark, seq_lo, seq_hi, ver)
+    events.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_total = events.count()
+        valid, quarantine = M.split_valid_quarantine(events)
+
+        # one aggregation pass gives epoch stats + the skew probe
+        repo_stats = valid.groupBy("repo").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("lsn").alias("lo"),
+            F.max("lsn").alias("hi"),
+        ).collect()
+        n_valid = sum(r["cnt"] for r in repo_stats)
+        n_hot = sum(
+            1 for r in repo_stats if n_valid and r["cnt"] / n_valid > M.HOT_REPO_SHARE
+        )
+        lsn_lo = min((r["lo"] for r in repo_stats), default=None)
+        lsn_hi = max((r["hi"] for r in repo_stats), default=None)
+        n_quar = n_total - n_valid
+
+        delta = M.compact_lww(valid, ver, lake.n_buckets, salt_buckets)
+        delta.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            touched = sorted(
+                r["bucket"] for r in delta.select("bucket").distinct().collect()
+            )
+            prev_manifest = lake.current_manifest()
+            base = lake.read_buckets(spark, touched, ver, manifest=prev_manifest)
+            merged = M.merge_into_base(delta, base, ver)
+            merged.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                # ---- data write (copy-on-write: touched buckets only)
+                epoch_dir = lake.epoch_data_dir(epoch)
+                (
+                    merged.drop("_merge_ms")
+                    .withColumn("bucket_p", F.col("bucket"))
+                    .write.mode("overwrite")
+                    .partitionBy("bucket_p")
+                    .parquet(epoch_dir)
+                )
+
+                # ---- lineage: per-bucket digests of what is now in the bucket,
+                # plus per-bucket event counts/lsn ranges of what was applied.
+                # Digest is ORDER-INSENSITIVE (sum of row hashes) so it is
+                # invariant to partitioning/parallelism.
+                # bit_xor is commutative + associative and cannot overflow
+                # under ANSI mode, so the digest is partitioning-invariant
+                state_side = merged.groupBy("bucket").agg(
+                    F.sha2(
+                        F.concat_ws(
+                            "|",
+                            F.count(F.lit(1)),
+                            F.bit_xor(
+                                F.xxhash64(
+                                    "repo", "path", "lsn",
+                                    F.coalesce("content_sha256", F.lit("")),
+                                    "is_deleted",
+                                )
+                            ),
+                        ),
+                        256,
+                    ).alias("digest"),
+                    F.max("_merge_ms").alias("duration_ms"),
+                )
+                delta_side = delta.groupBy("bucket").agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.min("lsn").alias("lsn_lo"),
+                    F.max("lsn").alias("lsn_hi"),
+                )
+                lineage = (
+                    state_side.join(delta_side, "bucket", "left")
+                    .select(
+                        F.lit(epoch).cast("long").alias("epoch"),
+                        F.col("bucket").cast("int").alias("partition_id"),
+                        F.lit(salt_buckets).cast("int").alias("salt"),
+                        F.col("lsn_lo").cast("long"),
+                        F.col("lsn_hi").cast("long"),
+                        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+                        "digest",
+                        "duration_ms",
+                    )
+                )
+                lineage.coalesce(1).write.mode("overwrite").parquet(
+                    lake.sidecar_dir("_lineage", epoch)
+                )
+
+                if n_quar > 0:
+                    quarantine.select(
+                        F.lit(epoch).cast("long").alias("epoch"), "event_json", "error"
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        lake.sidecar_dir("_quarantine", epoch)
+                    )
+
+                wall = time.perf_counter() - t0
+                metrics_row = [
+                    (
+                        epoch,
+                        n_valid,
+                        n_quar,
+                        (n_valid / wall) if wall > 0 else 0.0,
+                        len(touched),
+                        n_hot,
+                    )
+                ]
+                spark.createDataFrame(metrics_row, METRICS_SCHEMA).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(lake.sidecar_dir("_metrics", epoch))
+
+                # ---- manifest: carry untouched buckets forward, swap touched
+                new_files = lake.list_epoch_files(epoch)
+                buckets: dict[str, list[dict]] = {}
+                if prev_manifest:
+                    for b, entries in prev_manifest["buckets"].items():
+                        if int(b) not in touched:
+                            buckets[b] = entries
+                for b, entries in new_files.items():
+                    for e in entries:
+                        e["schema_version"] = ver
+                    buckets[str(b)] = entries
+
+                prev_lo = prev_manifest.get("lsn_lo") if prev_manifest else None
+                prev_hi = prev_manifest.get("lsn_hi") if prev_manifest else None
+                manifest = {
+                    "epoch": epoch,
+                    "seq_lo": seq_lo,
+                    "seq_hi": seq_hi,
+                    "lsn_lo": min(x for x in (prev_lo, lsn_lo) if x is not None)
+                    if (prev_lo is not None or lsn_lo is not None)
+                    else None,
+                    "lsn_hi": max(x for x in (prev_hi, lsn_hi) if x is not None)
+                    if (prev_hi is not None or lsn_hi is not None)
+                    else None,
+                    "schema_version": ver,
+                    "n_buckets": lake.n_buckets,
+                    "committed_at": datetime.now(timezone.utc).isoformat(),
+                    "counts": {
+                        "events_applied": n_valid,
+                        "events_quarantined": n_quar,
+                        "buckets_touched": len(touched),
+                        "hot_repos_split": n_hot,
+                    },
+                    "buckets": buckets,
+                }
+                committed = lake.commit(manifest)
+                wall = time.perf_counter() - t0
+                return EpochResult(
+                    epoch,
+                    seq_lo,
+                    seq_hi,
+                    skipped=not committed,
+                    n_events=n_valid,
+                    n_quarantined=n_quar,
+                    n_buckets_touched=len(touched),
+                    n_hot_repos=n_hot,
+                    schema_version=ver,
+                    wall_sec=wall,
+                )
+            finally:
+                merged.unpersist()
+        finally:
+            delta.unpersist()
+    finally:
+        events.unpersist()
+
+
+def replay(
+    spark: SparkSession,
+    log_dir: str,
+    lake_root: str,
+    n_buckets: int = 64,
+    events_per_epoch: int | None = None,
+    max_epochs: int | None = None,
+    salt_buckets: int = M.DEFAULT_SALT_BUCKETS,
+    crash_after_epoch: int | None = None,
+) -> ReplayResult:
+    """Tail the log from the current checkpoint to its head.
+
+    ``crash_after_epoch`` aborts the loop right after that epoch commits —
+    used by the resume tests to simulate a mid-replay crash.
+    """
+    log = EventLog(log_dir)
+    lake = LakeTable(lake_root, n_buckets=n_buckets)
+    result = ReplayResult()
+    plans = plan_epochs(log, lake, events_per_epoch)
+    if max_epochs is not None:
+        plans = plans[:max_epochs]
+    _, _, active_version = lake.resume_point()
+    for epoch, lo, hi in plans:
+        res = apply_epoch(
+            spark, log, lake, epoch, lo, hi, active_version, salt_buckets
+        )
+        active_version = max(active_version, res.schema_version)
+        result.epochs.append(res)
+        if crash_after_epoch is not None and epoch >= crash_after_epoch:
+            break
+    return result
+
+
+def write_checkpoint_table(spark: SparkSession, lake: LakeTable) -> None:
+    """Materialize the `_checkpoint` sidecar (FIXTURES.md section 3) from the
+    committed manifests."""
+    rows = lake.checkpoint_rows()
+    schema = T.StructType(
+        [
+            T.StructField("epoch", T.LongType()),
+            T.StructField("seq_lo", T.LongType()),
+            T.StructField("seq_hi", T.LongType()),
+            T.StructField("lsn_lo", T.LongType()),
+            T.StructField("lsn_hi", T.LongType()),
+            T.StructField("schema_version", T.IntegerType()),
+            T.StructField("committed_at", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                r["epoch"], r["seq_lo"], r["seq_hi"], r["lsn_lo"], r["lsn_hi"],
+                r["schema_version"], r["committed_at"],
+            )
+            for r in rows
+        ],
+        schema,
+    )
+    out = os.path.join(lake.root, "_checkpoint")
+    df.coalesce(1).write.mode("overwrite").parquet(out)

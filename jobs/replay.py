@@ -1,0 +1,95 @@
+"""spark-submit entry point: tail a CDC event log into the lake.
+
+Usage (local sandbox):
+    spark-submit --master local[32] \
+        --py-files <zip of bbc_news_etl_pipeline_spark> \
+        jobs/replay.py --log-dir /tmp/log --lake-root /tmp/lake \
+        [--generate-events 1000000 --generate-epochs 10] \
+        [--n-buckets 64] [--events-per-epoch N]
+
+On a real cluster only --master/--deploy-mode change; the engine itself is
+master-agnostic (explicit bucketing, no driver-side data paths).
+
+Prints one JSON line: events applied, wall sec, events/sec, epochs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bbc_news_etl_pipeline_spark.session import build_session  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
+from bbc_news_etl_pipeline_spark.streaming import replay as R  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--log-dir", required=True)
+    p.add_argument("--lake-root", required=True)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--events-per-epoch", type=int, default=None)
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--generate-events", type=int, default=None,
+                   help="generate a synthetic stream of N events into --log-dir first")
+    p.add_argument("--generate-epochs", type=int, default=8)
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    if args.generate_events:
+        from bbc_news_etl_pipeline_spark.fixtures.generator import build_stream
+
+        if not os.path.exists(os.path.join(args.log_dir, "_segments.json")):
+            build_stream(args.generate_events, args.generate_epochs, args.log_dir)
+
+    spark = build_session(app_name="cdc-replay", master=args.master)
+    # Distribute the engine package to Python workers. Under
+    # `spark-submit --py-files engine.zip` this is already handled; when the
+    # zip wasn't passed, build and ship it so cloudpickled UDFs resolve.
+    try:
+        import bbc_news_etl_pipeline_spark  # noqa: F401
+        pkg_dir = os.path.dirname(os.path.abspath(bbc_news_etl_pipeline_spark.__file__))
+        if os.path.isdir(pkg_dir):
+            import shutil
+            import tempfile
+
+            staging = tempfile.mkdtemp(prefix="engine_pyfiles_")
+            zip_base = os.path.join(staging, "bbc_news_etl_pipeline_spark")
+            shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                                os.path.basename(pkg_dir))
+            spark.sparkContext.addPyFile(zip_base + ".zip")
+    except Exception:
+        pass  # zipped --py-files deployment: nothing to re-ship
+    res = R.replay(
+        spark,
+        args.log_dir,
+        args.lake_root,
+        n_buckets=args.n_buckets,
+        events_per_epoch=args.events_per_epoch,
+        max_epochs=args.max_epochs,
+    )
+    lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
+    R.write_checkpoint_table(spark, lake)
+    n_live = lake.read_state(spark).count()
+    print(
+        json.dumps(
+            {
+                "events_applied": res.events_applied,
+                "epochs": len(res.epochs),
+                "epochs_skipped": sum(1 for e in res.epochs if e.skipped),
+                "wall_sec": round(res.wall_sec, 3),
+                "events_per_sec": round(res.events_per_sec, 1),
+                "live_rows": n_live,
+                "schema_version": lake.resume_point()[2],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

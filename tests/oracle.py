@@ -1,0 +1,60 @@
+"""Golden oracle: naive sequential replay in pure pandas.
+
+Applies events ONE AT A TIME in strict (lsn, event_id) order to a dict keyed
+by (repo, path) — the direct analog of the reference's row-at-a-time
+idempotent-upsert loop (/root/reference/src/clients/postgres/postgres_base.py:266-288),
+generalized with update/delete. The engine (parallel, out-of-order arrival,
+salted, bucketed) must reproduce this state exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+FINAL_COLUMNS = [
+    "repo", "path", "commit", "lang", "content", "size_bytes", "license", "lsn",
+]
+
+
+def sequential_replay(events: pd.DataFrame) -> pd.DataFrame:
+    """events: any arrival order; returns the final live state sorted by
+    (repo, path), with the latest (v3) column set."""
+    ev = events.sort_values(["lsn", "event_id"], kind="mergesort")
+    state: dict[tuple[str, str], dict] = {}
+    for row in ev.itertuples(index=False):
+        key = (row.repo, row.path)
+        if row.op == "delete":
+            state.pop(key, None)
+        elif row.op in ("insert", "update"):
+            state[key] = {
+                "repo": row.repo,
+                "path": row.path,
+                "commit": row.commit,
+                "lang": row.lang,
+                "content": row.content,
+                "size_bytes": None if pd.isna(row.size_bytes) else int(row.size_bytes),
+                "license": getattr(row, "license", None),
+                "lsn": int(row.lsn),
+            }
+        # unknown ops would be quarantined by the engine; oracle input is valid-only
+    if not state:
+        return pd.DataFrame(columns=FINAL_COLUMNS)
+    out = pd.DataFrame(list(state.values()), columns=FINAL_COLUMNS)
+    return out.sort_values(["repo", "path"], kind="mergesort").reset_index(drop=True)
+
+
+def content_sha256(s: str | None) -> str | None:
+    return None if s is None else hashlib.sha256(s.encode()).hexdigest()
+
+
+def table_digest(df: pd.DataFrame) -> str:
+    """Canonical whole-table digest: rows sorted by (repo, path), per-row
+    sha256 over key + lsn + content hash, chained. Partitioning-invariant."""
+    h = hashlib.sha256()
+    d = df.sort_values(["repo", "path"], kind="mergesort")
+    for row in d.itertuples(index=False):
+        c = content_sha256(row.content) or ""
+        h.update(f"{row.repo}|{row.path}|{row.lsn}|{c}\n".encode())
+    return h.hexdigest()

@@ -1,0 +1,78 @@
+"""Replay correctness: engine final state == sequential pandas oracle.
+
+SURVEY.md section 5, test 1: row-by-row sha2(content,256) equality + canonical
+whole-table digest, on the deterministic seeded CDC stream.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .oracle import content_sha256, sequential_replay, table_digest
+
+E = 10_000
+N_EPOCHS = 5
+
+
+@pytest.fixture(scope="module")
+def stream(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    spec = gen.StreamSpec(n_events=E, n_epochs=N_EPOCHS)
+    events = gen.generate_events(spec)
+    gen.write_event_log(events, str(d))
+    return str(d), events
+
+
+def engine_state_pdf(spark, lake_root: str) -> pd.DataFrame:
+    lake = LakeTable(lake_root)
+    df = lake.read_state(spark).drop("bucket")
+    pdf = df.toPandas()
+    pdf["size_bytes"] = pdf["size_bytes"].astype("object").where(pdf["size_bytes"].notna(), None)
+    return pdf.sort_values(["repo", "path"], kind="mergesort").reset_index(drop=True)
+
+
+def test_replay_matches_oracle(spark, stream, tmp_path):
+    log_dir, events = stream
+    lake_root = str(tmp_path / "lake")
+    res = R.replay(spark, log_dir, lake_root, n_buckets=32)
+    assert res.events_applied == E
+    assert len(res.epochs) == N_EPOCHS
+
+    oracle = sequential_replay(events)
+    got = engine_state_pdf(spark, lake_root)
+
+    assert len(got) == len(oracle), f"row count {len(got)} != oracle {len(oracle)}"
+    # row-by-row: keys align and content sha256 matches exactly
+    assert list(got["repo"]) == list(oracle["repo"])
+    assert list(got["path"]) == list(oracle["path"])
+    got_sha = got["content_sha256"].tolist()
+    want_sha = [content_sha256(c) for c in oracle["content"]]
+    assert got_sha == want_sha
+    assert list(got["lsn"]) == list(oracle["lsn"])
+    # schema-evolution columns surfaced correctly
+    assert list(got["license"].fillna("∅")) == list(oracle["license"].fillna("∅"))
+    # canonical whole-table digest
+    assert table_digest(got) == table_digest(oracle)
+
+
+def test_ghost_deletes_are_noops(stream):
+    _, events = stream
+    ghosts = events[events["repo"] == "org_ghost/repo_ghost"]
+    assert len(ghosts) > 0, "fixture should contain ghost deletes"
+    assert (ghosts["op"] == "delete").all()
+    oracle = sequential_replay(events)
+    assert not (oracle["repo"] == "org_ghost/repo_ghost").any()
+
+
+def test_deterministic_generator():
+    a = gen.generate_events(gen.StreamSpec(n_events=2000, n_epochs=3))
+    b = gen.generate_events(gen.StreamSpec(n_events=2000, n_epochs=3))
+    pd.testing.assert_frame_equal(a, b)
+    # hot repo carries ~50% of events
+    share = (a["repo"] == gen.HOT_REPO).mean()
+    assert 0.40 < share < 0.60
