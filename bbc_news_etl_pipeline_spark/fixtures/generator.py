@@ -203,8 +203,15 @@ def write_event_log(df: pd.DataFrame, out_dir: str) -> list[dict]:
         ver = int(g["schema_version"].max())
         cols = EVENT_COLUMNS_V[ver]
         out = g[cols].copy()
-        if ver == 1:
-            out["size_bytes"] = out["size_bytes"].astype("Int32")
+        # pin physical types — an all-null object column must still write as
+        # its declared type, never as pandas-inferred INT32/DOUBLE
+        for c in ("event_id", "op", "repo", "path", "commit", "lang", "content", "license"):
+            if c in out.columns:
+                out[c] = out[c].astype("string")
+        out["size_bytes"] = out["size_bytes"].astype("Int32" if ver == 1 else "Int64")
+        out["schema_version"] = out["schema_version"].astype("int32")
+        out["arrival_seq"] = out["arrival_seq"].astype("int64")
+        out["lsn"] = out["lsn"].astype("int64")
         fname = f"segment-{int(ep):05d}.parquet"
         fpath = os.path.join(out_dir, fname)
         # micros, not pandas' default nanos — Spark TimestampType is micros

@@ -1,0 +1,77 @@
+"""Scalar function library (SURVEY.md section 2.8, F1-F8).
+
+Each helper mirrors a concrete transform in the reference, re-expressed as
+JVM-side built-in column expressions (whole-stage-codegen'd; no Python in
+the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def parse_relative_or_absolute_ts(col: Column, base_ts: Column) -> Column:
+    """F1 — `convert_to_datetime` (/root/reference/src/components/selenium_bot.py:437-478):
+    parses "N days/hrs/mins/secs ago" relative to `base_ts`, or an absolute
+    "01 Jan 2023" date; NULL when neither matches."""
+    n = F.regexp_extract(col, r"^(\d+)\s+(day|days|hr|hrs|min|mins|sec|secs)\s+ago$", 1).cast("long")
+    unit = F.regexp_extract(col, r"^(\d+)\s+(day|days|hr|hrs|min|mins|sec|secs)\s+ago$", 2)
+    seconds = (
+        F.when(unit.startswith("day"), n * 86400)
+        .when(unit.startswith("hr"), n * 3600)
+        .when(unit.startswith("min"), n * 60)
+        .when(unit.startswith("sec"), n)
+    )
+    relative = F.to_timestamp(base_ts.cast("long") - seconds)
+    absolute = F.to_timestamp(col, "dd MMM yyyy")
+    return F.coalesce(relative, absolute)
+
+
+def parse_iso_ts(col: Column) -> Column:
+    """F2 — `_parse_date` (/root/reference/src/clients/postgres/postgres_base.py:293-326):
+    ISO-8601 with Z normalization; NULL on bad input (Spark's to_timestamp
+    already returns NULL on parse failure, matching the reference fallback)."""
+    return F.to_timestamp(F.regexp_replace(col, "Z$", "+00:00"))
+
+
+def date_key(col: Column) -> Column:
+    """F3 — `$dateToString` %Y-%m-%d key
+    (/root/reference/src/clients/mongo/producer_repository.py:62-66)."""
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+def last_int_token(col: Column) -> Column:
+    """F4 — pagination text parse `int(text.split()[-1])` with fallback 1
+    (/root/reference/src/components/selenium_bot.py:387-409)."""
+    return F.coalesce(
+        F.element_at(F.split(col, r"\s+"), -1).try_cast("int"), F.lit(1)
+    )
+
+
+def md5_bigint(col: Column, seed: str = "") -> Column:
+    """Portable 60-bit hash: identical in Spark and DuckDB
+    (`conv(substr(md5(x),1,15),16,10)` == `('0x'||substr(md5(x),1,15))::BIGINT`),
+    used wherever a hash must agree with the SQL oracle (minhash, simhash)."""
+    s = F.concat(F.lit(seed), col) if seed else col
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonicalization for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace (document fingerprint, rolling-hash analog)."""
+    t = F.lower(col)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def word_ngrams(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array; empty when fewer than n words.
+    (Guarded: Spark's sequence(1, k) is DESCENDING for k<1.)"""
+    count = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))

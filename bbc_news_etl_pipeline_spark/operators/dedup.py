@@ -1,0 +1,203 @@
+"""Deduplication operators over a `documents(doc_id, text, ...)` table.
+
+The reference dedups by exact natural key before enqueue
+(`is_article_link_exists`, /root/reference/src/clients/mongo/producer_repository.py:93-135).
+A training-data pipeline needs the full ladder — exact, shingle-Jaccard,
+MinHash+LSH, SimHash, embedding-cosine — each here as a set-at-a-time
+DataFrame plan (the per-row probe becomes joins the optimizer can reorder).
+
+Scale notes (100 TB): the exact/minhash/simhash paths are
+shuffle-on-(hash|band) with map-side partial aggregation — linear. The
+all-pairs Jaccard join is the TEST oracle path; at scale you run
+`minhash_lsh_candidates` first and Jaccard-verify only candidates (that
+composition is `near_dup_pairs_lsh`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_bigint, normalize_text, word_ngrams
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, g) — DISTINCT word n-gram shingles per doc."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.split(F.col("text"), " "), n))).alias("g"),
+    )
+
+
+def exact_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content hash: one row per distinct text with its
+    duplicate count and canonical (min) doc_id."""
+    return (
+        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+        .groupBy("text_sha")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Normalized-content fingerprint (canonicalized md5): catches
+    whitespace/punctuation-only variants that exact sha misses."""
+    return docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """All near-duplicate pairs by word-n-gram Jaccard >= threshold.
+
+    Exact (no approximation): |A∩B| via a self-equi-join on shingle, then
+    |A∪B| = |A|+|B|-|A∩B|. Quadratic in docs sharing a shingle — use the
+    LSH composition at scale.
+    """
+    sh = _shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared")), 3
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8, n: int = 3) -> DataFrame:
+    """(doc_id, minh_0..minh_{H-1}) — MinHash signature from seeded portable
+    md5 hashes over shingles. min() is a partial-aggregatable reduce: one
+    shuffle on doc_id regardless of H."""
+    sh = _shingles(docs, n)
+    aggs = [
+        F.min(md5_bigint(F.col("g"), seed=f"mh{j}:")).alias(f"minh_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, num_hashes: int = 8, band_size: int = 2, n: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on >=1 LSH band (bands of
+    `band_size` consecutive minhashes, hashed to a band key). Distinct
+    (doc_a < doc_b) pairs; verify with Jaccard downstream."""
+    sigs = minhash_signatures(docs, num_hashes, n)
+    n_bands = num_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        parts = [F.col(f"minh_{b * band_size + j}").cast("string") for j in range(band_size)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key"))
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def near_dup_pairs_lsh(
+    docs: DataFrame, threshold: float = 0.8, num_hashes: int = 8, band_size: int = 2, n: int = 3
+) -> DataFrame:
+    """The scale path: LSH candidates -> exact Jaccard verify on candidates
+    only. Same answer as `ngram_jaccard_pairs` up to LSH recall."""
+    cand = minhash_lsh_candidates(docs, num_hashes, band_size, n)
+    sh = _shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("a.g") == F.col("b.g")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("shared") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared")), 3
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_bits(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — SimHash over word frequencies: bit b of the
+    portable word hash votes +count/-count; sign of the tally sets bit b.
+    Single shuffle (groupBy doc_id) with `bits` parallel sums."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    h = md5_bigint(F.col("w"), seed="sim:")
+    tallies = [
+        F.sum(
+            F.col("cnt") * (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"t{b}")
+        for b in range(bits)
+    ]
+    tallied = words.groupBy("doc_id").agg(*tallies)
+    sig: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"t{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("long")
+    return tallied.select("doc_id", sig.alias("simhash"))
+
+
+def embedding_near_dup_pairs(embs: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold (float64 math so the
+    DuckDB oracle agrees bit-for-bit after rounding). Brute-force all-pairs:
+    the test oracle; compose with label/LSH blocking at scale."""
+    withnorm = embs.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    a = withnorm.alias("a")
+    b = withnorm.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

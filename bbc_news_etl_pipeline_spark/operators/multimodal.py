@@ -1,0 +1,81 @@
+"""Multimodal column plumbing: opaque `binary` payloads + typed metadata.
+
+Image/audio/video payloads are treated as binary columns with a `media_type`
+tag. The Spark-side plumbing — schema, partition-friendly batch iteration,
+Arrow-vectorized UDF signatures — is real and tested; the actual codec step
+is STUBBED (this container ships no image/audio libraries): `decode_stub`
+raises NotImplementedError for real codecs and provides a deterministic fake
+for `application/x-fake` so the pipeline shape is exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, sha256 string, "
+    "width int, height int, n_frames int"
+)
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Build a binary media column from text (the deterministic fake payload
+    used by tests; a real pipeline reads bytes from object storage)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/x-fake").alias("media_type"),
+    )
+
+
+def decode_stub(media_type: str, payload: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) for the payload.
+
+    Real codecs are unavailable in this container — the plumbing is what's
+    under test. Deterministic fake for application/x-fake; everything else
+    raises (and would be quarantined by the caller at scale).
+    """
+    if media_type == "application/x-fake":
+        h = hashlib.sha256(payload).digest()
+        return h[0] + 1, h[1] + 1, h[2] % 16 + 1
+    raise NotImplementedError(
+        f"codec for {media_type!r} not bundled; plug a real decoder here"
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over binary payloads via
+    mapInPandas: per-batch vectorized hashing + stub decode. This is the
+    exact shape a real image-resize/frame-sample operator takes — binary in,
+    struct metadata out, no per-row Python UDF registration."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode_stub(m, p) for m, p in zip(pdf["media_type"], pdf["payload"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in pdf["payload"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(extract, schema=MEDIA_SCHEMA)
+
+
+def media_metadata_sql_checkable(docs: DataFrame) -> DataFrame:
+    """The SQL-checkable projection of the multimodal path: byte length and
+    sha256 of the payload are computable by the DuckDB oracle, so the Arrow
+    plumbing's output can be value-verified (width/height/frames come from
+    the stub codec and are covered by unit tests instead)."""
+    meta = media_metadata(attach_binary_payload(docs))
+    return meta.select("doc_id", "media_type", "n_bytes", "sha256")

@@ -1,0 +1,247 @@
+"""Relational operators from the reference, re-expressed set-at-a-time
+(SURVEY.md section 2), plus the TPC-H-shaped analytics used as headline
+benchmarks. Every function takes already-loaded DataFrames and returns a
+lazy plan — Catalyst does pushdown/pruning/join-selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import date_key
+
+
+# ---------- P3/J1: existence anti-join (the dedup-before-publish probe) ----------
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """The reference probes per-row `is_article_link_exists`
+    (/root/reference/src/clients/mongo/producer_repository.py:93-135);
+    set-at-a-time this is a LEFT ANTI join — one shuffle, no per-row probes."""
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------- P5 + J2: threshold + gap detection ----------
+
+def under_threshold_dates(orders: DataFrame, threshold: int) -> DataFrame:
+    """HAVING-style threshold on per-date counts — the reference's
+    "needs (re)scraping if count < AVERAGE_DAILY_ARTICLE_COUNT"
+    (/root/reference/docs/components/producer.md:17-23)."""
+    return (
+        orders.groupBy(date_key(F.col("o_orderdate")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") < threshold)
+    )
+
+
+def date_gaps(orders: DataFrame, start: str, end: str, threshold: int) -> DataFrame:
+    """Calendar × counts gap detection (reference work-generation E1):
+    generate the full date range, left-join per-date counts, keep dates
+    missing or under threshold. The calendar side is tiny -> broadcast."""
+    spark = orders.sparkSession
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(F.to_date(F.lit(start)), F.to_date(F.lit(end)))
+        ).alias("cal_d")
+    ).select(F.date_format("cal_d", "yyyy-MM-dd").alias("d"))
+    counts = orders.groupBy(date_key(F.col("o_orderdate")).alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        F.broadcast(cal)
+        .join(counts, "d", "left")
+        .where(F.col("cnt").isNull() | (F.col("cnt") < threshold))
+        .select("d", F.coalesce("cnt", F.lit(0)).alias("n_orders"))
+    )
+
+
+# ---------- J3 + 2.5: LWW upsert state as a query (the MERGE semantic) ----------
+
+def lww_latest_state(events: DataFrame) -> DataFrame:
+    """Current-state view of an event stream: last writer (by ts, event_id)
+    wins per user_id; a final 'error' event acts as a delete. This is the
+    engine's CDC merge semantic expressed over the generic events table —
+    single partial-aggregatable max_by, no window shuffle-sort."""
+    winner = events.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_type", "value", "ts"), F.struct("ts", "event_id")
+        ).alias("w")
+    )
+    return (
+        winner.where(F.col("w.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("w.event_type").alias("last_event_type"),
+            F.round(F.col("w.value"), 4).alias("last_value"),
+            F.date_format(F.col("w.ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
+
+
+def top_order_per_customer(orders: DataFrame) -> DataFrame:
+    """Window row_number top-1 per key (SURVEY.md section 2.5's alternative
+    LWW formulation)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("top_price"))
+    )
+
+
+# ---------- A1-A3, O1-O3 ----------
+
+def orders_per_day(orders: DataFrame) -> DataFrame:
+    """A1: group-count per date key + sort (the Mongo $group/$dateToString
+    pipeline, /root/reference/src/clients/mongo/producer_repository.py:58-74)."""
+    return (
+        orders.groupBy(date_key(F.col("o_orderdate")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy("d")
+    )
+
+
+def group_collect_per_day(events: DataFrame) -> DataFrame:
+    """A2: $push-style group-collect ($$ROOT analog), surfaced as a sorted
+    concatenated key list so comparisons are order-stable
+    (/root/reference/src/clients/mongo/work_generator_repository.py:161-179)."""
+    return (
+        events.groupBy(date_key(F.col("ts")).alias("d"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(F.array_sort(F.collect_list(F.col("event_id").cast("string"))), ",").alias("ids"),
+        )
+    )
+
+
+def latest_checkpoint(events: DataFrame) -> DataFrame:
+    """A3/O3: argmax — find_one(sort=[(k,-1)])
+    (/root/reference/src/clients/mongo/work_generator_repository.py:81)."""
+    return events.agg(
+        F.max("event_id").alias("max_event_id"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def multikey_sorted_page(lineitem: DataFrame, limit: int = 100) -> DataFrame:
+    """O1+O2: multi-key sort + limit with a total (deterministic) order."""
+    return (
+        lineitem.select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+        .limit(limit)
+    )
+
+
+# ---------- TPC-H-shaped headline analytics ----------
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    return (
+        lineitem.where(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    segment: str = "BUILDING", cutoff: str = "1996-03-15",
+) -> DataFrame:
+    """Join-heavy top-k: the small filtered customer side broadcasts; the
+    orders×lineitem join shuffles on orderkey."""
+    c = customer.where(F.col("c_mktsegment") == segment)
+    o = orders.where(F.col("o_orderdate") < cutoff)
+    l = lineitem.where(F.col("l_shipdate") > cutoff)
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", date_key(F.col("o_orderdate")).alias("o_orderdate"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5ish_revenue_by_nation(
+    region: DataFrame, nation: DataFrame, customer: DataFrame,
+    orders: DataFrame, lineitem: DataFrame,
+) -> DataFrame:
+    """Star-join rollup: dims broadcast, one fact shuffle."""
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------- streaming-shaped analytics over the events table ----------
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event type (batch equivalent of the
+    Structured Streaming windowed agg; see streaming/jobs for the readStream
+    form)."""
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user session count with a gap threshold —
+    lag + cumulative sum of session-break flags."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def props_json_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: pull $.k out of the JSON props column
+    (the HTML-extract analog, S3) and aggregate."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

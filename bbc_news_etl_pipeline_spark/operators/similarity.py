@@ -1,0 +1,96 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Brute-force cosine top-k is the correctness baseline; the IVF-style variant
+prunes to the query's coarse partition (here the `label` column stands in
+for a coarse-quantizer assignment) — the standard big-data ANN shape:
+block, then score only within blocks.
+
+All arithmetic is cast to float64 before the dot product so results agree
+exactly with the DuckDB oracle (its `list_cosine_similarity` is float32 —
+we avoid it on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine_topk(embs: DataFrame, query_vec: list[float], k: int = 5,
+                exclude_vec_id: int | None = None) -> DataFrame:
+    """Brute-force top-k by cosine against a constant query vector.
+
+    The query vector is a literal array -> broadcast into codegen; the scan
+    is one pass, no shuffle until the global top-k (orderBy+limit runs as
+    per-partition top-k + driver merge: TakeOrderedAndProject)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(sum(x * x for x in query_vec)) ** 0.5
+    v = _as_double(F.col("embedding"))
+    out = embs.select(
+        "vec_id",
+        F.round(_dot(v, q) / (_norm(v) * F.lit(qn)), 6).alias("cosine"),
+    )
+    if exclude_vec_id is not None:
+        out = out.where(F.col("vec_id") != exclude_vec_id)
+    return out.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def ivf_topk(embs: DataFrame, query_vec: list[float], query_label: int, k: int = 5,
+             exclude_vec_id: int | None = None) -> DataFrame:
+    """IVF-style ANN: score only the query's coarse partition (label).
+    At 100 TB: partition pruning on the label column makes this read
+    1/n_labels of the data — the filter reaches the parquet scan."""
+    return cosine_topk(
+        embs.where(F.col("label") == query_label), query_vec, k, exclude_vec_id
+    )
+
+
+def label_centroids(embs: DataFrame) -> DataFrame:
+    """Per-label centroid statistics: (label, n_vectors, centroid_norm).
+    posexplode -> (label, pos) mean -> norm; two partial-agg shuffles,
+    both on small keys."""
+    comp = embs.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x")
+    )
+    cent = comp.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    return (
+        cent.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"))
+        .join(embs.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors")), "label")
+        .select("label", "n_vectors", "centroid_norm")
+    )
+
+
+def centroid_outliers(embs: DataFrame, k: int = 20) -> DataFrame:
+    """Vectors farthest (by cosine) from their own label centroid — the
+    classic embedding-quality probe. Centroids are tiny -> broadcast join."""
+    comp = embs.select(
+        "vec_id", "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x")
+    )
+    cent = comp.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    joined = comp.join(F.broadcast(cent), ["label", "pos"])
+    per_vec = joined.groupBy("vec_id", "label").agg(
+        F.sum(F.col("x") * F.col("c")).alias("dot"),
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"),
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+    )
+    return (
+        per_vec.select(
+            "vec_id", "label",
+            F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 6).alias("cosine_to_centroid"),
+        )
+        .orderBy(F.asc("cosine_to_centroid"), F.asc("vec_id"))
+        .limit(k)
+    )

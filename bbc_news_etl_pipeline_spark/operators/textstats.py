@@ -1,0 +1,95 @@
+"""Text analysis operators over `documents(doc_id, text, lang, ...)`.
+
+Everything is built-in column expressions (codegen'd, no Python): token
+counting, quality scoring, n-gram-profile language ID, fingerprinting —
+the consumer-side "cleaning, normalization, enrichment" of the reference
+(/root/reference/docs/components/consumer.md:9-14) made set-at-a-time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import normalize_text
+
+#: BPE-ish token pattern: word pieces or single punctuation marks
+TOKEN_RE = r"\w+|[^\w\s]"
+
+#: deterministic per-language profile words (synthetic corpus vocabulary)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "row", "table", "value"),
+    "fr": ("spark", "agg", "join", "merge"),
+    "de": ("batch", "window", "stream", "group"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_re_tokens, n_chars) — whitespace tokens plus a
+    regex token count approximating BPE pre-tokenization."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).alias("n_re_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + a composite score:
+    length term, punctuation-density penalty, stopword-ratio term, mean word
+    length. Deterministic; mirrors common pretraining-corpus filters."""
+    words = F.split(F.col("text"), r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
+        F.round((n_chars - n_words + 1) / n_words, 4).alias("mean_word_len"),
+        F.round(
+            F.least(n_words / F.lit(400.0), F.lit(1.0)) * 0.5
+            + (1 - F.least(n_punct / n_chars * 10, F.lit(1.0))) * 0.25
+            + F.least(n_stop / n_words * 5, F.lit(1.0)) * 0.25,
+            4,
+        ).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Profile-scoring language ID: count profile-word hits per language,
+    argmax wins (ties broken by profile order). Output includes agreement
+    with the labeled `lang` column."""
+    words = F.split(F.col("text"), r"\s+")
+    scores = {
+        lang: F.size(F.filter(words, lambda w: w.isin(*profile)))
+        for lang, profile in LANG_PROFILES.items()
+    }
+    langs = list(LANG_PROFILES)
+    best = scores[langs[0]]
+    pred = F.lit(langs[0])
+    for lang in langs[1:]:
+        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
+    out = docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+        "lang",
+    )
+    return out.withColumn("agrees", (F.col("pred_lang") == F.col("lang")).cast("int"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of canonicalized text (rolling-hash-class
+    dedup key; see operators/dedup.fingerprint for the dedup use)."""
+    return docs.select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+        F.length(normalize_text(F.col("text"))).alias("norm_len"),
+    )

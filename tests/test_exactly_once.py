@@ -1,0 +1,88 @@
+"""Exactly-once semantics (SURVEY.md section 5, test 2).
+
+The reference achieves effectively-once via at-least-once delivery + dedup
+(/root/reference/docs/faq.md:49-51 + ON CONFLICT DO NOTHING); the engine's
+stronger mechanism is the epoch-fenced manifest commit. These tests simulate
+duplicate delivery and mid-replay crashes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest
+
+E = 4_000
+N_EPOCHS = 4
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("xo_stream")
+    gen.build_stream(E, N_EPOCHS, str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def straight_digest(spark, stream_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("xo_lake_straight") / "lake")
+    res = R.replay(spark, stream_dir, root, n_buckets=16)
+    assert res.events_applied == E
+    return engine_digest(spark, root)
+
+
+def test_duplicate_epoch_delivery_is_noop(spark, stream_dir, straight_digest, tmp_path):
+    """Re-applying an already-committed epoch (the reference's requeue case)
+    must change nothing."""
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=16)
+    before = engine_digest(spark, root)
+
+    log = EventLog(stream_dir)
+    lake = LakeTable(root, n_buckets=16)
+    m0 = lake.manifest(0)
+    res = R.apply_epoch(spark, log, lake, 0, m0["seq_lo"], m0["seq_hi"], 1)
+    assert res.skipped
+    assert engine_digest(spark, root) == before == straight_digest
+
+
+def test_resume_from_every_checkpoint(spark, stream_dir, straight_digest, tmp_path):
+    """Kill after each epoch, resume -> identical final digest every time."""
+    for crash_at in range(N_EPOCHS - 1):
+        root = str(tmp_path / f"lake_{crash_at}")
+        R.replay(spark, stream_dir, root, n_buckets=16, crash_after_epoch=crash_at)
+        lake = LakeTable(root, n_buckets=16)
+        assert lake.committed_epochs() == list(range(crash_at + 1))
+        R.replay(spark, stream_dir, root, n_buckets=16)  # resume to head
+        assert engine_digest(spark, root) == straight_digest
+
+
+def test_crash_between_data_write_and_commit(spark, stream_dir, straight_digest, tmp_path):
+    """Simulate dying AFTER an epoch's data files hit disk but BEFORE the
+    manifest rename: the retry must overwrite the orphans idempotently."""
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=16, crash_after_epoch=1)
+    lake = LakeTable(root, n_buckets=16)
+    # roll back the fence for epoch 1 but leave its data files as orphans
+    os.unlink(os.path.join(lake.manifests_dir, "manifest-000001.json"))
+    assert lake.committed_epochs() == [0]
+    assert glob.glob(os.path.join(lake.epoch_data_dir(1), "bucket_p=*")), "orphan data files should exist"
+    R.replay(spark, stream_dir, root, n_buckets=16)
+    assert engine_digest(spark, root) == straight_digest
+
+
+def test_epoch_partitioning_invariance(spark, stream_dir, straight_digest, tmp_path):
+    """Same log consumed as many tiny epochs -> same final state (LWW is
+    associative/commutative across any epoch partitioning)."""
+    root = str(tmp_path / "lake")
+    res = R.replay(spark, stream_dir, root, n_buckets=16, events_per_epoch=700)
+    assert len(res.epochs) > N_EPOCHS
+    assert engine_digest(spark, root) == straight_digest

@@ -1,0 +1,36 @@
+"""Static guards (SURVEY.md section 5, test 7): the north rule bans per-row
+Python UDFs and RDD usage in the engine — DataFrame ops and vectorized
+pandas/Arrow UDFs only."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parents[1] / "bbc_news_etl_pipeline_spark"
+
+BANNED = [
+    (re.compile(r"\bF\.udf\("), "row-at-a-time F.udf"),
+    (re.compile(r"functions\.udf\("), "row-at-a-time functions.udf"),
+    (re.compile(r"@udf\b"), "row-at-a-time @udf"),
+    (re.compile(r"\.rdd\b"), "RDD access"),
+    (re.compile(r"sparkContext\.parallelize"), "RDD parallelize"),
+    (re.compile(r"mapPartitions\("), "RDD mapPartitions (use mapInPandas)"),
+]
+
+
+def test_no_per_row_python_or_rdd():
+    offenders = []
+    for f in PKG.rglob("*.py"):
+        text = f.read_text()
+        for pat, why in BANNED:
+            for m in pat.finditer(text):
+                line = text[: m.start()].count("\n") + 1
+                offenders.append(f"{f}:{line}: {why}")
+    assert not offenders, "\n".join(offenders)
+
+
+def test_entry_module_clean():
+    text = (Path(__file__).resolve().parents[1] / "__spark_entry__.py").read_text()
+    for pat, why in BANNED:
+        assert not pat.search(text), f"__spark_entry__.py: {why}"

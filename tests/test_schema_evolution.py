@@ -1,0 +1,94 @@
+"""Schema evolution (SURVEY.md section 5, test 3): column add + int->long
+widen arriving mid-stream, resume across the boundary, historical reads."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.plans import schema_registry as reg
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .oracle import sequential_replay, table_digest
+from .util import engine_digest, engine_live_pdf
+
+E = 6_000
+N_EPOCHS = 6
+
+
+@pytest.fixture(scope="module")
+def stream(tmp_path_factory):
+    d = tmp_path_factory.mktemp("se_stream")
+    spec = gen.StreamSpec(n_events=E, n_epochs=N_EPOCHS)
+    events = gen.generate_events(spec)
+    segs = gen.write_event_log(events, str(d))
+    return str(d), events, segs
+
+
+def test_log_segments_physically_evolve(stream):
+    """The log itself must carry the evolution: early segments int32 +
+    no license, late segments int64 + license."""
+    d, _, segs = stream
+    assert {s["schema_version"] for s in segs} == {1, 2, 3}
+    first = pq.read_schema(f"{d}/{segs[0]['file']}")
+    last = pq.read_schema(f"{d}/{segs[-1]['file']}")
+    assert str(first.field("size_bytes").type) == "int32"
+    assert "license" not in first.names
+    assert str(last.field("size_bytes").type) == "int64"
+    assert "license" in last.names
+
+
+def test_reader_reconciles_versions(spark, stream):
+    d, events, _ = stream
+    log = EventLog(d)
+    df = log.read_range(spark, -1, E, target_version=3)
+    assert dict(df.dtypes)["size_bytes"] == "bigint"
+    assert df.count() == E
+    n_lic = df.where("license IS NOT NULL").count()
+    assert n_lic == int(events["license"].notna().sum()) > 0
+
+
+def test_evolution_replay_and_resume(spark, stream, tmp_path):
+    d, events, _ = stream
+    straight = str(tmp_path / "straight")
+    R.replay(spark, d, straight, n_buckets=16)
+
+    # resume across the v1->v2 and v2->v3 boundaries
+    resumed = str(tmp_path / "resumed")
+    R.replay(spark, d, resumed, n_buckets=16, crash_after_epoch=2)
+    lake = LakeTable(resumed, n_buckets=16)
+    mid_ver = lake.resume_point()[2]
+    assert mid_ver < 3, "crash point should predate full evolution"
+    R.replay(spark, d, resumed, n_buckets=16)
+
+    assert engine_digest(spark, straight) == engine_digest(spark, resumed)
+
+    # values equal the oracle's evolved final state
+    oracle = sequential_replay(events)
+    got = engine_live_pdf(spark, straight)
+    assert table_digest(got) == table_digest(oracle)
+    # v3 winners carry license; pre-v3 winners carry NULL license
+    merged = got.merge(
+        oracle[["repo", "path", "license"]], on=["repo", "path"], suffixes=("", "_o")
+    )
+    assert (
+        merged["license"].fillna("∅") == merged["license_o"].fillna("∅")
+    ).all()
+
+
+def test_time_travel_reads_old_schema_epochs(spark, stream, tmp_path):
+    """A historical snapshot committed under v1 must still be readable after
+    the table evolved to v3 (cast-up on read)."""
+    d, _, _ = stream
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=16)
+    lake = LakeTable(root, n_buckets=16)
+    m0 = lake.manifest(0)
+    assert m0["schema_version"] == 1
+    old = lake.read_state(spark, target_version=3, epoch=0)
+    assert old.count() > 0
+    assert dict(old.dtypes)["size_bytes"] == "bigint"
+    assert old.where("license IS NOT NULL").count() == 0

@@ -1,0 +1,196 @@
+"""Skew splitting, quarantine/DLQ, LWW ordering edge cases, lineage
+(SURVEY.md section 5, tests 4-6 + observability)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_live_pdf
+
+E = 4_000
+
+
+@pytest.fixture(scope="module")
+def lake_and_stream(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sq_stream"))
+    spec = gen.StreamSpec(n_events=E, n_epochs=2)
+    events = gen.generate_events(spec)
+    gen.write_event_log(events, d)
+    root = str(tmp_path_factory.mktemp("sq_lake") / "lake")
+    res = R.replay(spark, d, root, n_buckets=16)
+    return d, events, root, res
+
+
+# ---------- skew ----------
+
+def test_hot_repo_detected_and_split(spark, lake_and_stream):
+    _, events, root, res = lake_and_stream
+    assert all(e.n_hot_repos >= 1 for e in res.epochs), "hot repo must be detected"
+    lake = LakeTable(root, n_buckets=16)
+    metrics = lake.read_sidecar(spark, "_metrics").toPandas()
+    assert (metrics["n_hot_keys_split"] >= 1).all()
+
+    # hot repo carries ~50% of events, but hash-bucketing by (repo, path)
+    # spreads its keys: no bucket may hold a hot-repo-sized share
+    lineage = lake.read_sidecar(spark, "_lineage").toPandas()
+    per_epoch = lineage.groupby("epoch")["n_events"].agg(["sum", "max"])
+    assert (per_epoch["max"] / per_epoch["sum"] < 0.25).all(), (
+        "event skew leaked into bucket skew:\n" + str(per_epoch)
+    )
+
+
+def test_lineage_rows_shape(spark, lake_and_stream):
+    _, _, root, _ = lake_and_stream
+    lake = LakeTable(root, n_buckets=16)
+    lineage = lake.read_sidecar(spark, "_lineage").toPandas()
+    assert set(lineage.columns) == {
+        "epoch", "partition_id", "salt", "lsn_lo", "lsn_hi", "n_events",
+        "digest", "duration_ms",
+    }
+    assert lineage["digest"].str.len().eq(64).all()
+    assert (lineage["duration_ms"] >= 0).all()
+    assert (lineage["lsn_hi"] >= lineage["lsn_lo"]).all()
+
+
+def test_metrics_events_accounting(spark, lake_and_stream):
+    _, _, root, res = lake_and_stream
+    lake = LakeTable(root, n_buckets=16)
+    metrics = lake.read_sidecar(spark, "_metrics").toPandas()
+    assert metrics["events_applied_total"].sum() == E
+    assert (metrics["events_per_sec"] > 0).all()
+
+
+# ---------- quarantine / DLQ ----------
+
+def test_malformed_events_quarantined_not_fatal(spark, tmp_path):
+    spec = gen.StreamSpec(n_events=500, n_epochs=1)
+    events = gen.generate_events(spec)
+    bad = events.tail(3).copy()
+    bad["arrival_seq"] = [500, 501, 502]
+    bad["lsn"] = [9001, 9002, 9003]
+    bad.iloc[0, bad.columns.get_loc("op")] = "truncate"   # invalid op
+    bad.iloc[1, bad.columns.get_loc("repo")] = None       # null key
+    bad.iloc[2, bad.columns.get_loc("op")] = "insert"
+    bad.iloc[2, bad.columns.get_loc("content")] = None    # insert w/o body
+    d = str(tmp_path / "log")
+    gen.write_event_log(pd.concat([events, bad], ignore_index=True), d)
+
+    root = str(tmp_path / "lake")
+    res = R.replay(spark, d, root, n_buckets=8)
+    assert sum(e.n_quarantined for e in res.epochs) == 3
+    assert sum(e.n_events for e in res.epochs) == 500
+
+    lake = LakeTable(root, n_buckets=8)
+    q = lake.read_sidecar(spark, "_quarantine").toPandas()
+    assert sorted(q["error"]) == ["invalid op", "null content for upsert", "null key"]
+    # the raw event is preserved for manual replay (DLQ semantics)
+    assert all(json.loads(j).get("lsn") in (9001, 9002, 9003) for j in q["event_json"])
+
+
+# ---------- LWW ordering edges ----------
+
+def _mk_events(rows):
+    cols = ["arrival_seq", "epoch", "lsn", "event_id", "op", "repo", "path",
+            "commit", "lang", "content", "size_bytes", "license", "ts",
+            "schema_version"]
+    out = []
+    for i, r in enumerate(rows):
+        out.append({
+            "arrival_seq": i, "epoch": r.get("epoch", 0), "lsn": r["lsn"],
+            "event_id": f"e{r['lsn']}", "op": r["op"], "repo": "r/a",
+            "path": r.get("path", "f.py"),
+            "commit": None if r["op"] == "delete" else f"c{r['lsn']}",
+            "lang": None if r["op"] == "delete" else "py",
+            "content": r.get("content"),
+            "size_bytes": None if r.get("content") is None else len(r["content"]),
+            "license": None,
+            "ts": pd.Timestamp("2026-01-01T00:00:00Z"), "schema_version": 3,
+        })
+    df = pd.DataFrame(out, columns=cols)
+    df["size_bytes"] = df["size_bytes"].astype("Int64")  # parquet int64, not double
+    return df
+
+
+def test_late_lower_lsn_update_after_delete_is_noop(spark, tmp_path):
+    """delete(lsn=10) applied in epoch 0; update(lsn=5) arrives in epoch 1:
+    the tombstone must win (order-insensitive LWW)."""
+    ev = _mk_events([
+        {"lsn": 1, "op": "insert", "content": "v1", "epoch": 0},
+        {"lsn": 10, "op": "delete", "epoch": 0},
+        {"lsn": 5, "op": "update", "content": "v5-late", "epoch": 1},
+    ])
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4)
+    got = engine_live_pdf(spark, root)
+    assert len(got) == 0, f"late update resurrected a deleted row:\n{got}"
+
+
+def test_insert_after_delete_with_higher_lsn_wins(spark, tmp_path):
+    ev = _mk_events([
+        {"lsn": 1, "op": "insert", "content": "v1", "epoch": 0},
+        {"lsn": 2, "op": "delete", "epoch": 0},
+        {"lsn": 3, "op": "insert", "content": "v3", "epoch": 1},
+    ])
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4)
+    got = engine_live_pdf(spark, root)
+    assert len(got) == 1 and got.loc[0, "content"] == "v3" and got.loc[0, "lsn"] == 3
+
+
+def test_out_of_order_within_epoch(spark, tmp_path):
+    """Arrival order reversed vs lsn order inside one epoch: max lsn wins."""
+    ev = _mk_events([
+        {"lsn": 30, "op": "update", "content": "v30", "epoch": 0},
+        {"lsn": 10, "op": "insert", "content": "v10", "epoch": 0},
+        {"lsn": 20, "op": "update", "content": "v20", "epoch": 0},
+    ])
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4)
+    got = engine_live_pdf(spark, root)
+    assert len(got) == 1 and got.loc[0, "content"] == "v30"
+
+
+def test_arrival_permutation_invariance(spark, tmp_path):
+    """Property (SURVEY.md section 5, test 8): different epoch partitionings
+    of the same event set converge to the same state."""
+    spec = gen.StreamSpec(n_events=1500, n_epochs=3)
+    events = gen.generate_events(spec)
+    digests = []
+    for n_ep in (1, 3):
+        ev = events.copy()
+        # re-partition arrivals into n_ep epochs deterministically
+        ev["epoch"] = ev["arrival_seq"] % n_ep
+        ev = ev.sort_values(["epoch", "arrival_seq"], kind="mergesort").reset_index(drop=True)
+        ev["arrival_seq"] = range(len(ev))
+        d = str(tmp_path / f"log{n_ep}")
+        gen.write_event_log(ev, d)
+        root = str(tmp_path / f"lake{n_ep}")
+        R.replay(spark, d, root, n_buckets=8)
+        pdf = engine_live_pdf(spark, root)
+        digests.append(
+            tuple(map(tuple, pdf[["repo", "path", "lsn", "content_sha256"]].values))
+        )
+    assert digests[0] == digests[1]
+
+
+def test_checkpoint_table(spark, lake_and_stream):
+    _, _, root, _ = lake_and_stream
+    lake = LakeTable(root, n_buckets=16)
+    R.write_checkpoint_table(spark, lake)
+    ck = spark.read.parquet(os.path.join(root, "_checkpoint")).toPandas()
+    assert list(ck.sort_values("epoch")["epoch"]) == [0, 1]
+    assert (ck["seq_hi"] > ck["seq_lo"]).all()

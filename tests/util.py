@@ -1,0 +1,28 @@
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+
+
+def engine_live_pdf(spark, lake_root: str, epoch: int | None = None) -> pd.DataFrame:
+    lake = LakeTable(lake_root)
+    df = lake.read_state(spark, epoch=epoch).drop("bucket")
+    return (
+        df.toPandas()
+        .sort_values(["repo", "path"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def engine_digest(spark, lake_root: str) -> tuple[str, int]:
+    """Canonical digest over live rows using the engine-maintained
+    content_sha256 (matches tests.oracle.table_digest on oracle frames)."""
+    pdf = engine_live_pdf(spark, lake_root)
+    h = hashlib.sha256()
+    for row in pdf.itertuples(index=False):
+        c = row.content_sha256 or ""
+        h.update(f"{row.repo}|{row.path}|{row.lsn}|{c}\n".encode())
+    return h.hexdigest(), len(pdf)
