@@ -1,38 +1,449 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every operator family from SURVEY.md section 2 (scan,
+filter, anti-join, gap detection, LWW merge-state, aggregation, window,
+sort/limit, scalar functions, streaming-shaped analytics) plus the
+training-data-pipeline operators (dedup ladder, similarity search, text
+analysis, multimodal plumbing). `oracle_sql()` carries the DuckDB-equivalent
+SQL for every value-checkable query; the few entries without an oracle are
+genuinely non-SQL-expressible (the live CDC replay) and are rows-only.
+
+Column names are aliased identically on both sides; float aggregates are
+rounded identically; hashes use the md5-prefix bigint that Spark's
+`conv(substr(md5(x),1,15),16,10)` and DuckDB's
+`('0x'||substr(md5(x),1,15))::BIGINT` agree on.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from bbc_news_etl_pipeline_spark.operators import dedup as D  # noqa: E402
+from bbc_news_etl_pipeline_spark.operators import multimodal as MM  # noqa: E402
+from bbc_news_etl_pipeline_spark.operators import relational as R  # noqa: E402
+from bbc_news_etl_pipeline_spark.operators import similarity as S  # noqa: E402
+from bbc_news_etl_pipeline_spark.operators import textstats as TS  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LWW current-state merge view over the event stream — the
+    CDC engine's core semantic (last writer by (ts, event_id) per key,
+    deletes folded in) on sf0.001."""
+    return R.lww_latest_state(_t(spark, "/root/testdata/sf0.001", "events"))
 
+
+# --------------------------------------------------------------------------
+# portable hash helpers (shared literal fragments for the SQL oracles)
+# --------------------------------------------------------------------------
+
+_DDB_H15 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_DDB_SHINGLES = (
+    "SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') "
+    "for i in range(1, len(w)-1)])) AS g "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row[0]]
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- scans / filters / projections (S1, P1, P2, P4) ----
+    q["s1_offset_range_scan"] = lambda s, d: (
+        _t(s, d, "events")
+        .where((F.col("event_id") > 100) & (F.col("event_id") <= 2000))
+        .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value_r"))
+    )
+    q["p1_projection_filter"] = lambda s, d: (
+        _t(s, d, "lineitem")
+        .where(F.col("l_shipdate") < "1996-01-01")
+        .select("l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("qty"))
+    )
+    q["p2_equality_filter"] = lambda s, d: (
+        _t(s, d, "events").where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.round("value", 4).alias("value_r"))
+    )
+    q["p4_prefix_filter"] = lambda s, d: (
+        _t(s, d, "part").where(F.col("p_type").startswith("STAND"))
+        .select("p_partkey", "p_name", "p_type")
+    )
 
+    # ---- anti-join / threshold / gap detection (P3/J1, P5, J2) ----
+    q["p3_antijoin_no_orders"] = lambda s, d: R.customers_without_orders(
+        _t(s, d, "customer"), _t(s, d, "orders")
+    )
+    q["p5_having_threshold"] = lambda s, d: R.under_threshold_dates(_t(s, d, "orders"), 8)
+    q["j2_gap_detection"] = lambda s, d: R.date_gaps(
+        _t(s, d, "orders"), "1995-01-01", "1995-06-30", 3
+    )
+
+    # ---- LWW merge-state / window top-1 (J3, 2.5) ----
+    q["j3_lww_latest_state"] = lambda s, d: R.lww_latest_state(_t(s, d, "events"))
+    q["w1_top_order_per_customer"] = lambda s, d: R.top_order_per_customer(_t(s, d, "orders"))
+
+    # ---- aggregations / sorts (A1-A3, O1-O3) ----
+    q["a1_orders_per_day"] = lambda s, d: R.orders_per_day(_t(s, d, "orders"))
+    q["a2_group_collect"] = lambda s, d: R.group_collect_per_day(_t(s, d, "events"))
+    q["a3_latest_checkpoint"] = lambda s, d: R.latest_checkpoint(_t(s, d, "events"))
+    q["o1_multikey_sort_page"] = lambda s, d: R.multikey_sorted_page(_t(s, d, "lineitem"))
+
+    # ---- TPC-H-shaped headline analytics ----
+    q["q1_pricing_summary"] = lambda s, d: R.q1_pricing_summary(_t(s, d, "lineitem"))
+    q["q3_shipping_priority"] = lambda s, d: R.q3_shipping_priority(
+        _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+    )
+    q["q5_revenue_by_nation"] = lambda s, d: R.q5ish_revenue_by_nation(
+        _t(s, d, "region"), _t(s, d, "nation"), _t(s, d, "customer"),
+        _t(s, d, "orders"), _t(s, d, "lineitem"),
+    )
+
+    # ---- streaming-shaped analytics ----
+    q["t_windowed_counts"] = lambda s, d: R.windowed_counts(_t(s, d, "events"))
+    q["t_sessionize"] = lambda s, d: R.sessionize(_t(s, d, "events"))
+    q["f_json_props_stats"] = lambda s, d: R.props_json_stats(_t(s, d, "events"))
+
+    # ---- dedup ladder ----
+    q["dedup_exact_groups"] = lambda s, d: D.exact_groups(_t(s, d, "documents"))
+    q["dedup_fingerprint"] = lambda s, d: TS.fingerprints(_t(s, d, "documents"))
+    q["dedup_ngram_jaccard"] = lambda s, d: D.ngram_jaccard_pairs(
+        _t(s, d, "documents"), threshold=0.8
+    )
+    q["dedup_minhash_signatures"] = lambda s, d: D.minhash_signatures(_t(s, d, "documents"))
+    q["dedup_minhash_lsh_pairs"] = lambda s, d: D.minhash_lsh_candidates(_t(s, d, "documents"))
+    q["dedup_simhash"] = lambda s, d: D.simhash_bits(_t(s, d, "documents"))
+    q["dedup_embedding_cosine"] = lambda s, d: D.embedding_near_dup_pairs(
+        _t(s, d, "embeddings"), threshold=0.45
+    )
+
+    # ---- similarity search ----
+    q["ann_bruteforce_topk"] = lambda s, d: S.cosine_topk(
+        _t(s, d, "embeddings"), _query_vec(s, d), k=10, exclude_vec_id=0
+    )
+    q["ann_ivf_label_topk"] = lambda s, d: S.ivf_topk(
+        _t(s, d, "embeddings"), _query_vec(s, d),
+        query_label=int(_t(s, d, "embeddings").where(F.col("vec_id") == 0).select("label").first()[0]),
+        k=10, exclude_vec_id=0,
+    )
+    q["ann_label_centroids"] = lambda s, d: S.label_centroids(_t(s, d, "embeddings"))
+    q["ann_centroid_outliers"] = lambda s, d: S.centroid_outliers(_t(s, d, "embeddings"))
+
+    # ---- text analysis ----
+    q["text_token_stats"] = lambda s, d: TS.token_stats(_t(s, d, "documents"))
+    q["text_quality_score"] = lambda s, d: TS.quality_score(_t(s, d, "documents"))
+    q["text_lang_id"] = lambda s, d: TS.lang_id(_t(s, d, "documents"))
+
+    # ---- multimodal plumbing (Arrow mapInPandas over binary payloads) ----
+    q["mm_binary_metadata"] = lambda s, d: MM.media_metadata_sql_checkable(
+        _t(s, d, "documents")
+    )
+
+    # ---- live CDC engine replay (non-SQL-expressible: full engine path) ----
+    q["cdc_replay_state"] = _cdc_replay_state
+
+    return q
+
+
+def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the actual engine (generator -> epoch replay -> lake) on a small
+    deterministic stream and return the live state. No SQL oracle — the
+    pytest suite verifies this path against the sequential pandas oracle."""
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.fixtures.generator import build_stream
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    work = tempfile.mkdtemp(prefix="cdc_entry_")
+    log_dir = os.path.join(work, "log")
+    lake_root = os.path.join(work, "lake")
+    build_stream(2000, 2, log_dir)
+    replay(spark, log_dir, lake_root, n_buckets=8)
+    return (
+        LakeTable(lake_root, n_buckets=8)
+        .read_state(spark)
+        .select("repo", "path", "lsn", "content_sha256")
+    )
+
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["s1_offset_range_scan"] = (
+        "SELECT event_id, user_id, event_type, round(value, 4) AS value_r "
+        "FROM events WHERE event_id > 100 AND event_id <= 2000"
+    )
+    o["p1_projection_filter"] = (
+        "SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty "
+        "FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'"
+    )
+    o["p2_equality_filter"] = (
+        "SELECT event_id, user_id, round(value, 4) AS value_r "
+        "FROM events WHERE event_type = 'purchase'"
+    )
+    o["p4_prefix_filter"] = (
+        "SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE 'STAND%'"
+    )
+    o["p3_antijoin_no_orders"] = (
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+    )
+    o["p5_having_threshold"] = (
+        "SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS n_orders "
+        "FROM orders GROUP BY 1 HAVING count(*) < 8"
+    )
+    o["j2_gap_detection"] = (
+        "WITH cal AS (SELECT strftime(CAST(gs AS DATE), '%Y-%m-%d') AS d "
+        "  FROM generate_series(DATE '1995-01-01', DATE '1995-06-30', INTERVAL 1 DAY) t(gs)), "
+        "cnt AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS c "
+        "  FROM orders GROUP BY 1) "
+        "SELECT cal.d AS d, coalesce(cnt.c, 0) AS n_orders FROM cal "
+        "LEFT JOIN cnt ON cal.d = cnt.d WHERE cnt.c IS NULL OR cnt.c < 3"
+    )
+    o["j3_lww_latest_state"] = (
+        "WITH ranked AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        "SELECT user_id, event_type AS last_event_type, round(value, 4) AS last_value, "
+        "strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts "
+        "FROM ranked WHERE rn = 1 AND event_type <> 'error'"
+    )
+    o["w1_top_order_per_customer"] = (
+        "WITH ranked AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) "
+        "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price FROM ranked WHERE rn = 1"
+    )
+    o["a1_orders_per_day"] = (
+        "SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS n_orders, "
+        "round(sum(o_totalprice), 2) AS total_price FROM orders GROUP BY 1"
+    )
+    o["a2_group_collect"] = (
+        "SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, count(*) AS n, "
+        "string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY CAST(event_id AS VARCHAR)) AS ids "
+        "FROM events GROUP BY 1, 2"
+    )
+    o["a3_latest_checkpoint"] = (
+        "SELECT max(event_id) AS max_event_id, "
+        "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts, count(*) AS n_events FROM events"
+    )
+    o["o1_multikey_sort_page"] = (
+        "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, "
+        "round(l_extendedprice, 2) AS price FROM lineitem "
+        "ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber LIMIT 100"
+    )
+    o["q1_pricing_summary"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+        "round(avg(l_quantity), 4) AS avg_qty, "
+        "round(avg(l_extendedprice), 4) AS avg_price, "
+        "round(avg(l_discount), 4) AS avg_disc, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+    o["q3_shipping_priority"] = (
+        "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-03-15' "
+        "AND l_shipdate > TIMESTAMP '1996-03-15' "
+        "GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d') "
+        "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"
+    )
+    o["q5_revenue_by_nation"] = (
+        "SELECT r_name, n_name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name, n_name"
+    )
+    o["t_windowed_counts"] = (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, "
+        "count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"
+    )
+    o["t_sessionize"] = (
+        "WITH g AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) - "
+        "  lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+        "  (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) "
+        "SELECT user_id, sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions, "
+        "count(*) AS n_events FROM g GROUP BY user_id"
+    )
+    o["f_json_props_stats"] = (
+        "SELECT event_type, count(*) AS n, "
+        "round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k, "
+        "max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k "
+        "FROM events GROUP BY event_type"
+    )
+
+    # ---- dedup ----
+    o["dedup_exact_groups"] = (
+        "SELECT sha256(text) AS text_sha, count(*) AS n_docs, "
+        "min(doc_id) AS canonical_doc_id FROM documents GROUP BY 1"
+    )
+    o["dedup_fingerprint"] = (
+        "SELECT doc_id, md5(norm) AS fingerprint, length(norm) AS norm_len FROM "
+        "(SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), "
+        "' +', ' ', 'g')) AS norm FROM documents)"
+    )
+    o["dedup_ngram_jaccard"] = (
+        f"WITH sh AS ({_DDB_SHINGLES}), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
+        "shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS sh_n "
+        "  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, round(sh_n * 1.0 / (sa.n_sh + sb.n_sh - sh_n), 3) AS jaccard "
+        "FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE round(sh_n * 1.0 / (sa.n_sh + sb.n_sh - sh_n), 3) >= 0.8"
+    )
+    mh_mins = ", ".join(
+        "min(" + _DDB_H15.format(x=f"'mh{j}:' || g") + f") AS minh_{j}" for j in range(8)
+    )
+    o["dedup_minhash_signatures"] = (
+        f"WITH sh AS ({_DDB_SHINGLES}) "
+        f"SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id"
+    )
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(minh_{2*b} AS VARCHAR) || '|' || CAST(minh_{2*b+1} AS VARCHAR)) AS key FROM sig"
+        for b in range(4)
+    )
+    o["dedup_minhash_lsh_pairs"] = (
+        f"WITH sh AS ({_DDB_SHINGLES}), "
+        f"sig AS (SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id), "
+        f"bands AS ({bands_union}) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+    )
+    sim_sums = ", ".join(
+        f"sum(cnt * (((hv >> {b}) & 1) * 2 - 1)) AS t{b}" for b in range(16)
+    )
+    sim_bits = " + ".join(f"(CASE WHEN t{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16))
+    o["dedup_simhash"] = (
+        "WITH wc AS (SELECT doc_id, w, count(*) AS cnt FROM "
+        "  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2), "
+        "h AS (SELECT doc_id, cnt, " + _DDB_H15.format(x="'sim:' || w") + " AS hv FROM wc), "
+        f"t AS (SELECT doc_id, {sim_sums} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({sim_bits} AS BIGINT) AS simhash FROM t"
+    )
+    o["dedup_embedding_cosine"] = (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, "
+        "  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm "
+        "  FROM embeddings) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine "
+        "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+        "WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.45"
+    )
+
+    # ---- similarity ----
+    o["ann_bruteforce_topk"] = (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e, "
+        "  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm "
+        "  FROM embeddings WHERE vec_id = 0) "
+        "SELECT v.vec_id, round(list_inner_product(CAST(v.embedding AS DOUBLE[]), q.e) / "
+        "  (sqrt(list_inner_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))) * q.nrm), 6) AS cosine "
+        "FROM embeddings v, q WHERE v.vec_id <> 0 "
+        "ORDER BY cosine DESC, v.vec_id ASC LIMIT 10"
+    )
+    o["ann_ivf_label_topk"] = (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e, label AS ql, "
+        "  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm "
+        "  FROM embeddings WHERE vec_id = 0) "
+        "SELECT v.vec_id, round(list_inner_product(CAST(v.embedding AS DOUBLE[]), q.e) / "
+        "  (sqrt(list_inner_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))) * q.nrm), 6) AS cosine "
+        "FROM embeddings v, q WHERE v.vec_id <> 0 AND v.label = q.ql "
+        "ORDER BY cosine DESC, v.vec_id ASC LIMIT 10"
+    )
+    o["ann_label_centroids"] = (
+        "WITH comp AS (SELECT label, vec_id, u.x, u.pos FROM embeddings, "
+        "  LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x, "
+        "           generate_subscripts(embedding, 1) AS pos) u), "
+        "cent AS (SELECT label, pos, avg(x) AS c FROM comp GROUP BY 1, 2), "
+        "norms AS (SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm FROM cent GROUP BY 1), "
+        "counts AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY 1) "
+        "SELECT norms.label AS label, n_vectors, centroid_norm FROM norms JOIN counts ON norms.label = counts.label"
+    )
+    o["ann_centroid_outliers"] = (
+        "WITH comp AS (SELECT label, vec_id, u.x, u.pos FROM embeddings, "
+        "  LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x, "
+        "           generate_subscripts(embedding, 1) AS pos) u), "
+        "cent AS (SELECT label, pos, avg(x) AS c FROM comp GROUP BY 1, 2), "
+        "j AS (SELECT comp.vec_id, comp.label, sum(comp.x * cent.c) AS dot, "
+        "  sqrt(sum(comp.x * comp.x)) AS nv, sqrt(sum(cent.c * cent.c)) AS nc "
+        "  FROM comp JOIN cent ON comp.label = cent.label AND comp.pos = cent.pos "
+        "  GROUP BY comp.vec_id, comp.label) "
+        "SELECT vec_id, label, round(dot / (nv * nc), 6) AS cosine_to_centroid FROM j "
+        "ORDER BY cosine_to_centroid ASC, vec_id ASC LIMIT 20"
+    )
+
+    # ---- text analysis ----
+    o["text_token_stats"] = (
+        r"SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens, "
+        r"len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_re_tokens, "
+        "length(text) AS n_chars FROM documents"
+    )
+    o["text_quality_score"] = (
+        r"WITH b AS (SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n_words, "
+        r"length(text) AS n_chars, len(regexp_extract_all(text, '[^\w\s]')) AS n_punct, "
+        r"len(list_filter(regexp_split_to_array(text, '\s+'), "
+        "x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS n_stop FROM documents) "
+        "SELECT doc_id, n_words, round(n_punct * 1.0 / n_chars, 4) AS punct_ratio, "
+        "round(n_stop * 1.0 / n_words, 4) AS stopword_ratio, "
+        "round((n_chars - n_words + 1) * 1.0 / n_words, 4) AS mean_word_len, "
+        "round(least(n_words / 400.0, 1.0) * 0.5 "
+        "  + (1 - least(n_punct * 10.0 / n_chars, 1.0)) * 0.25 "
+        "  + least(n_stop * 5.0 / n_words, 1.0) * 0.25, 4) AS quality FROM b"
+    )
+    o["text_lang_id"] = (
+        r"WITH s AS (SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS w FROM documents), "
+        "sc AS (SELECT doc_id, lang, "
+        "len(list_filter(w, x -> x IN ('the', 'a', 'row', 'table', 'value'))) AS score_en, "
+        "len(list_filter(w, x -> x IN ('spark', 'agg', 'join', 'merge'))) AS score_fr, "
+        "len(list_filter(w, x -> x IN ('batch', 'window', 'stream', 'group'))) AS score_de FROM s) "
+        "SELECT doc_id, score_en, score_fr, score_de, "
+        "CASE WHEN score_de > greatest(score_en, score_fr) THEN 'de' "
+        "     WHEN score_fr > score_en THEN 'fr' ELSE 'en' END AS pred_lang, lang, "
+        "CAST(CASE WHEN score_de > greatest(score_en, score_fr) THEN 'de' "
+        "     WHEN score_fr > score_en THEN 'fr' ELSE 'en' END = lang AS INT) AS agrees FROM sc"
+    )
+
+    # ---- multimodal (SQL-checkable projection of the Arrow plumbing) ----
+    o["mm_binary_metadata"] = (
+        "SELECT doc_id, 'application/x-fake' AS media_type, "
+        "octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256 FROM documents"
+    )
+
+    # cdc_replay_state: intentionally no oracle (live engine path; verified
+    # by the pytest replay suite against the sequential pandas oracle)
+    return o

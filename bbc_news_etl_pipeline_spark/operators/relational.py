@@ -222,7 +222,9 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: per-user session count with a gap threshold —
     lag + cumulative sum of session-break flags."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # NTZ-safe epoch seconds (parquet may carry TIMESTAMP_NTZ; session tz is UTC)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
     flagged = events.withColumn(
         "new_sess",
         F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),

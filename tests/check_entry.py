@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's correctness gate: run every
+`__spark_entry__.queries()` entry and its `oracle_sql()` twin side-by-side,
+compare row count, column set, and an order-insensitive value hash.
+
+Usage: python -m tests.check_entry [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # kill -0.0 and representation jitter far below our rounding digits
+        return f"{v + 0.0:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    return out
+
+
+def run(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -> int:
+    import __spark_entry__ as entry_mod
+    from bbc_news_etl_pipeline_spark.session import build_session
+
+    spark = build_session(app_name="check-entry", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            print(f"✗ {name}: spark error {str(ex).splitlines()[0][:200]}")
+            continue
+        if name not in oracles:
+            print(f"~ {name}: rows-only (no oracle) -> {len(s_rows)} rows")
+            if len(s_rows) == 0:
+                failures.append((name, "0 rows on rows-only query"))
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [c[0] for c in res.description]
+            d_rows = res.fetchall()
+        except Exception as ex:
+            failures.append((name, f"DUCKDB ERROR: {ex}"))
+            print(f"✗ {name}: duckdb error {str(ex).splitlines()[0][:200]}")
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"schema {sorted(s_cols)} != {sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rows {len(s_rows)} != {len(d_rows)}")
+        if not problems:
+            a = _canon(s_rows, s_cols)
+            b = _canon(d_rows, d_cols)
+            if a != b:
+                diff = next((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y)
+                problems.append(f"values differ, first at #{diff[0]}: {diff[1]} vs {diff[2]}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"✗ {name}: {'; '.join(problems)[:400]}")
+        else:
+            print(f"✓ {name}: {len(s_rows)} rows match")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    names = [a for a in args if "/" not in a]
+    sys.exit(run(sf, names or None))

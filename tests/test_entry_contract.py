@@ -1,0 +1,31 @@
+"""Driver-contract smoke: entry() returns rows on sf0.001; queries() and
+oracle_sql() keys line up. The full value-equality gate is
+`python -m tests.check_entry` (sf0.01, all 35 queries vs DuckDB)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert "user_id" in df.columns
+
+
+def test_every_oracle_has_a_query():
+    qs = E.queries()
+    os_ = E.oracle_sql()
+    missing = set(os_) - set(qs)
+    assert not missing, f"oracles without queries: {missing}"
+    # every query either has an oracle or is an allowed rows-only entry
+    rows_only = set(qs) - set(os_)
+    assert rows_only <= {"cdc_replay_state"}, f"unexpected rows-only: {rows_only}"
+
+
+def test_sample_queries_run_sf0001(spark, sf_dir):
+    qs = E.queries()
+    for name in ("q1_pricing_summary", "dedup_exact_groups", "ann_bruteforce_topk",
+                 "j3_lww_latest_state", "mm_binary_metadata"):
+        df = qs[name](spark, sf_dir)
+        assert df.count() > 0, name
