@@ -7,57 +7,73 @@ last-writer-wins by commit LSN within a ``(repo, path)`` key, with
 insert/update/delete ops — set-at-a-time instead of the reference's
 row-at-a-time client loop (``postgres_base.py:266-288``).
 
-Pipeline per epoch (exactly ONE wide shuffle feeds the Python boundary):
+Pipeline per epoch — exactly ONE shuffle carries `content`:
 
-1. validate      — malformed events -> quarantine (DLQ analog,
-                   /root/reference/docs/architecture/high_level_data_flow.md:40)
-2. compact       — two-stage SALTED aggregation: stage 1 groups by
-                   (repo, path, salt) where salt = pmod(xxhash64(lsn), S) —
-                   deterministic (derived from lsn, never rand()) so replay
-                   is stable; stage 2 reduces the <=S partial winners per key.
-                   This is the explicit hot-key split the north rule demands:
-                   the hot repo's 50% event share is spread over S
-                   subpartitions before any single reducer sees it.
-3. bucket merge  — winners + current base rows of TOUCHED buckets only are
-                   hash-repartitioned on bucket and merged per bucket by a
-                   vectorized ``applyInPandas`` (Arrow batches; no per-row
-                   Python). Tombstones are kept so any late lower-lsn event
-                   is a no-op forever (LWW is commutative + idempotent).
+1. validate       — malformed events -> quarantine (DLQ analog,
+                    /root/reference/docs/architecture/high_level_data_flow.md:40)
+2. lake-shape     — MAP-SIDE ONLY: cast to the epoch's schema version, null
+                    the payload of tombstones, compute sha2(content, 256),
+                    derive bucket = pmod(xxhash64(repo, path), P). No shuffle.
+3. skew split     — events of HOT repos (share > HOT_REPO_SHARE of the epoch,
+                    from the key-stats probe) are pre-compacted by a SALTED
+                    two-stage aggregation: stage 1 groups by
+                    (repo, path, salt) where salt = pmod(xxhash64(lsn), S) —
+                    deterministic (derived from lsn, never rand()) so replay
+                    is stable; stage 2 reduces the <=S partial winners. A
+                    high-churn key (10^6 updates of one path) is spread over
+                    S subpartitions before any single reducer sees it, and
+                    only the <=S winners reach the bucket shuffle. Cold-repo
+                    events skip this and flow raw — Spark's map-side partial
+                    aggregation cannot help a grouped-map, so pre-compaction
+                    is engaged exactly where event-count skew exists.
+4. bucket merge   — base rows of TOUCHED buckets + delta rows are
+                    hash-shuffled on bucket and merged per bucket by a
+                    vectorized ``applyInArrow`` grouped map (columnar Arrow
+                    batches end-to-end; no per-row Python, and no Python
+                    string materialization — `content` stays an Arrow
+                    buffer). Tombstones are kept so any late lower-lsn event
+                    is a no-op forever (LWW is commutative + idempotent).
 
-Because compaction leaves at most one row per key and bucket =
-pmod(xxhash64(repo,path), P), per-bucket work is bounded by distinct keys —
-event skew cannot re-emerge after stage 2.
+Because bucket = pmod(xxhash64(repo, path), P), per-bucket work is bounded by
+distinct keys, not by event counts — repo-level skew cannot re-emerge after
+step 3.
 """
 
 from __future__ import annotations
 
-import time
-
-import pandas as pd
-from pyspark.sql import DataFrame
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..plans import schema_registry as reg
 
 VALID_OPS = ("insert", "update", "delete")
 
-#: stage-1 salt fan-out for hot keys (subpartitions per key-group)
+#: stage-1 salt fan-out for hot-repo pre-compaction (subpartitions per key)
 DEFAULT_SALT_BUCKETS = 16
 #: a repo is "hot" when it carries more than this share of the epoch's events
 HOT_REPO_SHARE = 0.10
 
 
-def split_valid_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Validation filter: diverts malformed events instead of failing the
-    batch (reference DLQ semantics). Returns (valid, quarantine)."""
-    is_valid = (
+def valid_predicate() -> Column:
+    return (
         F.col("op").isin(*VALID_OPS)
         & F.col("repo").isNotNull()
         & F.col("path").isNotNull()
         & F.col("lsn").isNotNull()
         & ((F.col("op") == "delete") | F.col("content").isNotNull())
     )
+
+
+def bucket_col(n_buckets: int) -> Column:
+    """Iceberg-style hidden partitioning: bucket(P, repo||path)."""
+    return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(n_buckets)).cast("int")
+
+
+def split_valid_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Validation filter: diverts malformed events instead of failing the
+    batch (reference DLQ semantics). Returns (valid, quarantine)."""
+    is_valid = valid_predicate()
     valid = events.where(is_valid)
     quarantine = events.where(~F.coalesce(is_valid, F.lit(False))).select(
         F.to_json(F.struct(*events.columns)).alias("event_json"),
@@ -70,86 +86,156 @@ def split_valid_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, quarantine
 
 
-def hot_repo_stats(valid: DataFrame) -> tuple[int, int]:
-    """(n_events, n_hot_repos) — cheap pre-aggregated skew probe, the analog
-    of the reference's per-date doc counts that decide work sharding
-    (/root/reference/src/clients/mongo/producer_repository.py:58-74)."""
-    rows = valid.groupBy("repo").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    total = sum(r["cnt"] for r in rows)
-    hot = sum(1 for r in rows if total > 0 and r["cnt"] / total > HOT_REPO_SHARE)
-    return total, hot
+def epoch_probe(events: DataFrame, n_buckets: int) -> DataFrame:
+    """Column-pruned statistics pass — the epoch's planning probe (the
+    analog of the reference's per-date doc counts that decide work sharding,
+    /root/reference/src/clients/mongo/producer_repository.py:58-74).
 
-
-def compact_lww(
-    valid: DataFrame, target_version: int, n_buckets: int, salt_buckets: int = DEFAULT_SALT_BUCKETS
-) -> DataFrame:
-    """Within-batch LWW compaction -> exactly one winner row per key, shaped
-    like the lake schema (tombstone rows for deletes), with `bucket`.
-
-    Two-stage salted reduce: the salt is pmod(xxhash64(lsn), S) so identical
-    input always salts identically (replay-stable, unlike rand()).
+    ONE narrow aggregation job (keys + counters only, content never
+    shuffled) over GROUPING SETS ((bucket), (repo)) yields everything the
+    planner needs: per-bucket delta sizes + lsn ranges (lineage, touched
+    set, totals) AND per-repo valid counts (the hot-repo skew probe).
+    Disambiguate rows by which of bucket/repo is non-null.
     """
-    payload_cols = [n for n, _ in reg.payload_fields(target_version)]
-    ranked = F.struct(F.col("lsn"), F.col("event_id"))  # total order (ties impossible: lsn unique; event_id for safety)
-    w = F.struct(
-        F.col("lsn"), F.col("event_id"), F.col("op"), *[F.col(c) for c in payload_cols]
-    ).alias("w")
+    is_valid = valid_predicate()
+    return (
+        events.select(
+            bucket_col(n_buckets).alias("bucket"),
+            "repo",
+            is_valid.alias("_ok"),
+            F.col("lsn"),
+        )
+        .groupingSets([["bucket"], ["repo"]], "bucket", "repo")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("_ok")).alias("n_valid"),
+            F.min(F.when(F.col("_ok"), F.col("lsn"))).alias("lo"),
+            F.max(F.when(F.col("_ok"), F.col("lsn"))).alias("hi"),
+        )
+    )
 
-    stage1 = (
-        valid.withColumn("_salt", F.pmod(F.xxhash64(F.col("lsn")), F.lit(salt_buckets)).cast("int"))
-        .groupBy("repo", "path", "_salt")
-        .agg(F.max_by(w, ranked).alias("w"))
-    )
-    stage2 = stage1.groupBy("repo", "path").agg(
-        F.max_by(F.col("w"), F.struct(F.col("w.lsn"), F.col("w.event_id"))).alias("w")
-    )
-    winners = stage2.select(
-        "repo",
-        "path",
-        *[F.col(f"w.{c}").alias(c) for c in payload_cols],
-        F.when(F.col("w.op") == "delete", F.lit(None).cast("string"))
-        .otherwise(F.sha2(F.col("w.content"), 256))
+
+def events_to_lake_shape(
+    valid: DataFrame, target_version: int, n_buckets: int
+) -> DataFrame:
+    """MAP-SIDE transform of valid events into lake-row shape (one row per
+    event, uncompacted): tombstone payloads nulled, content_sha256 computed
+    once at ingest (the per-row invariant column), bucket derived."""
+    is_del = F.col("op") == "delete"
+    cols = [F.col("repo"), F.col("path")]
+    for name, dtype in reg.payload_fields(target_version):
+        src = F.col(name).cast(dtype) if name != "content" else F.col(name)
+        cols.append(F.when(is_del, F.lit(None).cast(dtype)).otherwise(src).alias(name))
+    cols += [
+        F.when(is_del, F.lit(None).cast("string"))
+        .otherwise(F.sha2(F.col("content"), 256))
         .alias("content_sha256"),
-        F.col("w.lsn").alias("lsn"),
-        (F.col("w.op") == "delete").alias("is_deleted"),
-    )
-    return winners.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(n_buckets)).cast("int")
+        F.col("lsn"),
+        is_del.alias("is_deleted"),
+        bucket_col(n_buckets).alias("bucket"),
+    ]
+    return valid.select(*cols)
+
+
+def salted_winner_keys(
+    delta: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS
+) -> DataFrame:
+    """SALTED two-stage reduce of delta events -> the winning lsn per key,
+    as a SLIM (repo, path, lsn, bucket) frame. Stage 1 spreads each key's
+    events over `salt_buckets` deterministic subpartitions (salt from lsn,
+    replay-stable — never rand()); stage 2 reduces the <=S partial maxima.
+    A high-churn key (10^6 updates of one path) is therefore cut to <=S rows
+    before any single reducer sees it — the explicit skew split.
+
+    Payload (`content`) NEVER enters an aggregate or a shuffle here: winner
+    selection runs on keys + a numeric max, a packed whole-stage-codegen
+    hash agg. (Pushing 2 KB payload structs through max_by() forces
+    ObjectHashAggregate into its sort-based fallback and dominated the epoch
+    by 10x in measurement.)"""
+    return (
+        delta.select("repo", "path", "lsn", "bucket")
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("lsn")), F.lit(salt_buckets)).cast("int")
+        )
+        .groupBy("repo", "path", "_salt")
+        .agg(F.max("lsn").alias("lsn"), F.first("bucket").alias("bucket"))
+        .groupBy("repo", "path")
+        .agg(F.max("lsn").alias("lsn"), F.first("bucket").alias("bucket"))
     )
 
 
-def merged_schema(target_version: int) -> T.StructType:
-    """applyInPandas output: the lake schema + per-group merge timing."""
-    return T.StructType(
-        list(reg.lake_schema(target_version).fields)
-        + [T.StructField("_merge_ms", T.DoubleType(), True)]
+def _lww_reduce_fn(tbl: pa.Table) -> pa.Table:
+    """Per-bucket LWW reducer (vectorized Arrow grouped map): the winner of
+    each (repo, path) is its max-lsn row. Operates on SLIM columns only —
+    key + lsn — so the JVM<->Python Arrow crossing is a few MB per epoch
+    regardless of payload width. `use_threads=False` keeps group order
+    deterministic."""
+    g = tbl.group_by(["repo", "path"], use_threads=False).aggregate([("lsn", "max")])
+    return pa.table(
+        {"repo": g.column("repo"), "path": g.column("path"), "lsn": g.column("lsn_max")}
     )
 
 
-def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-bucket merge (runs vectorized over an Arrow batch): base rows and
-    delta winners are both unique per key, so per key there are <=2 rows and
-    max-lsn wins. Equivalent to pandas sort + keep-last dedup."""
-    t0 = time.perf_counter()
-    out = pdf.sort_values("lsn", kind="mergesort").drop_duplicates(
-        subset=["repo", "path"], keep="last"
-    )
-    out = out.copy()
-    out["_merge_ms"] = round((time.perf_counter() - t0) * 1000.0, 3)
-    return out
+WINNER_SCHEMA = "repo string, path string, lsn long"
 
 
 def merge_into_base(
-    delta: DataFrame, base: DataFrame, target_version: int
+    delta: DataFrame,
+    base: DataFrame,
+    target_version: int,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
-    """MERGE delta winners into current base rows (both lake-shaped,
-    tombstones included). One hash shuffle on `bucket`, then the grouped-map
-    merge. Output carries `_merge_ms` (dropped before the data write, kept
-    for lineage)."""
+    """MERGE delta events into current base rows (both lake-shaped,
+    tombstones included). Returns the new content of the touched buckets,
+    clustered by bucket for the copy-on-write rewrite.
+
+    Scale shape (the properties that survive a 100 TB table):
+
+    - `content` is shuffled exactly ONCE (the final clustering repartition
+      of contested rows), and only for rows whose key was touched this
+      epoch — never for the table at large.
+    - Base rows whose key has no event this epoch (`base_miss`) take a pure
+      JVM map-side bypass (broadcast anti join) straight to the writer: no
+      shuffle, no Python.
+    - The Python boundary (the applyInArrow LWW reducer) sees only
+      (repo, path, lsn) — its Arrow traffic is proportional to the EPOCH'S
+      key count, not to payload size or table size.
+    - `hint_broadcast` guards the build side: the driver enables it when the
+      epoch's valid-event count is small enough to broadcast (bounded by
+      `events_per_epoch` backpressure); otherwise Catalyst/AQE picks a
+      shuffle join and everything above still holds except the bypass joins
+      shuffle slim/full rows by key.
+    """
     template = reg.lake_schema(target_version)
     base_c = reg.cast_to_version(base, target_version, template)
     delta_c = reg.cast_to_version(delta, target_version, template)
-    unioned = base_c.unionByName(delta_c)
-    return unioned.groupBy("bucket").applyInPandas(
-        _merge_bucket, schema=merged_schema(target_version)
+
+    def hinted(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if hint_broadcast else df
+
+    # 1. slim delta winners (salted skew-split reduce; 1 row/key)
+    dwin = salted_winner_keys(delta_c, salt_buckets)
+
+    # 2. split base on the delta key set: contested vs untouched
+    dkeys = dwin.select("repo", "path")
+    base_hit = base_c.join(hinted(dkeys), ["repo", "path"], "left_semi")
+    base_miss = base_c.join(hinted(dkeys), ["repo", "path"], "left_anti")
+
+    # 3. THE MERGE: per-bucket Arrow LWW reduce over slim contested rows
+    contested_slim = base_hit.select("repo", "path", "lsn", "bucket").unionByName(
+        dwin
     )
+    winners = contested_slim.groupBy("bucket").applyInArrow(
+        _lww_reduce_fn, schema=WINNER_SCHEMA
+    )
+
+    # 4. materialize winner payload rows map-side; lsn is globally unique so
+    # (repo, path, lsn) plucks exactly one row per key
+    full_pool = base_hit.unionByName(delta_c)
+    contested_merged = full_pool.join(
+        hinted(winners), ["repo", "path", "lsn"], "left_semi"
+    ).repartition("bucket")
+
+    return contested_merged.unionByName(base_miss)

@@ -20,7 +20,9 @@ and any re-delivery is skipped by the fence. That is exactly-once.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import sys
 import time
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
@@ -28,7 +30,6 @@ from datetime import datetime, timezone
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.storagelevel import StorageLevel
 
 from ..operators import merge as M
 from ..plans import schema_registry as reg
@@ -58,6 +59,47 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("n_hot_keys_split", T.IntegerType()),
     ]
 )
+
+_TIMING = os.environ.get("CDC_TIMING") == "1"
+
+#: epochs with at most this many valid events broadcast their slim delta-key
+#: and winner frames in the merge joins (~100 B/key -> a few hundred MB at
+#: the cap); larger epochs use shuffle joins
+BROADCAST_KEYS_MAX = 4_000_000
+
+
+def _write_sidecar(dir_path: str, columns: dict, schema: T.StructType) -> None:
+    """Driver-side parquet write for tiny sidecar tables (lineage: one row
+    per touched bucket; metrics: one row). pyarrow directly — spinning up a
+    one-task Spark job per sidecar costs more than the data. The directory
+    stays `spark.read.parquet`-compatible and the write is idempotent
+    (full-file overwrite) for crash-retry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _PA = {
+        T.LongType(): pa.int64(),
+        T.IntegerType(): pa.int32(),
+        T.DoubleType(): pa.float64(),
+        T.StringType(): pa.string(),
+    }
+    pa_schema = pa.schema([(f.name, _PA[f.dataType]) for f in schema.fields])
+    os.makedirs(dir_path, exist_ok=True)
+    pq.write_table(
+        pa.table(columns, schema=pa_schema), os.path.join(dir_path, "part-00000.parquet")
+    )
+
+
+@contextlib.contextmanager
+def _timed(label: str):
+    """Stage timing for perf work; enable with CDC_TIMING=1 (stderr)."""
+    if not _TIMING:
+        yield
+        return
+    t0 = time.perf_counter()
+    yield
+    sys.stderr.write(f"[cdc-timing] {label}: {time.perf_counter() - t0:.3f}s\n")
+
 
 QUARANTINE_SCHEMA = T.StructType(
     [
@@ -146,7 +188,21 @@ def apply_epoch(
     salt_buckets: int = M.DEFAULT_SALT_BUCKETS,
 ) -> EpochResult:
     """Apply one epoch's events to the lake. Idempotent: a committed epoch is
-    skipped before any work (the exactly-once fence)."""
+    skipped before any work (the exactly-once fence).
+
+    Job structure (exactly one content-bearing shuffle, see operators/merge.py):
+      1. stats probe   — narrow per-key aggregation (content never shuffled);
+                         yields totals, lsn range, per-bucket delta counts for
+                         lineage, touched buckets, and the hot-repo list.
+      2. merge + write — base(touched) ∪ lake-shaped delta, hot repos
+                         pre-compacted via the salted two-stage path, one
+                         bucket shuffle into the applyInArrow reducer,
+                         copy-on-write parquet per touched bucket.
+      3. lineage       — per-bucket digests computed from the FILES JUST
+                         WRITTEN (column-pruned re-read; digests attest the
+                         committed bytes, not a pre-write plan).
+      4. sidecars + manifest rename (the atomic commit point).
+    """
     if lake.has_epoch(epoch):
         m = lake.manifest(epoch)
         return EpochResult(
@@ -156,53 +212,62 @@ def apply_epoch(
     ver = max(active_version, log.max_schema_version(seq_lo, seq_hi))
 
     events = log.read_range(spark, seq_lo, seq_hi, ver)
-    events.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        n_total = events.count()
-        valid, quarantine = M.split_valid_quarantine(events)
 
-        # one aggregation pass gives epoch stats + the skew probe
-        repo_stats = valid.groupBy("repo").agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min("lsn").alias("lo"),
-            F.max("lsn").alias("hi"),
-        ).collect()
-        n_valid = sum(r["cnt"] for r in repo_stats)
-        n_hot = sum(
-            1 for r in repo_stats if n_valid and r["cnt"] / n_valid > M.HOT_REPO_SHARE
+    # ---- 1. stats probe: ONE narrow aggregation job. The hot-repo filter
+    # runs BEFORE collect with a threshold derived from the epoch's offset
+    # range (known upfront) — scale-safe: only repos above the cut reach the
+    # driver, never the full repo census.
+    hot_cut = max(1, int((seq_hi - seq_lo) * M.HOT_REPO_SHARE))
+    probe = M.epoch_probe(events, lake.n_buckets).where(
+        (F.col("gid") == 1) | (F.col("n_valid") > hot_cut)
+    )
+    with _timed(f"e{epoch} stats-probe"):
+        probe_rows = probe.collect()
+    bucket_rows = [r for r in probe_rows if r["gid"] == 1]
+    hot_repos = [
+        r["repo"] for r in probe_rows if r["gid"] == 2 and r["repo"] is not None
+    ]
+    n_total = sum(r["n"] for r in bucket_rows)
+    n_valid = sum(r["n_valid"] for r in bucket_rows)
+    n_quar = n_total - n_valid
+    lsn_lo = min((r["lo"] for r in bucket_rows if r["lo"] is not None), default=None)
+    lsn_hi = max((r["hi"] for r in bucket_rows if r["hi"] is not None), default=None)
+    touched = sorted(r["bucket"] for r in bucket_rows if r["n_valid"] > 0)
+    n_hot = len(hot_repos)
+
+    valid, quarantine = M.split_valid_quarantine(events)
+    prev_manifest = lake.current_manifest()
+    epoch_dir = lake.epoch_data_dir(epoch)
+
+    if touched:
+        # ---- 2. merge + write: the one content-bearing shuffle. Broadcast
+        # the slim delta-key/winner frames only when the epoch is small
+        # enough (backpressure via events_per_epoch keeps it so); huge
+        # epochs fall back to Catalyst-planned shuffle joins.
+        delta = M.events_to_lake_shape(valid, ver, lake.n_buckets)
+        base = lake.read_buckets(spark, touched, ver, manifest=prev_manifest)
+        merged = M.merge_into_base(
+            delta, base, ver, salt_buckets,
+            hint_broadcast=n_valid <= BROADCAST_KEYS_MAX,
         )
-        lsn_lo = min((r["lo"] for r in repo_stats), default=None)
-        lsn_hi = max((r["hi"] for r in repo_stats), default=None)
-        n_quar = n_total - n_valid
-
-        delta = M.compact_lww(valid, ver, lake.n_buckets, salt_buckets)
-        delta.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            touched = sorted(
-                r["bucket"] for r in delta.select("bucket").distinct().collect()
+        with _timed(f"e{epoch} merge+write"):
+            (
+                merged.withColumn("bucket_p", F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bucket_p")
+                .parquet(epoch_dir)
             )
-            prev_manifest = lake.current_manifest()
-            base = lake.read_buckets(spark, touched, ver, manifest=prev_manifest)
-            merged = M.merge_into_base(delta, base, ver)
-            merged.persist(StorageLevel.MEMORY_AND_DISK)
-            try:
-                # ---- data write (copy-on-write: touched buckets only)
-                epoch_dir = lake.epoch_data_dir(epoch)
-                (
-                    merged.drop("_merge_ms")
-                    .withColumn("bucket_p", F.col("bucket"))
-                    .write.mode("overwrite")
-                    .partitionBy("bucket_p")
-                    .parquet(epoch_dir)
-                )
+        merge_ms = round((time.perf_counter() - t0) * 1000.0, 3)
 
-                # ---- lineage: per-bucket digests of what is now in the bucket,
-                # plus per-bucket event counts/lsn ranges of what was applied.
-                # Digest is ORDER-INSENSITIVE (sum of row hashes) so it is
-                # invariant to partitioning/parallelism.
-                # bit_xor is commutative + associative and cannot overflow
-                # under ANSI mode, so the digest is partitioning-invariant
-                state_side = merged.groupBy("bucket").agg(
+        # ---- 3. lineage from the committed files (column-pruned re-read;
+        # content is never decoded). Digest is ORDER-INSENSITIVE (bit_xor of
+        # row hashes is commutative/associative) -> invariant to
+        # partitioning/parallelism.
+        with _timed(f"e{epoch} lineage-digest"):
+            digest_rows = (
+                spark.read.parquet(epoch_dir)
+                .groupBy(F.col("bucket").alias("b"))
+                .agg(
                     F.sha2(
                         F.concat_ws(
                             "|",
@@ -216,108 +281,97 @@ def apply_epoch(
                             ),
                         ),
                         256,
-                    ).alias("digest"),
-                    F.max("_merge_ms").alias("duration_ms"),
+                    ).alias("digest")
                 )
-                delta_side = delta.groupBy("bucket").agg(
-                    F.count(F.lit(1)).alias("n_events"),
-                    F.min("lsn").alias("lsn_lo"),
-                    F.max("lsn").alias("lsn_hi"),
-                )
-                lineage = (
-                    state_side.join(delta_side, "bucket", "left")
-                    .select(
-                        F.lit(epoch).cast("long").alias("epoch"),
-                        F.col("bucket").cast("int").alias("partition_id"),
-                        F.lit(salt_buckets).cast("int").alias("salt"),
-                        F.col("lsn_lo").cast("long"),
-                        F.col("lsn_hi").cast("long"),
-                        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
-                        "digest",
-                        "duration_ms",
-                    )
-                )
-                lineage.coalesce(1).write.mode("overwrite").parquet(
-                    lake.sidecar_dir("_lineage", epoch)
-                )
+                .collect()
+            )
+        digests = {r["b"]: r["digest"] for r in digest_rows}
+        live = [r for r in bucket_rows if r["n_valid"] > 0]
+        _write_sidecar(
+            lake.sidecar_dir("_lineage", epoch),
+            {
+                "epoch": [epoch] * len(live),
+                "partition_id": [int(r["bucket"]) for r in live],
+                "salt": [salt_buckets] * len(live),
+                "lsn_lo": [r["lo"] for r in live],
+                "lsn_hi": [r["hi"] for r in live],
+                "n_events": [int(r["n_valid"]) for r in live],
+                "digest": [digests.get(r["bucket"]) for r in live],
+                "duration_ms": [merge_ms] * len(live),
+            },
+            LINEAGE_SCHEMA,
+        )
 
-                if n_quar > 0:
-                    quarantine.select(
-                        F.lit(epoch).cast("long").alias("epoch"), "event_json", "error"
-                    ).coalesce(1).write.mode("overwrite").parquet(
-                        lake.sidecar_dir("_quarantine", epoch)
-                    )
+    if n_quar > 0:
+        quarantine.select(
+            F.lit(epoch).cast("long").alias("epoch"), "event_json", "error"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            lake.sidecar_dir("_quarantine", epoch)
+        )
 
-                wall = time.perf_counter() - t0
-                metrics_row = [
-                    (
-                        epoch,
-                        n_valid,
-                        n_quar,
-                        (n_valid / wall) if wall > 0 else 0.0,
-                        len(touched),
-                        n_hot,
-                    )
-                ]
-                spark.createDataFrame(metrics_row, METRICS_SCHEMA).coalesce(
-                    1
-                ).write.mode("overwrite").parquet(lake.sidecar_dir("_metrics", epoch))
+    wall = time.perf_counter() - t0
+    _write_sidecar(
+        lake.sidecar_dir("_metrics", epoch),
+        {
+            "epoch": [epoch],
+            "events_applied_total": [n_valid],
+            "events_quarantined_total": [n_quar],
+            "events_per_sec": [(n_valid / wall) if wall > 0 else 0.0],
+            "n_partitions": [len(touched)],
+            "n_hot_keys_split": [n_hot],
+        },
+        METRICS_SCHEMA,
+    )
 
-                # ---- manifest: carry untouched buckets forward, swap touched
-                new_files = lake.list_epoch_files(epoch)
-                buckets: dict[str, list[dict]] = {}
-                if prev_manifest:
-                    for b, entries in prev_manifest["buckets"].items():
-                        if int(b) not in touched:
-                            buckets[b] = entries
-                for b, entries in new_files.items():
-                    for e in entries:
-                        e["schema_version"] = ver
-                    buckets[str(b)] = entries
+    # ---- 4. manifest: carry untouched buckets forward, swap touched
+    new_files = lake.list_epoch_files(epoch) if touched else {}
+    buckets: dict[str, list[dict]] = {}
+    if prev_manifest:
+        for b, entries in prev_manifest["buckets"].items():
+            if int(b) not in touched:
+                buckets[b] = entries
+    for b, entries in new_files.items():
+        for e in entries:
+            e["schema_version"] = ver
+        buckets[str(b)] = entries
 
-                prev_lo = prev_manifest.get("lsn_lo") if prev_manifest else None
-                prev_hi = prev_manifest.get("lsn_hi") if prev_manifest else None
-                manifest = {
-                    "epoch": epoch,
-                    "seq_lo": seq_lo,
-                    "seq_hi": seq_hi,
-                    "lsn_lo": min(x for x in (prev_lo, lsn_lo) if x is not None)
-                    if (prev_lo is not None or lsn_lo is not None)
-                    else None,
-                    "lsn_hi": max(x for x in (prev_hi, lsn_hi) if x is not None)
-                    if (prev_hi is not None or lsn_hi is not None)
-                    else None,
-                    "schema_version": ver,
-                    "n_buckets": lake.n_buckets,
-                    "committed_at": datetime.now(timezone.utc).isoformat(),
-                    "counts": {
-                        "events_applied": n_valid,
-                        "events_quarantined": n_quar,
-                        "buckets_touched": len(touched),
-                        "hot_repos_split": n_hot,
-                    },
-                    "buckets": buckets,
-                }
-                committed = lake.commit(manifest)
-                wall = time.perf_counter() - t0
-                return EpochResult(
-                    epoch,
-                    seq_lo,
-                    seq_hi,
-                    skipped=not committed,
-                    n_events=n_valid,
-                    n_quarantined=n_quar,
-                    n_buckets_touched=len(touched),
-                    n_hot_repos=n_hot,
-                    schema_version=ver,
-                    wall_sec=wall,
-                )
-            finally:
-                merged.unpersist()
-        finally:
-            delta.unpersist()
-    finally:
-        events.unpersist()
+    prev_lo = prev_manifest.get("lsn_lo") if prev_manifest else None
+    prev_hi = prev_manifest.get("lsn_hi") if prev_manifest else None
+    manifest = {
+        "epoch": epoch,
+        "seq_lo": seq_lo,
+        "seq_hi": seq_hi,
+        "lsn_lo": min(x for x in (prev_lo, lsn_lo) if x is not None)
+        if (prev_lo is not None or lsn_lo is not None)
+        else None,
+        "lsn_hi": max(x for x in (prev_hi, lsn_hi) if x is not None)
+        if (prev_hi is not None or lsn_hi is not None)
+        else None,
+        "schema_version": ver,
+        "n_buckets": lake.n_buckets,
+        "committed_at": datetime.now(timezone.utc).isoformat(),
+        "counts": {
+            "events_applied": n_valid,
+            "events_quarantined": n_quar,
+            "buckets_touched": len(touched),
+            "hot_repos_split": n_hot,
+        },
+        "buckets": buckets,
+    }
+    committed = lake.commit(manifest)
+    wall = time.perf_counter() - t0
+    return EpochResult(
+        epoch,
+        seq_lo,
+        seq_hi,
+        skipped=not committed,
+        n_events=n_valid,
+        n_quarantined=n_quar,
+        n_buckets_touched=len(touched),
+        n_hot_repos=n_hot,
+        schema_version=ver,
+        wall_sec=wall,
+    )
 
 
 def replay(

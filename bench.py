@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + CDC replay throughput.
+
+Runs every `__spark_entry__.queries()` entry at `$SPARK_GRAFT_SF_DIR`
+(default /root/testdata/sf0.1) on `local[$SPARK_GRAFT_CPUS]`, then replays a
+deterministic synthetic CDC stream through the live engine, and prints ONE
+JSON line:
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "cdc": {...}}
+
+Each query is materialized with a `noop`-format write so we measure the full
+plan execution (scan -> shuffle -> agg) without driver-collect overhead.
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local core count (default 32)
+    BENCH_CDC_EVENTS     CDC replay stream size (default 1_000_000)
+    BENCH_CDC_EPOCHS     CDC replay epoch count (default 4)
+    BENCH_SKIP_CDC       "1" to skip the replay section
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# the live-engine entry builds its own stream; benched separately below
+SKIP = {"cdc_replay_state"}
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name, fn in qs.items():
+        if name in SKIP:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
+    from bbc_news_etl_pipeline_spark.fixtures.generator import build_stream
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    # cache the generated log across runs (generation is driver-side pandas
+    # and deterministic; replay throughput is what we measure)
+    cache = os.path.join(
+        tempfile.gettempdir(), f"cdc_bench_log_{n_events}_{n_epochs}_v1"
+    )
+    if not os.path.exists(os.path.join(cache, "_segments.json")):
+        shutil.rmtree(cache, ignore_errors=True)
+        build_stream(n_events, n_epochs, cache)
+    lake_root = tempfile.mkdtemp(prefix="cdc_bench_lake_")
+    try:
+        res = replay(spark, cache, lake_root, n_buckets=64)
+        n_live = LakeTable(lake_root, n_buckets=64).read_state(spark).count()
+        return {
+            "events": res.events_applied,
+            "epochs": len(res.epochs),
+            "wall_sec": round(res.wall_sec, 3),
+            "events_per_sec": round(res.events_per_sec, 1),
+            "live_rows": n_live,
+        }
+    finally:
+        shutil.rmtree(lake_root, ignore_errors=True)
+
+
+def main() -> None:
+    from bbc_news_etl_pipeline_spark.session import build_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(app_name="bench", master=f"local[{cpus}]")
+
+    queries = bench_queries(spark, sf_dir)
+
+    cdc = None
+    if os.environ.get("BENCH_SKIP_CDC") != "1":
+        cdc = bench_cdc(
+            spark,
+            int(os.environ.get("BENCH_CDC_EVENTS", "1000000")),
+            int(os.environ.get("BENCH_CDC_EPOCHS", "4")),
+        )
+
+    total = round(sum(queries.values()) + (cdc["wall_sec"] if cdc else 0.0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_of(sf_dir),
+                "cdc": cdc,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -74,7 +74,19 @@ def main() -> None:
     )
     lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
     R.write_checkpoint_table(spark, lake)
-    n_live = lake.read_state(spark).count()
+    from pyspark.sql import functions as F
+
+    state = lake.read_state(spark)
+    agg = state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(
+            F.xxhash64("repo", "path", "lsn", F.coalesce("content_sha256", F.lit("")))
+        ).alias("x"),
+    ).first()
+    n_live = agg["n"]
+    # order/partitioning-insensitive digest: identical final state at any
+    # parallelism level must print the identical value
+    state_digest = f"{agg['n']}:{agg['x']}"
     print(
         json.dumps(
             {
@@ -84,6 +96,7 @@ def main() -> None:
                 "wall_sec": round(res.wall_sec, 3),
                 "events_per_sec": round(res.events_per_sec, 1),
                 "live_rows": n_live,
+                "state_digest": state_digest,
                 "schema_version": lake.resume_point()[2],
             }
         )
