@@ -81,6 +81,28 @@ def _make_keys(spec: StreamSpec) -> pd.DataFrame:
     return pd.DataFrame({"key_id": key_id, "repo": repo, "path": path, "lang": lang})
 
 
+#: events per payload-generation chunk (process-pool work unit)
+_PAYLOAD_CHUNK = 250_000
+
+
+def _payload_chunk(args) -> tuple:
+    """(content[], commit[]) for a slice — pure per-row derivation."""
+    repos, paths, lsns, is_del = args
+    n = len(repos)
+    content = np.empty(n, dtype=object)
+    commit = np.empty(n, dtype=object)
+    for i in range(n):
+        if is_del[i]:
+            content[i] = None
+            commit[i] = None
+        else:
+            content[i] = _content_for(repos[i], paths[i], int(lsns[i]))
+            commit[i] = hashlib.sha1(
+                f"{repos[i]}|{paths[i]}|{lsns[i]}".encode()
+            ).hexdigest()
+    return content, commit
+
+
 def _content_for(repo: str, path: str, lsn: int) -> str:
     h = hashlib.sha256(f"{repo}|{path}|{lsn}".encode()).hexdigest()
     base = _SNIPPET.format(h8=h[:8], m=int(h[8:12], 16), a=int(h[12:16], 16), hex=h)
@@ -136,20 +158,26 @@ def generate_events(spec: StreamSpec) -> pd.DataFrame:
     df["schema_version"] = sv.astype(np.int32)
 
     # --- payload (NULL for deletes, like the reference's delete-has-no-body)
+    # content/commit are pure functions of (repo, path, lsn), so the loop
+    # parallelizes across processes without touching determinism; single
+    # chunk stays in-process (test-sized streams skip the pool entirely)
     is_del = df["op"].to_numpy() == "delete"
-    content = np.empty(e, dtype=object)
-    commit = np.empty(e, dtype=object)
     repos = df["repo"].to_numpy()
     paths = df["path"].to_numpy()
-    for i in range(e):
-        if is_del[i]:
-            content[i] = None
-            commit[i] = None
-        else:
-            content[i] = _content_for(repos[i], paths[i], int(lsn[i]))
-            commit[i] = hashlib.sha1(
-                f"{repos[i]}|{paths[i]}|{lsn[i]}".encode()
-            ).hexdigest()
+    chunks = [
+        (repos[lo : lo + _PAYLOAD_CHUNK], paths[lo : lo + _PAYLOAD_CHUNK],
+         lsn[lo : lo + _PAYLOAD_CHUNK], is_del[lo : lo + _PAYLOAD_CHUNK])
+        for lo in range(0, e, _PAYLOAD_CHUNK)
+    ]
+    if len(chunks) <= 1:
+        parts = [_payload_chunk(c) for c in chunks]
+    else:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(min(len(chunks), os.cpu_count() or 8)) as ex:
+            parts = list(ex.map(_payload_chunk, chunks))
+    content = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, object)
+    commit = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, object)
     df["commit"] = commit
     df["content"] = content
     df.loc[is_del, "lang"] = None
@@ -214,10 +242,22 @@ def write_event_log(df: pd.DataFrame, out_dir: str) -> list[dict]:
         out["lsn"] = out["lsn"].astype("int64")
         fname = f"segment-{int(ep):05d}.parquet"
         fpath = os.path.join(out_dir, fname)
+        # Each segment is a DIRECTORY of ~64k-row part files (~15 MB), not
+        # one monolithic file: Spark's scan parallelism is bounded by
+        # splittable units, and a single file with default-sized (1M-row,
+        # ~260 MB) row groups caps a 2M-event epoch at ~2 scan tasks no
+        # matter how many cores the cluster has. Many small parts = the
+        # shape a real binlog tailer produces anyway.
         # micros, not pandas' default nanos — Spark TimestampType is micros
-        out.to_parquet(
-            fpath, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
-        )
+        os.makedirs(fpath, exist_ok=True)
+        rows_per_part = 65536
+        for j, lo in enumerate(range(0, len(out), rows_per_part)):
+            out.iloc[lo : lo + rows_per_part].to_parquet(
+                os.path.join(fpath, f"part-{j:05d}.parquet"),
+                index=False,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
         segments.append(
             {
                 "file": fname,

@@ -29,6 +29,14 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h) — shingles as xxhash64 longs. Self-joins on an 8-byte key
+    shuffle/compare ~4x less than on the raw n-gram strings; collision odds
+    across a corpus's distinct shingles are ~|G|^2 / 2^64 (negligible), and a
+    collision only perturbs one |A∩B| count by 1."""
+    return _shingles(docs, n).select("doc_id", F.xxhash64("g").alias("h"))
+
+
 def exact_groups(docs: DataFrame) -> DataFrame:
     """Exact dedup via content hash: one row per distinct text with its
     duplicate count and canonical (min) doc_id."""
@@ -50,16 +58,17 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
     """All near-duplicate pairs by word-n-gram Jaccard >= threshold.
 
-    Exact (no approximation): |A∩B| via a self-equi-join on shingle, then
-    |A∪B| = |A|+|B|-|A∩B|. Quadratic in docs sharing a shingle — use the
-    LSH composition at scale.
+    Exact (no approximation): |A∩B| via a self-equi-join on hashed shingle,
+    then |A∪B| = |A|+|B|-|A∩B|. Quadratic in docs sharing a shingle — use
+    the LSH composition at scale. AQE's skew-join split handles stop-word
+    shingles that appear in a large share of the corpus.
     """
-    sh = _shingles(docs, n)
+    sh = _hashed_shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -128,13 +137,13 @@ def near_dup_pairs_lsh(
     """The scale path: LSH candidates -> exact Jaccard verify on candidates
     only. Same answer as `ngram_jaccard_pairs` up to LSH recall."""
     cand = minhash_lsh_candidates(docs, num_hashes, band_size, n)
-    sh = _shingles(docs, n)
+    sh = _hashed_shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
         cand.join(a, cand.doc_a == F.col("a.doc_id"))
-        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("a.g") == F.col("b.g")))
+        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("a.h") == F.col("b.h")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -176,28 +185,46 @@ def simhash_bits(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 def embedding_near_dup_pairs(embs: DataFrame, threshold: float = 0.45) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold (float64 math so the
-    DuckDB oracle agrees bit-for-bit after rounding). Brute-force all-pairs:
-    the test oracle; compose with label/LSH blocking at scale."""
-    withnorm = embs.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    DuckDB oracle agrees after 6-digit rounding). Brute-force all-pairs as a
+    BLOCKED MATRIX PRODUCT: the right side (normalized matrix) is a Spark
+    broadcast; each partition of the left side computes its rows x full
+    matrix with one vectorized numpy matmul inside `mapInPandas` — no
+    per-pair Catalyst lambda evaluation, no O(n^2) joined rows shuffled.
+    The brute-force form assumes the matrix fits an executor (fine for the
+    re-ranking/verification tier); at corpus scale, block first (labels /
+    LSH / IVF — see similarity.ivf_topk) and brute-force within blocks."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = embs.sparkSession
+    src = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    mat_rows = src.collect()  # the broadcast side (small tier), like any build side
+    ids = np.array([r["vec_id"] for r in mat_rows], dtype=np.int64)
+    m = np.array([r["v"] for r in mat_rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    b = spark.sparkContext.broadcast((ids, m))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    a = withnorm.alias("a")
-    b = withnorm.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+
+    def block(batches):
+        bid, bm = b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            av = np.array(list(pdf["v"]), dtype=np.float64)
+            av = av / np.linalg.norm(av, axis=1, keepdims=True)
+            aid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cos = np.round(av @ bm.T, 6)
+            ai, bi = np.nonzero((cos >= threshold) & (aid[:, None] < bid[None, :]))
+            yield pd.DataFrame(
+                {"vec_a": aid[ai], "vec_b": bid[bi], "cosine": cos[ai, bi]}
+            )
+
+    return src.mapInPandas(block, schema=out_schema)

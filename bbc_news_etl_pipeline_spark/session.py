@@ -46,6 +46,14 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # split scans finely enough that a few-hundred-MB epoch still fans
+        # out to every core of this single host; a real multi-node cluster
+        # at 100 TB would keep the 128m default (more data per task, less
+        # scheduling overhead) — override via SPARK_GRAFT_MAX_PARTITION_BYTES
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

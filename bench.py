@@ -67,7 +67,7 @@ def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
     # cache the generated log across runs (generation is driver-side pandas
     # and deterministic; replay throughput is what we measure)
     cache = os.path.join(
-        tempfile.gettempdir(), f"cdc_bench_log_{n_events}_{n_epochs}_v1"
+        tempfile.gettempdir(), f"cdc_bench_log_{n_events}_{n_epochs}_v2"
     )
     if not os.path.exists(os.path.join(cache, "_segments.json")):
         shutil.rmtree(cache, ignore_errors=True)

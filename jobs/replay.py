@@ -87,6 +87,27 @@ def main() -> None:
     # order/partitioning-insensitive digest: identical final state at any
     # parallelism level must print the identical value
     state_digest = f"{agg['n']}:{agg['x']}"
+
+    # executor time accounting (total task CPU/run seconds across all
+    # stages) — wall-clock on a noisy shared host swings 2-4x between
+    # identical runs, but total CPU work is stable, so the scaling report
+    # uses it to show work conservation across parallelism levels. Only
+    # available when the UI is on (spark.ui.enabled=true).
+    cpu_s = run_s = None
+    try:
+        import urllib.request
+
+        app_id = spark.sparkContext.applicationId
+        stages = json.load(
+            urllib.request.urlopen(
+                f"http://localhost:4040/api/v1/applications/{app_id}/stages?status=complete",
+                timeout=5,
+            )
+        )
+        cpu_s = round(sum((s.get("executorCpuTime") or 0) for s in stages) / 1e9, 1)
+        run_s = round(sum((s.get("executorRunTime") or 0) for s in stages) / 1e3, 1)
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -97,6 +118,8 @@ def main() -> None:
                 "events_per_sec": round(res.events_per_sec, 1),
                 "live_rows": n_live,
                 "state_digest": state_digest,
+                "executor_cpu_s": cpu_s,
+                "executor_run_s": run_s,
                 "schema_version": lake.resume_point()[2],
             }
         )

@@ -3,6 +3,8 @@ widen arriving mid-stream, resume across the boundary, historical reads."""
 
 from __future__ import annotations
 
+import glob
+
 import pyarrow.parquet as pq
 import pytest
 
@@ -33,8 +35,9 @@ def test_log_segments_physically_evolve(stream):
     no license, late segments int64 + license."""
     d, _, segs = stream
     assert {s["schema_version"] for s in segs} == {1, 2, 3}
-    first = pq.read_schema(f"{d}/{segs[0]['file']}")
-    last = pq.read_schema(f"{d}/{segs[-1]['file']}")
+    # segments are directories of part files (scan-parallelism layout)
+    first = pq.read_schema(sorted(glob.glob(f"{d}/{segs[0]['file']}/*.parquet"))[0])
+    last = pq.read_schema(sorted(glob.glob(f"{d}/{segs[-1]['file']}/*.parquet"))[0])
     assert str(first.field("size_bytes").type) == "int32"
     assert "license" not in first.names
     assert str(last.field("size_bytes").type) == "int64"
