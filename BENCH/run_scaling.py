@@ -74,6 +74,7 @@ def run_once(cores: int, log_dir: str, zpath: str, n_buckets: int) -> dict:
         ]
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cores)
+        env["SPARK_GRAFT_UI"] = "true"  # enables executor-time accounting
         out = subprocess.run(
             cmd, capture_output=True, text=True, env=env, timeout=3600
         )

@@ -24,15 +24,16 @@ def parse_relative_or_absolute_ts(col: Column, base_ts: Column) -> Column:
         .when(unit.startswith("sec"), n)
     )
     relative = F.to_timestamp(base_ts.cast("long") - seconds)
-    absolute = F.to_timestamp(col, "dd MMM yyyy")
+    absolute = F.try_to_timestamp(col, F.lit("dd MMM yyyy"))
     return F.coalesce(relative, absolute)
 
 
 def parse_iso_ts(col: Column) -> Column:
     """F2 — `_parse_date` (/root/reference/src/clients/postgres/postgres_base.py:293-326):
-    ISO-8601 with Z normalization; NULL on bad input (Spark's to_timestamp
-    already returns NULL on parse failure, matching the reference fallback)."""
-    return F.to_timestamp(F.regexp_replace(col, "Z$", "+00:00"))
+    ISO-8601 with Z normalization; NULL on bad input. Spark 4 runs ANSI
+    mode, where to_timestamp THROWS on a bad string — try_to_timestamp is
+    the NULL-on-failure variant that matches the reference's fallback."""
+    return F.try_to_timestamp(F.regexp_replace(col, "Z$", "+00:00"))
 
 
 def date_key(col: Column) -> Column:

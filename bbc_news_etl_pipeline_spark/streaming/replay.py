@@ -64,8 +64,10 @@ _TIMING = os.environ.get("CDC_TIMING") == "1"
 
 #: epochs with at most this many valid events broadcast their slim delta-key
 #: and winner frames in the merge joins (~100 B/key -> a few hundred MB at
-#: the cap); larger epochs use shuffle joins
-BROADCAST_KEYS_MAX = 4_000_000
+#: the cap); larger epochs use shuffle joins. Measured crossover: broadcast
+#: wins clearly up to ~2M-event epochs (serial broadcast build is small);
+#: at ~6M-event epochs the parallel shuffle join overtakes it.
+BROADCAST_KEYS_MAX = int(os.environ.get("CDC_BROADCAST_KEYS_MAX", "4000000"))
 
 
 def _write_sidecar(dir_path: str, columns: dict, schema: T.StructType) -> None:

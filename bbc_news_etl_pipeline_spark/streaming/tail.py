@@ -1,0 +1,174 @@
+"""Structured Streaming front-end: continuously tail the event log.
+
+`streaming/replay.py` is the explicit micro-batch loop (exact offset
+control, the north rule's replay surface). This module is the same merge
+core behind Spark's own streaming runtime: `readStream` over the log
+directory -> `foreachBatch` -> the epoch pipeline. It is how a production
+deployment would tail a LIVE log (new segments appearing while the job
+runs), with Spark managing triggers, file discovery, and checkpointing —
+the engine's manifest fence makes the sink idempotent, so Structured
+Streaming's at-least-once batch replay composes to exactly-once (the same
+guarantee chain as the reference: durable queue redelivery + idempotent
+`ON CONFLICT` sink, /root/reference/docs/faq.md:49-51 +
+/root/reference/src/clients/postgres/postgres_base.py:270).
+
+Offset mapping: Structured Streaming assigns `batch_id` (monotone); the
+lake's epoch fence is keyed by it. A crashed-and-restarted query re-runs
+the last uncommitted batch with the SAME batch_id -> the fence either
+skips it (manifest exists) or the overwrite-mode rewrite makes the retry
+idempotent — identical to replay.apply_epoch's crash model.
+
+Schema note: the stream reads with the LATEST registry schema; older
+segments lack `license` (NULL-filled by the parquet reader) and carry
+int32 `size_bytes` (widened on read — Spark 4 parquet type widening).
+Per-event `schema_version` still routes registry casts inside the batch.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import merge as M
+from ..plans import schema_registry as reg
+from ..sources.lake import LakeTable
+from . import replay as R
+
+
+@dataclass
+class TailResult:
+    batches: list[tuple[int, int]] = field(default_factory=list)  # (batch_id, n)
+
+    @property
+    def events_applied(self) -> int:
+        return sum(n for _, n in self.batches)
+
+
+def _apply_stream_batch(
+    spark: SparkSession, lake: LakeTable, batch_df: DataFrame, epoch: int
+) -> int:
+    """foreachBatch body: the replay epoch pipeline driven by a batch the
+    streaming runtime (not the offset planner) scoped. Reuses apply_epoch's
+    stages via the shared operators; seq range comes from the batch itself."""
+    if lake.has_epoch(epoch):
+        return 0
+    bounds = batch_df.agg(
+        F.min("arrival_seq").alias("lo"), F.max("arrival_seq").alias("hi"),
+        F.max("schema_version").alias("ver"), F.count(F.lit(1)).alias("n"),
+    ).first()
+    if bounds["n"] == 0:
+        return 0
+    _, _, active_version = lake.resume_point()
+    ver = max(active_version, int(bounds["ver"]))
+
+    valid, quarantine = M.split_valid_quarantine(batch_df)
+    delta = M.events_to_lake_shape(
+        reg.cast_to_version(valid, ver, reg.event_schema(ver)), ver, lake.n_buckets
+    )
+    touched_rows = delta.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lsn").alias("lo"), F.max("lsn").alias("hi"),
+    ).collect()
+    touched = sorted(r["bucket"] for r in touched_rows)
+    n_valid = sum(r["n"] for r in touched_rows)
+    if not touched:
+        return 0
+    n_quar = int(bounds["n"]) - n_valid
+    if n_quar > 0:
+        quarantine.select(
+            F.lit(epoch).cast("long").alias("epoch"), "event_json", "error"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            lake.sidecar_dir("_quarantine", epoch)
+        )
+    prev_manifest = lake.current_manifest()
+    base = lake.read_buckets(spark, touched, ver, manifest=prev_manifest)
+    merged = M.merge_into_base(
+        delta, base, ver, hint_broadcast=n_valid <= R.BROADCAST_KEYS_MAX
+    )
+    epoch_dir = lake.epoch_data_dir(epoch)
+    (
+        merged.withColumn("bucket_p", F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket_p")
+        .parquet(epoch_dir)
+    )
+
+    new_files = lake.list_epoch_files(epoch)
+    buckets: dict[str, list[dict]] = {}
+    if prev_manifest:
+        for b, entries in prev_manifest["buckets"].items():
+            if int(b) not in touched:
+                buckets[b] = entries
+    for b, entries in new_files.items():
+        for e in entries:
+            e["schema_version"] = ver
+        buckets[str(b)] = entries
+    from datetime import datetime, timezone
+
+    lake.commit(
+        {
+            "epoch": epoch,
+            "seq_lo": int(bounds["lo"]) - 1,
+            "seq_hi": int(bounds["hi"]),
+            "lsn_lo": min(r["lo"] for r in touched_rows),
+            "lsn_hi": max(r["hi"] for r in touched_rows),
+            "schema_version": ver,
+            "n_buckets": lake.n_buckets,
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+            "counts": {
+                "events_applied": n_valid,
+                "events_quarantined": n_quar,
+                "buckets_touched": len(touched),
+                "hot_repos_split": 0,
+            },
+            "buckets": buckets,
+        }
+    )
+    return n_valid
+
+
+def tail(
+    spark: SparkSession,
+    log_dir: str,
+    lake_root: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    max_files_per_trigger: int = 8,
+    timeout_sec: float = 120.0,
+) -> TailResult:
+    """Tail `log_dir` with Structured Streaming until the source is drained
+    (availableNow), applying each micro-batch through the merge core.
+
+    `checkpointLocation` gives restart-safe source offsets; the lake's
+    manifest fence gives sink idempotence — together, exactly-once.
+    """
+    lake = LakeTable(lake_root, n_buckets=n_buckets)
+    result = TailResult()
+
+    stream = (
+        spark.readStream.schema(reg.event_schema(reg.LATEST_VERSION))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{log_dir}/segment-*.parquet")
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n = _apply_stream_batch(spark, lake, batch_df, int(batch_id))
+        result.batches.append((int(batch_id), n))
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(30)
+    deadline = time.time() + 10
+    while q.isActive and time.time() < deadline:
+        time.sleep(0.2)
+    return result

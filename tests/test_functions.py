@@ -1,0 +1,89 @@
+"""Scalar function library (SURVEY.md section 2.8, F1-F8): each helper is
+checked against hand-computed expectations on constructed rows — these mirror
+the reference's parsing edge cases (relative dates, ISO Z-suffix, pagination
+text fallback, shingle windows)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bbc_news_etl_pipeline_spark.functions import (
+    last_int_token,
+    md5_bigint,
+    normalize_text,
+    parse_iso_ts,
+    parse_relative_or_absolute_ts,
+    word_ngrams,
+)
+
+UTC = dt.timezone.utc
+
+
+def test_parse_relative_or_absolute(spark):
+    base = dt.datetime(2026, 1, 10, 12, 0, 0, tzinfo=UTC)
+    rows = [("3 hrs ago",), ("2 days ago",), ("45 mins ago",), ("01 Jan 2023",), ("garbage",)]
+    df = spark.createDataFrame(rows, "raw string").withColumn(
+        "base", F.lit(base.replace(tzinfo=None)).cast("timestamp")
+    )
+    got = [
+        r["ts"]
+        for r in df.select(
+            parse_relative_or_absolute_ts(F.col("raw"), F.col("base")).alias("ts")
+        ).collect()
+    ]
+    assert got[0] == dt.datetime(2026, 1, 10, 9, 0, 0)
+    assert got[1] == dt.datetime(2026, 1, 8, 12, 0, 0)
+    assert got[2] == dt.datetime(2026, 1, 10, 11, 15, 0)
+    assert got[3] == dt.datetime(2023, 1, 1, 0, 0, 0)
+    assert got[4] is None
+
+
+def test_parse_iso_ts(spark):
+    df = spark.createDataFrame(
+        [("2024-05-01T10:30:00Z",), ("2024-05-01T10:30:00+02:00",), ("not a date",)],
+        "raw string",
+    )
+    got = [r["ts"] for r in df.select(parse_iso_ts(F.col("raw")).alias("ts")).collect()]
+    assert got[0] == dt.datetime(2024, 5, 1, 10, 30, 0)
+    assert got[1] == dt.datetime(2024, 5, 1, 8, 30, 0)  # UTC session tz
+    assert got[2] is None
+
+
+def test_last_int_token(spark):
+    df = spark.createDataFrame(
+        [("Page 1 of 42",), ("7",), ("no numbers here",), ("",)], "raw string"
+    )
+    got = [r["n"] for r in df.select(last_int_token(F.col("raw")).alias("n")).collect()]
+    assert got == [42, 7, 1, 1]  # fallback 1, like the reference's ValueError path
+
+
+def test_normalize_and_ngrams(spark):
+    df = spark.createDataFrame([("  Hello,   WORLD!  x ",), ("a b",)], "t string")
+    norm = [r["n"] for r in df.select(normalize_text(F.col("t")).alias("n")).collect()]
+    assert norm == ["hello world x", "a b"]
+    grams = [
+        r["g"]
+        for r in df.select(
+            word_ngrams(F.split(normalize_text(F.col("t")), " "), 3).alias("g")
+        ).collect()
+    ]
+    assert grams[0] == ["hello world x"]
+    assert grams[1] == []  # fewer than n words -> empty, not DESC-sequence error
+
+
+def test_md5_bigint_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.createDataFrame([("alpha",), ("beta",)], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", md5_bigint(F.col("s"), seed="x:").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s, h in got.items():
+        want = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", ["x:" + s]
+        ).fetchone()[0]
+        assert h == want

@@ -1,0 +1,50 @@
+"""Structured Streaming tailer (streaming/tail.py): the readStream ->
+foreachBatch front-end over the same merge core must converge to the exact
+state the explicit micro-batch replay produces, and restarting the drained
+query must apply nothing new (source checkpoint + sink fence = exactly-once).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+from bbc_news_etl_pipeline_spark.streaming.tail import tail
+
+from .util import engine_digest
+
+E = 3_000
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tail_stream"))
+    gen.build_stream(E, 3, d)
+    return d
+
+
+def test_tail_matches_batch_replay(spark, stream_dir, tmp_path):
+    batch_root = str(tmp_path / "batch_lake")
+    R.replay(spark, stream_dir, batch_root, n_buckets=8)
+    want = engine_digest(spark, batch_root)
+
+    tail_root = str(tmp_path / "tail_lake")
+    res = tail(
+        spark, stream_dir, tail_root, str(tmp_path / "ckpt"),
+        n_buckets=8, max_files_per_trigger=4, timeout_sec=300,
+    )
+    assert res.events_applied == E
+    got = engine_digest(spark, tail_root)
+    assert got == want, f"stream tail diverged: {got} != {want}"
+
+
+def test_tail_restart_is_noop(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    first = tail(spark, stream_dir, root, ckpt, n_buckets=8, timeout_sec=300)
+    assert first.events_applied == E
+    before = engine_digest(spark, root)
+    again = tail(spark, stream_dir, root, ckpt, n_buckets=8, timeout_sec=300)
+    assert again.events_applied == 0
+    assert engine_digest(spark, root) == before
