@@ -121,6 +121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "orders"), _t(s, d, "lineitem"),
     )
 
+    # ---- rollup / set ops / distinct (2.4, 2.7) ----
+    q["a4_orders_rollup"] = lambda s, d: R.orders_rollup(_t(s, d, "orders"))
+    q["set_except_urgent_days"] = lambda s, d: R.urgent_free_days(_t(s, d, "orders"))
+    q["s7_distinct_segments"] = lambda s, d: R.distinct_segments(_t(s, d, "customer"))
+
     # ---- streaming-shaped analytics ----
     q["t_windowed_counts"] = lambda s, d: R.windowed_counts(_t(s, d, "events"))
     q["t_sessionize"] = lambda s, d: R.sessionize(_t(s, d, "events"))
@@ -135,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_signatures"] = lambda s, d: D.minhash_signatures(_t(s, d, "documents"))
     q["dedup_minhash_lsh_pairs"] = lambda s, d: D.minhash_lsh_candidates(_t(s, d, "documents"))
     q["dedup_simhash"] = lambda s, d: D.simhash_bits(_t(s, d, "documents"))
+    q["dedup_lsh_verified_pairs"] = lambda s, d: D.near_dup_pairs_lsh(
+        _t(s, d, "documents"), threshold=0.8
+    )
     q["dedup_embedding_cosine"] = lambda s, d: D.embedding_near_dup_pairs(
         _t(s, d, "embeddings"), threshold=0.45
     )
@@ -364,6 +372,33 @@ def oracle_sql() -> dict[str, str]:
         "round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine "
         "FROM v a JOIN v b ON a.vec_id < b.vec_id "
         "WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.45"
+    )
+
+    o["a4_orders_rollup"] = (
+        "SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, "
+        "count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price, "
+        "GROUPING(year(o_orderdate), month(o_orderdate)) AS lvl "
+        "FROM orders GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))"
+    )
+    o["set_except_urgent_days"] = (
+        "SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS d FROM orders "
+        "EXCEPT SELECT strftime(o_orderdate, '%Y-%m-%d') AS d FROM orders "
+        "WHERE o_orderpriority = '1-URGENT'"
+    )
+    o["s7_distinct_segments"] = "SELECT DISTINCT c_mktsegment FROM customer"
+    o["dedup_lsh_verified_pairs"] = (
+        f"WITH sh AS ({_DDB_SHINGLES}), "
+        f"sig AS (SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id), "
+        f"bands AS ({bands_union}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+        "  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
+        "shared AS (SELECT c.doc_a, c.doc_b, count(*) AS sh_n FROM cand c "
+        "  JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g "
+        "  GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, round(sh_n * 1.0 / (sa.n_sh + sb.n_sh - sh_n), 3) AS jaccard "
+        "FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE round(sh_n * 1.0 / (sa.n_sh + sb.n_sh - sh_n), 3) >= 0.8"
     )
 
     # ---- similarity ----

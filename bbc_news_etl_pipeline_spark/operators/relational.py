@@ -141,6 +141,36 @@ def multikey_sorted_page(lineitem: DataFrame, limit: int = 100) -> DataFrame:
     )
 
 
+def orders_rollup(orders: DataFrame) -> DataFrame:
+    """A4: ROLLUP (year, month) totals with explicit grouping level —
+    subtotal/grand-total hierarchy in ONE pass (partial-agg friendly;
+    Catalyst expands to a single Expand + hash agg, not three scans)."""
+    y = F.year("o_orderdate").alias("y")
+    m = F.month("o_orderdate").alias("m")
+    return (
+        orders.rollup(y, m)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping_id().alias("lvl"),
+        )
+    )
+
+
+def urgent_free_days(orders: DataFrame) -> DataFrame:
+    """SET OP: order days EXCEPT days that saw a 1-URGENT order (2.7 —
+    absent in the reference; the engine exposes it for completeness)."""
+    d = date_key(F.col("o_orderdate")).alias("d")
+    all_days = orders.select(d)
+    urgent_days = orders.where(F.col("o_orderpriority") == "1-URGENT").select(d)
+    return all_days.subtract(urgent_days)  # EXCEPT (set semantics)
+
+
+def distinct_segments(orders_side: DataFrame) -> DataFrame:
+    """DISTINCT as a first-class dedup op (hash-agg, partial combine)."""
+    return orders_side.select("c_mktsegment").distinct()
+
+
 # ---------- TPC-H-shaped headline analytics ----------
 
 def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
