@@ -102,6 +102,45 @@ class LakeTable:
             return False
         return True
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg-style snapshot expiration: drop all but the newest
+        `keep_last` manifests and delete data files no surviving manifest
+        references. At 100 TB, copy-on-write rewrites make storage grow by
+        one epoch's touched buckets per commit — expiration is the
+        reclamation half of that contract. Time travel remains available
+        for the kept snapshots.
+
+        Safe ordering: manifests are deleted BEFORE the files they uniquely
+        referenced, so a crash mid-expire leaves extra (unreferenced) files
+        but never a manifest pointing at deleted data."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the current snapshot)")
+        epochs = self.committed_epochs()
+        drop, keep = epochs[:-keep_last], epochs[-keep_last:]
+        if not drop:
+            return {"manifests_dropped": 0, "files_deleted": 0}
+        referenced = set()
+        for ep in keep:
+            for entries in self.manifest(ep)["buckets"].values():
+                referenced.update(e["path"] for e in entries)
+        candidates = set()
+        for ep in drop:
+            for entries in self.manifest(ep)["buckets"].values():
+                candidates.update(e["path"] for e in entries)
+        for ep in drop:
+            os.unlink(os.path.join(self.manifests_dir, f"manifest-{ep:06d}.json"))
+        n_deleted = 0
+        for rel in sorted(candidates - referenced):
+            full = os.path.join(self.root, rel)
+            if os.path.exists(full):
+                os.unlink(full)
+                n_deleted += 1
+        # prune now-empty bucket dirs (epoch dirs keep their _SUCCESS marker)
+        for bdir in glob.glob(os.path.join(self.root, "data", "e*", "bucket_p=*")):
+            if not os.listdir(bdir):
+                os.rmdir(bdir)
+        return {"manifests_dropped": len(drop), "files_deleted": n_deleted}
+
     # ---------- reads ----------
     def _read_files(
         self, spark: SparkSession, entries: list[dict], target_version: int

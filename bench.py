@@ -49,6 +49,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    # JVM/codegen warmup so the first measured query isn't charged for it
+    spark.range(1_000_000).selectExpr("sum(id)").write.mode("overwrite").format(
+        "noop"
+    ).save()
     out: dict[str, float] = {}
     for name, fn in qs.items():
         if name in SKIP:

@@ -1,0 +1,73 @@
+"""spark-submit entry point: Structured Streaming tail of a CDC event log.
+
+The streaming twin of jobs/replay.py — Spark's runtime drives triggers and
+file discovery (readStream + availableNow drain), the engine's manifest
+fence makes each foreachBatch commit idempotent.
+
+Usage:
+    spark-submit --master local[32] --py-files engine.zip jobs/tail.py \
+        --log-dir /tmp/log --lake-root /tmp/lake --checkpoint-dir /tmp/ckpt \
+        [--n-buckets 64] [--max-files-per-trigger 8]
+
+Prints one JSON line: batches applied, events, live rows, state digest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bbc_news_etl_pipeline_spark.session import build_session  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
+from bbc_news_etl_pipeline_spark.streaming.tail import tail  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--log-dir", required=True)
+    p.add_argument("--lake-root", required=True)
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--max-files-per-trigger", type=int, default=8)
+    p.add_argument("--timeout-sec", type=float, default=600.0)
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    spark = build_session(app_name="cdc-tail", master=args.master)
+    res = tail(
+        spark,
+        args.log_dir,
+        args.lake_root,
+        args.checkpoint_dir,
+        n_buckets=args.n_buckets,
+        max_files_per_trigger=args.max_files_per_trigger,
+        timeout_sec=args.timeout_sec,
+    )
+    from pyspark.sql import functions as F
+
+    lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
+    agg = lake.read_state(spark).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(
+            F.xxhash64("repo", "path", "lsn", F.coalesce("content_sha256", F.lit("")))
+        ).alias("x"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "batches": len(res.batches),
+                "events_applied": res.events_applied,
+                "live_rows": agg["n"],
+                "state_digest": f"{agg['n']}:{agg['x']}",
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -76,3 +76,30 @@ def test_deterministic_generator():
     # hot repo carries ~50% of events
     share = (a["repo"] == gen.HOT_REPO).mean()
     assert 0.40 < share < 0.60
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """Snapshot expiration reclaims files no kept manifest references while
+    the current state stays byte-identical and recent time travel works."""
+    import glob as g
+
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+
+    from .util import engine_digest
+
+    d = str(tmp_path / "log")
+    gen.build_stream(3_000, 3, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    before = engine_digest(spark, root)
+    n_files_before = len(g.glob(f"{root}/data/e*/bucket_p=*/*.parquet"))
+
+    stats = lake.expire_snapshots(keep_last=2)
+    assert stats["manifests_dropped"] == 1
+    assert stats["files_deleted"] > 0
+    assert len(g.glob(f"{root}/data/e*/bucket_p=*/*.parquet")) < n_files_before
+    assert lake.committed_epochs() == [1, 2]
+
+    assert engine_digest(spark, root) == before          # current state intact
+    assert lake.read_state(spark, epoch=1).count() > 0   # kept snapshot readable

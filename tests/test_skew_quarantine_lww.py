@@ -194,3 +194,33 @@ def test_checkpoint_table(spark, lake_and_stream):
     ck = spark.read.parquet(os.path.join(root, "_checkpoint")).toPandas()
     assert list(ck.sort_values("epoch")["epoch"]) == [0, 1]
     assert (ck["seq_hi"] > ck["seq_lo"]).all()
+
+
+def test_hot_key_churn(spark, tmp_path):
+    """One KEY (not just one repo) receives half of all events — the
+    salted winner reduce must cut its churn to one row before the bucket
+    shuffle and the final state must still be exact (max-lsn content)."""
+    rows = []
+    hot_last_content = None
+    for lsn in range(1, 2001):
+        if lsn % 2 == 0:  # every even lsn updates the same hot key
+            content = f"hot-v{lsn}"
+            rows.append({"lsn": lsn, "op": "update" if lsn > 2 else "insert",
+                         "path": "hot.py", "content": content,
+                         "epoch": 0 if lsn <= 1000 else 1})
+            hot_last_content = content
+        else:
+            rows.append({"lsn": lsn, "op": "insert", "path": f"cold{lsn}.py",
+                         "content": f"cold-{lsn}",
+                         "epoch": 0 if lsn <= 1000 else 1})
+    ev = _mk_events(rows)
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    res = R.replay(spark, d, root, n_buckets=8, salt_buckets=4)
+    assert sum(e.n_events for e in res.epochs) == 2000
+    got = engine_live_pdf(spark, root)
+    hot = got[got["path"] == "hot.py"]
+    assert len(hot) == 1 and hot.iloc[0]["content"] == hot_last_content
+    assert hot.iloc[0]["lsn"] == 2000
+    assert len(got) == 1001  # 1000 cold inserts + the hot key
