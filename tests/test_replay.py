@@ -103,3 +103,22 @@ def test_expire_snapshots(spark, tmp_path):
 
     assert engine_digest(spark, root) == before          # current state intact
     assert lake.read_state(spark, epoch=1).count() > 0   # kept snapshot readable
+
+
+def test_shuffle_join_path_matches_broadcast(spark, tmp_path, monkeypatch):
+    """Plan-strategy invariance: epochs above BROADCAST_KEYS_MAX switch the
+    merge joins from broadcast to shuffle — the final state must be
+    bit-identical either way (the scaling harness relies on this)."""
+    from .util import engine_digest
+
+    d = str(tmp_path / "log")
+    gen.build_stream(4_000, 2, d)
+
+    root_b = str(tmp_path / "lake_broadcast")
+    R.replay(spark, d, root_b, n_buckets=8)
+
+    monkeypatch.setattr(R, "BROADCAST_KEYS_MAX", 0)
+    root_s = str(tmp_path / "lake_shuffle")
+    R.replay(spark, d, root_s, n_buckets=8)
+
+    assert engine_digest(spark, root_b) == engine_digest(spark, root_s)
