@@ -175,20 +175,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
-def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the actual engine (generator -> epoch replay -> lake) on a small
-    deterministic stream and return the live state. No SQL oracle — the
-    pytest suite verifies this path against the sequential pandas oracle."""
+#: the cdc_replay_state oracle stream: deterministic (seeded generator), staged
+#: once at a FIXED temp path so the DuckDB oracle can read the exact same
+#: parquet segments the engine replays. Bump _V when the generator changes.
+_CDC_ORACLE_EVENTS, _CDC_ORACLE_EPOCHS, _CDC_ORACLE_V = 2000, 2, 1
+
+
+def _cdc_oracle_log_dir() -> str:
     import tempfile
 
-    from bbc_news_etl_pipeline_spark.fixtures.generator import build_stream
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_oracle_stream_{_CDC_ORACLE_EVENTS}x{_CDC_ORACLE_EPOCHS}"
+        f"_s42_v{_CDC_ORACLE_V}",
+    )
+
+
+def _ensure_cdc_oracle_log() -> str:
+    """Generate the oracle stream if absent (driver-side pandas, no Spark;
+    idempotent — keyed by size/seed/version in the path). Called from BOTH
+    queries() and oracle_sql() so either side can run first."""
+    d = _cdc_oracle_log_dir()
+    if not os.path.exists(os.path.join(d, "_segments.json")):
+        from bbc_news_etl_pipeline_spark.fixtures.generator import build_stream
+
+        build_stream(_CDC_ORACLE_EVENTS, _CDC_ORACLE_EPOCHS, d)
+    return d
+
+
+def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the actual engine (staged stream -> epoch replay -> lake) and
+    return the live state. The DuckDB oracle computes the same LWW final
+    state straight off the staged segments (row_number over (repo, path)
+    by lsn DESC + tombstone filter)."""
+    import tempfile
+
     from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
     from bbc_news_etl_pipeline_spark.streaming.replay import replay
 
-    work = tempfile.mkdtemp(prefix="cdc_entry_")
-    log_dir = os.path.join(work, "log")
-    lake_root = os.path.join(work, "lake")
-    build_stream(2000, 2, log_dir)
+    log_dir = _ensure_cdc_oracle_log()
+    lake_root = os.path.join(tempfile.mkdtemp(prefix="cdc_entry_"), "lake")
     replay(spark, log_dir, lake_root, n_buckets=8)
     return (
         LakeTable(lake_root, n_buckets=8)
@@ -305,7 +331,8 @@ def oracle_sql() -> dict[str, str]:
         "WITH g AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) - "
         "  lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
         "  (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) "
-        "SELECT user_id, sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions, "
+        "SELECT user_id, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_sessions, "
         "count(*) AS n_events FROM g GROUP BY user_id"
     )
     o["f_json_props_stats"] = (
@@ -479,6 +506,20 @@ def oracle_sql() -> dict[str, str]:
         "octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256 FROM documents"
     )
 
-    # cdc_replay_state: intentionally no oracle (live engine path; verified
-    # by the pytest replay suite against the sequential pandas oracle)
+    # ---- live CDC replay: LWW final state over the staged event log. The
+    # engine replays epoch-by-epoch through merge/commit/fence; the oracle is
+    # the declarative equivalent — max-lsn winner per (repo, path), deletes
+    # folded out — over the very same parquet segments.
+    log_glob = os.path.join(_ensure_cdc_oracle_log(), "segment-*.parquet", "*.parquet")
+    o["cdc_replay_state"] = (
+        f"WITH ev AS (SELECT repo, path, lsn, op, content "
+        f"  FROM read_parquet('{log_glob}', union_by_name=true) "
+        "  WHERE op IN ('insert', 'update', 'delete') AND repo IS NOT NULL "
+        "    AND path IS NOT NULL AND lsn IS NOT NULL "
+        "    AND (op = 'delete' OR content IS NOT NULL)), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev) "
+        "SELECT repo, path, lsn, sha256(content) AS content_sha256 "
+        "FROM ranked WHERE rn = 1 AND op <> 'delete'"
+    )
     return o
