@@ -361,8 +361,12 @@ def oracle_sql() -> dict[str, str]:
         "FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
         "WHERE round(sh_n * 1.0 / (sa.n_sh + sb.n_sh - sh_n), 3) >= 0.8"
     )
+    # universal-hash minhash: one md5 per shingle, 8 affine mixes mod 2^31-1
+    # (constants shared with the Spark implementation via operators.dedup)
+    mh_base = "CAST(('0x' || substr(md5('mh:' || g), 1, 8)) AS BIGINT)"
     mh_mins = ", ".join(
-        "min(" + _DDB_H15.format(x=f"'mh{j}:' || g") + f") AS minh_{j}" for j in range(8)
+        f"min(({D.MINHASH_A[j]} * {mh_base} + {D.MINHASH_B[j]}) % {D.MINHASH_P}) AS minh_{j}"
+        for j in range(8)
     )
     o["dedup_minhash_signatures"] = (
         f"WITH sh AS ({_DDB_SHINGLES}) "

@@ -19,6 +19,27 @@ BANNED = [
 ]
 
 
+#: operators must stay fully distributed — no driver-side materialization of
+#: data (a `.collect()` of vector/content data is a driver OOM at 100 TB).
+#: Driver-side collects of SLIM planning stats live in streaming/, not here.
+BANNED_OPERATORS = [
+    (re.compile(r"\.collect\(\)"), "driver collect in an operator"),
+    (re.compile(r"\.toPandas\(\)"), "driver toPandas in an operator"),
+    (re.compile(r"\.first\(\)"), "driver first() in an operator"),
+]
+
+
+def test_no_driver_materialization_in_operators():
+    offenders = []
+    for f in (PKG / "operators").rglob("*.py"):
+        text = f.read_text()
+        for pat, why in BANNED_OPERATORS:
+            for m in pat.finditer(text):
+                line = text[: m.start()].count("\n") + 1
+                offenders.append(f"{f}:{line}: {why}")
+    assert not offenders, "\n".join(offenders)
+
+
 def test_no_per_row_python_or_rdd():
     offenders = []
     for f in PKG.rglob("*.py"):
