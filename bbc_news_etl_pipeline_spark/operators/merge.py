@@ -14,18 +14,19 @@ Pipeline per epoch — exactly ONE shuffle carries `content`:
 2. lake-shape     — MAP-SIDE ONLY: cast to the epoch's schema version, null
                     the payload of tombstones, compute sha2(content, 256),
                     derive bucket = pmod(xxhash64(repo, path), P). No shuffle.
-3. skew split     — events of HOT repos (share > HOT_REPO_SHARE of the epoch,
-                    from the key-stats probe) are pre-compacted by a SALTED
-                    two-stage aggregation: stage 1 groups by
-                    (repo, path, salt) where salt = pmod(xxhash64(lsn), S) —
-                    deterministic (derived from lsn, never rand()) so replay
-                    is stable; stage 2 reduces the <=S partial winners. A
-                    high-churn key (10^6 updates of one path) is spread over
-                    S subpartitions before any single reducer sees it, and
-                    only the <=S winners reach the bucket shuffle. Cold-repo
-                    events skip this and flow raw — Spark's map-side partial
-                    aggregation cannot help a grouped-map, so pre-compaction
-                    is engaged exactly where event-count skew exists.
+3. skew split     — ALL delta keys go through a SALTED two-stage winner
+                    reduction: stage 1 groups by (repo, path, salt) where
+                    salt = pmod(xxhash64(lsn), S) — deterministic (derived
+                    from lsn, never rand()) so replay is stable; stage 2
+                    reduces the <=S partial winners. A high-churn key (10^6
+                    updates of one path) is spread over S subpartitions
+                    before any single reducer sees it, and only the <=S
+                    winners reach the bucket shuffle. Both stages are slim
+                    (keys + a numeric max) packed hash aggs with map-side
+                    partial combine, so running cold keys through them too
+                    costs nothing extra — the epoch probe's hot-repo census
+                    is recorded as a skew METRIC (n_hot_keys_split), not a
+                    routing decision.
 4. bucket merge   — base rows of TOUCHED buckets + delta rows are
                     hash-shuffled on bucket and merged per bucket by a
                     vectorized ``applyInArrow`` grouped map (columnar Arrow
@@ -102,6 +103,7 @@ def epoch_probe(events: DataFrame, n_buckets: int) -> DataFrame:
         events.select(
             bucket_col(n_buckets).alias("bucket"),
             "repo",
+            "path",
             is_valid.alias("_ok"),
             F.col("lsn"),
         )
@@ -110,6 +112,13 @@ def epoch_probe(events: DataFrame, n_buckets: int) -> DataFrame:
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n"),
             F.count_if(F.col("_ok")).alias("n_valid"),
+            # distinct (repo, path, lsn) triples per bucket: a real binlog can
+            # redeliver the same event inside one batch window; n_valid minus
+            # the distinct total flags it so the merge engages its (rare)
+            # dedup path only when duplicates actually exist
+            F.count_distinct(
+                F.when(F.col("_ok"), F.struct("repo", "path", "lsn"))
+            ).alias("n_distinct"),
             F.min(F.when(F.col("_ok"), F.col("lsn"))).alias("lo"),
             F.max(F.when(F.col("_ok"), F.col("lsn"))).alias("hi"),
         )
@@ -186,6 +195,7 @@ def merge_into_base(
     target_version: int,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     hint_broadcast: bool = True,
+    dedupe_delta: bool = False,
 ) -> DataFrame:
     """MERGE delta events into current base rows (both lake-shaped,
     tombstones included). Returns the new content of the touched buckets,
@@ -211,6 +221,12 @@ def merge_into_base(
     template = reg.lake_schema(target_version)
     base_c = reg.cast_to_version(base, target_version, template)
     delta_c = reg.cast_to_version(delta, target_version, template)
+    if dedupe_delta:
+        # at-least-once redelivery put the same (repo, path, lsn) in this
+        # epoch more than once; without this the winner semi-join below would
+        # materialize each copy. Engaged ONLY when the epoch probe counted
+        # real duplicates — the common path never pays this extra shuffle.
+        delta_c = delta_c.dropDuplicates(["repo", "path", "lsn"])
 
     def hinted(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if hint_broadcast else df
@@ -231,9 +247,20 @@ def merge_into_base(
         _lww_reduce_fn, schema=WINNER_SCHEMA
     )
 
-    # 4. materialize winner payload rows map-side; lsn is globally unique so
-    # (repo, path, lsn) plucks exactly one row per key
-    full_pool = base_hit.unionByName(delta_c)
+    # 4. materialize winner payload rows map-side. The semi-join plucks
+    # exactly one row per key only if (repo, path, lsn) is unique across
+    # base ∪ delta. Within-delta duplicates are handled by the probe-gated
+    # dedupe above; a CROSS-EPOCH redelivery (the event already applied in a
+    # previous epoch, e.g. a streaming restart re-reading the log) is dropped
+    # here by an anti-join on the base keys — slim columns, broadcast,
+    # map-side, no extra shuffle. The base copy wins; by the log contract an
+    # lsn identifies one immutable event, so the copies are byte-identical.
+    delta_new = delta_c.join(
+        hinted(base_hit.select("repo", "path", "lsn")),
+        ["repo", "path", "lsn"],
+        "left_anti",
+    )
+    full_pool = base_hit.unionByName(delta_new)
     contested_merged = full_pool.join(
         hinted(winners), ["repo", "path", "lsn"], "left_semi"
     ).repartition("bucket")

@@ -189,31 +189,54 @@ def apply_epoch(
     active_version: int,
     salt_buckets: int = M.DEFAULT_SALT_BUCKETS,
 ) -> EpochResult:
-    """Apply one epoch's events to the lake. Idempotent: a committed epoch is
-    skipped before any work (the exactly-once fence).
-
-    Job structure (exactly one content-bearing shuffle, see operators/merge.py):
-      1. stats probe   — narrow per-key aggregation (content never shuffled);
-                         yields totals, lsn range, per-bucket delta counts for
-                         lineage, touched buckets, and the hot-repo list.
-      2. merge + write — base(touched) ∪ lake-shaped delta, hot repos
-                         pre-compacted via the salted two-stage path, one
-                         bucket shuffle into the applyInArrow reducer,
-                         copy-on-write parquet per touched bucket.
-      3. lineage       — per-bucket digests computed from the FILES JUST
-                         WRITTEN (column-pruned re-read; digests attest the
-                         committed bytes, not a pre-write plan).
-      4. sidecars + manifest rename (the atomic commit point).
-    """
+    """Apply one epoch of the log to the lake. Idempotent: a committed epoch
+    is skipped before any work (the exactly-once fence). Thin wrapper:
+    resolves the epoch's schema version and offset-range scan, then runs the
+    shared `apply_events` core (also used by the streaming tail and the
+    quarantine re-drive, so all three leave identical audit trails)."""
     if lake.has_epoch(epoch):
         m = lake.manifest(epoch)
         return EpochResult(
             epoch, seq_lo, seq_hi, skipped=True, schema_version=m["schema_version"]
         )
-    t0 = time.perf_counter()
     ver = max(active_version, log.max_schema_version(seq_lo, seq_hi))
-
     events = log.read_range(spark, seq_lo, seq_hi, ver)
+    return apply_events(
+        spark, lake, epoch, events, ver, seq_lo, seq_hi, salt_buckets
+    )
+
+
+def apply_events(
+    spark: SparkSession,
+    lake: LakeTable,
+    epoch: int,
+    events,
+    ver: int,
+    seq_lo: int,
+    seq_hi: int,
+    salt_buckets: int = M.DEFAULT_SALT_BUCKETS,
+    counts_extra: dict | None = None,
+) -> EpochResult:
+    """The epoch pipeline over an arbitrary event frame (already cast to
+    schema version `ver`). Caller is responsible for the fence check.
+
+    Job structure (exactly one content-bearing shuffle, see operators/merge.py):
+      1. stats probe   — narrow per-key aggregation (content never shuffled);
+                         yields totals, lsn range, per-bucket delta counts for
+                         lineage, touched buckets, the hot-repo census, and
+                         the duplicate-delivery detector.
+      2. merge + write — base(touched) ∪ lake-shaped delta through the salted
+                         two-stage winner reduce, one bucket shuffle into the
+                         applyInArrow reducer, copy-on-write parquet per
+                         touched bucket.
+      3. lineage       — per-bucket digests computed from the FILES JUST
+                         WRITTEN (column-pruned re-read; digests attest the
+                         committed bytes, not a pre-write plan).
+      4. sidecars + manifest rename (the atomic commit point). Quarantine is
+         written BEFORE any early exit: an all-invalid batch still persists
+         its DLQ records and commits its manifest.
+    """
+    t0 = time.perf_counter()
 
     # ---- 1. stats probe: ONE narrow aggregation job. The hot-repo filter
     # runs BEFORE collect with a threshold derived from the epoch's offset
@@ -231,6 +254,7 @@ def apply_epoch(
     ]
     n_total = sum(r["n"] for r in bucket_rows)
     n_valid = sum(r["n_valid"] for r in bucket_rows)
+    n_distinct = sum(r["n_distinct"] for r in bucket_rows)
     n_quar = n_total - n_valid
     lsn_lo = min((r["lo"] for r in bucket_rows if r["lo"] is not None), default=None)
     lsn_hi = max((r["hi"] for r in bucket_rows if r["hi"] is not None), default=None)
@@ -251,6 +275,7 @@ def apply_epoch(
         merged = M.merge_into_base(
             delta, base, ver, salt_buckets,
             hint_broadcast=n_valid <= BROADCAST_KEYS_MAX,
+            dedupe_delta=n_distinct < n_valid,
         )
         with _timed(f"e{epoch} merge+write"):
             (
@@ -355,8 +380,10 @@ def apply_epoch(
         "counts": {
             "events_applied": n_valid,
             "events_quarantined": n_quar,
+            "events_duplicate": n_valid - n_distinct,
             "buckets_touched": len(touched),
             "hot_repos_split": n_hot,
+            **(counts_extra or {}),
         },
         "buckets": buckets,
     }

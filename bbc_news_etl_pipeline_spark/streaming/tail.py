@@ -12,11 +12,15 @@ guarantee chain as the reference: durable queue redelivery + idempotent
 `ON CONFLICT` sink, /root/reference/docs/faq.md:49-51 +
 /root/reference/src/clients/postgres/postgres_base.py:270).
 
-Offset mapping: Structured Streaming assigns `batch_id` (monotone); the
-lake's epoch fence is keyed by it. A crashed-and-restarted query re-runs
-the last uncommitted batch with the SAME batch_id -> the fence either
-skips it (manifest exists) or the overwrite-mode rewrite makes the retry
-idempotent — identical to replay.apply_epoch's crash model.
+Offset mapping: Structured Streaming assigns `batch_id` (monotone, but
+restarting at 0 for a fresh checkpoint); the lake's epoch fence is keyed
+by `epoch_base + batch_id`, where epoch_base is the lake's next free epoch
+recorded beside the checkpoint at first start. A crashed-and-restarted
+query re-runs the last uncommitted batch with the SAME batch_id -> the
+fence either skips it (manifest exists) or the overwrite-mode rewrite
+makes the retry idempotent — identical to replay.apply_epoch's crash
+model — and epochs committed by batch replay before the stream started can
+never collide with live batches.
 
 Schema note: the stream reads with the LATEST registry schema; older
 segments lack `license` (NULL-filled by the parquet reader) and carry
@@ -26,13 +30,14 @@ Per-event `schema_version` still routes registry casts inside the batch.
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import merge as M
 from ..plans import schema_registry as reg
 from ..sources.lake import LakeTable
 from . import replay as R
@@ -50,9 +55,11 @@ class TailResult:
 def _apply_stream_batch(
     spark: SparkSession, lake: LakeTable, batch_df: DataFrame, epoch: int
 ) -> int:
-    """foreachBatch body: the replay epoch pipeline driven by a batch the
-    streaming runtime (not the offset planner) scoped. Reuses apply_epoch's
-    stages via the shared operators; seq range comes from the batch itself."""
+    """foreachBatch body: the SAME epoch core as batch replay
+    (replay.apply_events) driven by a batch the streaming runtime scoped.
+    Identical audit trail — lineage/metrics/quarantine sidecars, hot-repo
+    census, duplicate detection, merged lsn range — so a lake built by the
+    tailer is indistinguishable from one built by replay."""
     if lake.has_epoch(epoch):
         return 0
     bounds = batch_df.agg(
@@ -63,71 +70,18 @@ def _apply_stream_batch(
         return 0
     _, _, active_version = lake.resume_point()
     ver = max(active_version, int(bounds["ver"]))
-
-    valid, quarantine = M.split_valid_quarantine(batch_df)
-    delta = M.events_to_lake_shape(
-        reg.cast_to_version(valid, ver, reg.event_schema(ver)), ver, lake.n_buckets
+    events = reg.cast_to_version(batch_df, ver, reg.event_schema(ver))
+    res = R.apply_events(
+        spark,
+        lake,
+        epoch,
+        events,
+        ver,
+        seq_lo=int(bounds["lo"]) - 1,
+        seq_hi=int(bounds["hi"]),
+        counts_extra={"mode": "tail"},
     )
-    touched_rows = delta.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("lsn").alias("lo"), F.max("lsn").alias("hi"),
-    ).collect()
-    touched = sorted(r["bucket"] for r in touched_rows)
-    n_valid = sum(r["n"] for r in touched_rows)
-    if not touched:
-        return 0
-    n_quar = int(bounds["n"]) - n_valid
-    if n_quar > 0:
-        quarantine.select(
-            F.lit(epoch).cast("long").alias("epoch"), "event_json", "error"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            lake.sidecar_dir("_quarantine", epoch)
-        )
-    prev_manifest = lake.current_manifest()
-    base = lake.read_buckets(spark, touched, ver, manifest=prev_manifest)
-    merged = M.merge_into_base(
-        delta, base, ver, hint_broadcast=n_valid <= R.BROADCAST_KEYS_MAX
-    )
-    epoch_dir = lake.epoch_data_dir(epoch)
-    (
-        merged.withColumn("bucket_p", F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket_p")
-        .parquet(epoch_dir)
-    )
-
-    new_files = lake.list_epoch_files(epoch)
-    buckets: dict[str, list[dict]] = {}
-    if prev_manifest:
-        for b, entries in prev_manifest["buckets"].items():
-            if int(b) not in touched:
-                buckets[b] = entries
-    for b, entries in new_files.items():
-        for e in entries:
-            e["schema_version"] = ver
-        buckets[str(b)] = entries
-    from datetime import datetime, timezone
-
-    lake.commit(
-        {
-            "epoch": epoch,
-            "seq_lo": int(bounds["lo"]) - 1,
-            "seq_hi": int(bounds["hi"]),
-            "lsn_lo": min(r["lo"] for r in touched_rows),
-            "lsn_hi": max(r["hi"] for r in touched_rows),
-            "schema_version": ver,
-            "n_buckets": lake.n_buckets,
-            "committed_at": datetime.now(timezone.utc).isoformat(),
-            "counts": {
-                "events_applied": n_valid,
-                "events_quarantined": n_quar,
-                "buckets_touched": len(touched),
-                "hot_repos_split": 0,
-            },
-            "buckets": buckets,
-        }
-    )
-    return n_valid
+    return res.n_events
 
 
 def tail(
@@ -148,6 +102,23 @@ def tail(
     lake = LakeTable(lake_root, n_buckets=n_buckets)
     result = TailResult()
 
+    # ---- epoch namespacing: Structured Streaming's batch_id restarts at 0
+    # for a fresh checkpoint dir, so fencing on batch_id alone would collide
+    # with epochs already committed by batch replay (or a previous tail run
+    # with a different checkpoint) — silently skipping LIVE batches while the
+    # source offset advances. Record the lake's next free epoch at FIRST
+    # start alongside the checkpoint; epoch = base + batch_id is then stable
+    # across restarts of the same query and disjoint from all prior commits.
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    base_path = os.path.join(checkpoint_dir, "tail_epoch_base.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            epoch_base = json.load(f)["epoch_base"]
+    else:
+        epoch_base = lake.resume_point()[0]
+        with open(base_path, "w") as f:
+            json.dump({"epoch_base": epoch_base}, f)
+
     stream = (
         spark.readStream.schema(reg.event_schema(reg.LATEST_VERSION))
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -155,7 +126,7 @@ def tail(
     )
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        n = _apply_stream_batch(spark, lake, batch_df, int(batch_id))
+        n = _apply_stream_batch(spark, lake, batch_df, epoch_base + int(batch_id))
         result.batches.append((int(batch_id), n))
 
     q = (

@@ -224,3 +224,25 @@ def test_hot_key_churn(spark, tmp_path):
     assert len(hot) == 1 and hot.iloc[0]["content"] == hot_last_content
     assert hot.iloc[0]["lsn"] == 2000
     assert len(got) == 1001  # 1000 cold inserts + the hot key
+
+
+def test_duplicate_redelivery_within_epoch_yields_one_row(spark, tmp_path):
+    """At-least-once delivery can put the same (repo, path, lsn) into one
+    epoch twice. The probe must detect it and the merge must materialize the
+    winner exactly once (ADVICE r01: the semi-join materialization would
+    otherwise keep both copies)."""
+    ev = _mk_events([
+        {"lsn": 1, "op": "insert", "content": "v1", "epoch": 0},
+        {"lsn": 2, "op": "update", "content": "v2", "epoch": 0},
+        {"lsn": 2, "op": "update", "content": "v2", "epoch": 0},  # redelivered
+    ])
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4)
+    got = engine_live_pdf(spark, root)
+    assert len(got) == 1, f"duplicate redelivery produced duplicate rows:\n{got}"
+    assert got.loc[0, "lsn"] == 2 and got.loc[0, "content"] == "v2"
+    m = LakeTable(root, n_buckets=4).current_manifest()
+    assert m["counts"]["events_duplicate"] == 1
+    assert m["counts"]["events_applied"] == 3

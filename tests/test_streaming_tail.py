@@ -48,3 +48,74 @@ def test_tail_restart_is_noop(spark, stream_dir, tmp_path):
     again = tail(spark, stream_dir, root, ckpt, n_buckets=8, timeout_sec=300)
     assert again.events_applied == 0
     assert engine_digest(spark, root) == before
+
+
+def test_tail_after_replay_same_lake_no_epoch_collision(spark, stream_dir, tmp_path):
+    """Batch replay commits epoch 0, then a tailer with a FRESH checkpoint
+    starts on the same lake. batch_id 0 must NOT collide with the replayed
+    epoch (ADVICE r01: the old fence silently skipped live batches). The
+    stream re-reads the whole log; LWW idempotence makes re-applied events
+    no-ops and the final state must equal a clean full replay."""
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=1)
+    n_before = len(LakeTable(root, n_buckets=8).committed_epochs())
+    res = tail(
+        spark, stream_dir, root, str(tmp_path / "ckpt"),
+        n_buckets=8, max_files_per_trigger=2, timeout_sec=300,
+    )
+    assert res.events_applied == E, "a live batch was silently skipped"
+    assert len(LakeTable(root, n_buckets=8).committed_epochs()) > n_before
+
+    clean_root = str(tmp_path / "clean")
+    R.replay(spark, stream_dir, clean_root, n_buckets=8)
+    assert engine_digest(spark, root) == engine_digest(spark, clean_root)
+
+
+def test_tail_sidecar_parity_with_replay(spark, stream_dir, tmp_path):
+    """The tailer must leave the same audit trail as batch replay:
+    lineage + metrics sidecars, hot-repo census, merged manifest lsn range."""
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+
+    root = str(tmp_path / "lake")
+    res = tail(
+        spark, stream_dir, root, str(tmp_path / "ckpt"),
+        n_buckets=8, max_files_per_trigger=4, timeout_sec=300,
+    )
+    assert res.events_applied == E
+    lake = LakeTable(root, n_buckets=8)
+    metrics = lake.read_sidecar(spark, "_metrics").toPandas()
+    assert metrics["events_applied_total"].sum() == E
+    assert (metrics["n_hot_keys_split"] >= 1).any(), "hot-repo probe never ran"
+    lineage = lake.read_sidecar(spark, "_lineage").toPandas()
+    assert lineage["n_events"].sum() == E
+    assert lineage["digest"].str.len().eq(64).all()
+    m = lake.current_manifest()
+    assert m["counts"]["mode"] == "tail"
+    # lsn range merged across batches like replay merges across epochs
+    assert m["lsn_lo"] == 1 and m["lsn_hi"] == E
+
+
+def test_tail_all_invalid_batch_persists_quarantine(spark, tmp_path):
+    """A micro-batch whose events are ALL invalid must still persist its
+    quarantine sidecar and commit a manifest (ADVICE r01: the old early-exit
+    dropped DLQ records while the source checkpoint advanced)."""
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+
+    from .test_skew_quarantine_lww import _mk_events
+
+    ev = _mk_events([
+        {"lsn": 1, "op": "bogus", "content": "x", "epoch": 0},
+        {"lsn": 2, "op": "bogus", "content": "y", "epoch": 0},
+        {"lsn": 3, "op": "bogus", "content": "z", "epoch": 0},
+    ])
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    res = tail(spark, d, root, str(tmp_path / "ckpt"), n_buckets=4, timeout_sec=300)
+    assert res.events_applied == 0
+    lake = LakeTable(root, n_buckets=4)
+    assert len(lake.committed_epochs()) >= 1, "all-invalid batch must still commit"
+    q = lake.read_sidecar(spark, "_quarantine").toPandas()
+    assert len(q) == 3 and (q["error"] == "invalid op").all()
