@@ -1,0 +1,96 @@
+"""Quarantine re-drive: the manual-replay half of the DLQ contract.
+
+The reference routes failed tasks to a DLQ "for manual replay"
+(/root/reference/docs/architecture/high_level_data_flow.md:40) and re-plans
+failed jobs from their tracking collection
+(/root/reference/src/clients/mongo/work_generator_repository.py:35-60). The
+engine's validation filter writes malformed events to per-epoch
+``_quarantine`` sidecars; this module closes the loop by re-injecting them —
+optionally after an operator-supplied fix — as a NEW epoch through the
+standard pipeline (same probe, merge, lineage, metrics, fence).
+
+Semantics:
+
+- Pending = committed epochs that have a quarantine sidecar and are not yet
+  listed in any manifest's ``counts.redrive_sources``. A redrive commits one
+  epoch whose manifest records the source epochs it consumed, so re-running
+  redrive with nothing new pending is a no-op (exactly-once at the epoch
+  granularity, same fence as replay).
+- Events that are STILL invalid after ``fix_fn`` land in the new epoch's own
+  quarantine — they stay on the DLQ for the next attempt, they never poison
+  the batch.
+- Re-driven events keep their original ``lsn``: a fixed event whose key was
+  meanwhile overwritten by a higher-lsn event is a no-op — LWW makes late
+  re-drives safe by construction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import merge as M
+from ..plans import schema_registry as reg
+from ..sources.lake import LakeTable
+from . import replay as R
+
+
+def pending_quarantine_epochs(lake: LakeTable) -> list[int]:
+    """Committed epochs whose quarantine sidecar has not been re-driven."""
+    done: set[int] = set()
+    committed = lake.committed_epochs()
+    for ep in committed:
+        srcs = lake.manifest(ep).get("counts", {}).get("redrive_sources")
+        if srcs:
+            done.update(srcs)
+    return [
+        ep
+        for ep in committed
+        if ep not in done and os.path.isdir(lake.sidecar_dir("_quarantine", ep))
+    ]
+
+
+def redrive(
+    spark: SparkSession,
+    lake: LakeTable,
+    fix_fn=None,
+    salt_buckets: int = M.DEFAULT_SALT_BUCKETS,
+) -> R.EpochResult | None:
+    """Re-inject all pending quarantined events as one new epoch.
+
+    ``fix_fn(df) -> df`` receives the parsed events (latest event schema,
+    NULL-backfilled) and may repair them with ordinary DataFrame transforms.
+    Returns the committed EpochResult, or None when nothing is pending.
+    The epoch's seq range is empty (last_seq, last_seq]: a redrive consumes
+    no log offsets, so the offset planner's resume point is unaffected.
+    """
+    pend = pending_quarantine_epochs(lake)
+    if not pend:
+        return None
+    qdirs = [lake.sidecar_dir("_quarantine", ep) for ep in pend]
+    template = reg.event_schema(reg.LATEST_VERSION)
+    events = (
+        spark.read.parquet(*qdirs)
+        .select(F.from_json("event_json", template).alias("e"))
+        .select("e.*")
+    )
+    if fix_fn is not None:
+        events = fix_fn(events)
+
+    next_epoch, last_seq, active_ver = lake.resume_point()
+    ver_row = events.agg(F.max("schema_version").alias("v")).first()
+    ver = max(active_ver, int(ver_row["v"]) if ver_row["v"] is not None else active_ver)
+    events = reg.cast_to_version(events, ver, reg.event_schema(ver))
+    return R.apply_events(
+        spark,
+        lake,
+        next_epoch,
+        events,
+        ver,
+        seq_lo=last_seq,
+        seq_hi=last_seq,
+        salt_buckets=salt_buckets,
+        counts_extra={"mode": "redrive", "redrive_sources": pend},
+    )

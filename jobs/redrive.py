@@ -1,0 +1,65 @@
+"""spark-submit entry point: re-drive the quarantine (DLQ manual replay).
+
+Usage:
+    spark-submit --master local[32] jobs/redrive.py \
+        --lake-root /tmp/lake [--n-buckets 64] [--fix MODULE:FUNC]
+
+``--fix`` names an importable ``fn(DataFrame) -> DataFrame`` that repairs
+the parsed quarantined events before revalidation (the operator's "manual"
+step, scripted). Without it, events are revalidated as-is — useful when the
+quarantine was caused by a since-fixed upstream bug rather than bad payloads.
+
+Prints one JSON line; ``pending_before``/``pending_after`` show DLQ drain.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bbc_news_etl_pipeline_spark.session import build_session  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
+from bbc_news_etl_pipeline_spark.streaming.redrive import (  # noqa: E402
+    pending_quarantine_epochs,
+    redrive,
+)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--lake-root", required=True)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--fix", default=None, help="MODULE:FUNC fix callable")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    fix_fn = None
+    if args.fix:
+        mod, _, fn = args.fix.partition(":")
+        fix_fn = getattr(importlib.import_module(mod), fn)
+
+    spark = build_session(app_name="cdc-redrive", master=args.master)
+    lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
+    pending_before = pending_quarantine_epochs(lake)
+    res = redrive(spark, lake, fix_fn=fix_fn)
+    print(
+        json.dumps(
+            {
+                "pending_before": pending_before,
+                "pending_after": pending_quarantine_epochs(lake),
+                "epoch": res.epoch if res else None,
+                "events_applied": res.n_events if res else 0,
+                "events_requarantined": res.n_quarantined if res else 0,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

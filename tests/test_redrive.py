@@ -1,0 +1,126 @@
+"""Quarantine re-drive (streaming/redrive.py): quarantined events, after an
+operator-supplied fix, land in state exactly once; re-redrive is a no-op;
+still-broken events stay on the DLQ (SURVEY.md section 2.9 T3 + the
+reference's manual-replay contract)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+from bbc_news_etl_pipeline_spark.streaming.redrive import (
+    pending_quarantine_epochs,
+    redrive,
+)
+
+from .test_skew_quarantine_lww import _mk_events
+from .util import engine_live_pdf
+
+
+def _build_lake_with_quarantine(spark, tmp_path):
+    """500 good events + 3 malformed ones (bad op / null repo / null body)."""
+    spec = gen.StreamSpec(n_events=500, n_epochs=1)
+    events = gen.generate_events(spec)
+    bad = events.tail(3).copy()
+    bad["arrival_seq"] = [500, 501, 502]
+    bad["lsn"] = [9001, 9002, 9003]
+    bad["op"] = ["insert"] * 3
+    bad["repo"] = ["org_fix/repo_fix"] * 3
+    bad["path"] = [f"src/fix/f{i}.py" for i in range(3)]
+    bad["content"] = ["fixed content A", "fixed content B", "fixed content C"]
+    bad["size_bytes"] = pd.array([15, 15, 15], dtype="Int64")
+    bad.iloc[0, bad.columns.get_loc("op")] = "truncate"  # invalid op
+    bad.iloc[1, bad.columns.get_loc("repo")] = None  # null key
+    bad.iloc[2, bad.columns.get_loc("content")] = None  # insert w/o body
+    d = str(tmp_path / "log")
+    gen.write_event_log(pd.concat([events, bad], ignore_index=True), d)
+    root = str(tmp_path / "lake")
+    res = R.replay(spark, d, root, n_buckets=8)
+    assert sum(e.n_quarantined for e in res.epochs) == 3
+    return LakeTable(root, n_buckets=8), root
+
+
+def _fix(df):
+    """Repair all three failure modes with plain DataFrame transforms."""
+    return (
+        df.withColumn(
+            "op", F.when(~F.col("op").isin("insert", "update", "delete"), "insert").otherwise(F.col("op"))
+        )
+        .withColumn("repo", F.coalesce("repo", F.lit("org_fix/repo_fix")))
+        .withColumn("content", F.coalesce("content", F.lit("recovered body")))
+    )
+
+
+def test_redrive_applies_fixed_events_exactly_once(spark, tmp_path):
+    lake, root = _build_lake_with_quarantine(spark, tmp_path)
+    before = engine_live_pdf(spark, root)
+    assert pending_quarantine_epochs(lake) == [0]
+
+    res = redrive(spark, lake, fix_fn=_fix)
+    assert res is not None and not res.skipped
+    assert res.n_events == 3 and res.n_quarantined == 0
+
+    after = engine_live_pdf(spark, root)
+    assert len(after) == len(before) + 3
+    fixed = after[after["lsn"].isin([9001, 9002, 9003])]
+    assert len(fixed) == 3
+    assert set(fixed["repo"]) == {"org_fix/repo_fix"}
+    m = lake.current_manifest()
+    assert m["counts"]["mode"] == "redrive"
+    assert m["counts"]["redrive_sources"] == [0]
+    # offset planner unaffected: redrive consumed no log offsets
+    assert m["seq_lo"] == m["seq_hi"]
+
+    # ---- re-redrive is a no-op: sources consumed, nothing pending
+    assert pending_quarantine_epochs(lake) == []
+    assert redrive(spark, lake, fix_fn=_fix) is None
+    assert engine_live_pdf(spark, root).equals(after)
+
+
+def test_redrive_still_broken_events_stay_on_dlq(spark, tmp_path):
+    lake, root = _build_lake_with_quarantine(spark, tmp_path)
+
+    def half_fix(df):  # repairs the op and repo cases, not the null body
+        return df.withColumn(
+            "op",
+            F.when(~F.col("op").isin("insert", "update", "delete"), "insert").otherwise(F.col("op")),
+        ).withColumn("repo", F.coalesce("repo", F.lit("org_fix/repo_fix")))
+
+    res = redrive(spark, lake, fix_fn=half_fix)
+    assert res.n_events == 2 and res.n_quarantined == 1
+    # the survivor is back on the DLQ under the NEW epoch, pending again
+    assert pending_quarantine_epochs(lake) == [res.epoch]
+    q = spark.read.parquet(lake.sidecar_dir("_quarantine", res.epoch)).toPandas()
+    assert len(q) == 1 and q.loc[0, "error"] == "null content for upsert"
+
+    # a second redrive that completes the fix drains the DLQ
+    res2 = redrive(spark, lake, fix_fn=_fix)
+    assert res2.n_events == 1 and res2.n_quarantined == 0
+    assert pending_quarantine_epochs(lake) == []
+    after = engine_live_pdf(spark, root)
+    assert len(after[after["lsn"].isin([9001, 9002, 9003])]) == 3
+
+
+def test_redrive_lower_lsn_than_applied_is_noop(spark, tmp_path):
+    """A quarantined event whose key was meanwhile overwritten by a
+    higher-lsn event must not clobber current state when re-driven."""
+    ev = _mk_events([
+        {"lsn": 1, "op": "insert", "content": "v1", "epoch": 0},
+        {"lsn": 5, "op": "badop", "content": "v5-broken", "epoch": 0},
+        {"lsn": 9, "op": "update", "content": "v9", "epoch": 0},
+    ])
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4)
+    lake = LakeTable(root, n_buckets=4)
+
+    res = redrive(
+        spark, lake, fix_fn=lambda df: df.withColumn("op", F.lit("update"))
+    )
+    assert res.n_events == 1
+    got = engine_live_pdf(spark, root)
+    assert len(got) == 1 and got.loc[0, "lsn"] == 9 and got.loc[0, "content"] == "v9"
