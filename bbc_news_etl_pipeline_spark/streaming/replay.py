@@ -143,6 +143,46 @@ class ReplayResult:
         return self.events_applied / self.wall_sec if self.wall_sec else 0.0
 
 
+@dataclass
+class AdaptiveEpochSizer:
+    """Adaptive backpressure: size the next epoch from the MEASURED apply
+    rate so each epoch targets ~`target_sec` of work — the engine analog of
+    the reference's KEDA queue-depth autoscaling
+    (/root/reference/docs/scaling/index.md:25-31), turned inward: instead of
+    scaling workers to the queue, scale the batch to the workers' observed
+    throughput. An epoch that ran slow (skew burst, cold cache, noisy host)
+    shrinks the next epoch; a fast one grows it, within [min, max] bounds.
+
+    Rate is EWMA-smoothed (`alpha` on the newest sample) so one outlier
+    epoch does not whipsaw the plan. Pure and deterministic given the
+    measured (n_offsets, wall_sec) sequence — unit-testable without Spark.
+    """
+
+    target_sec: float = 30.0
+    initial_events: int = 100_000
+    min_events: int = 1_000
+    max_events: int = 8_000_000
+    alpha: float = 0.5
+    _rate: float | None = None
+
+    def first_size(self) -> int:
+        return max(self.min_events, min(self.initial_events, self.max_events))
+
+    def next_size(self, n_offsets: int, wall_sec: float) -> int:
+        if n_offsets <= 0 or wall_sec <= 0:
+            return self.first_size() if self._rate is None else self._clamp(
+                self._rate * self.target_sec
+            )
+        rate = n_offsets / wall_sec
+        self._rate = rate if self._rate is None else (
+            self.alpha * rate + (1 - self.alpha) * self._rate
+        )
+        return self._clamp(self._rate * self.target_sec)
+
+    def _clamp(self, x: float) -> int:
+        return int(min(max(x, self.min_events), self.max_events))
+
+
 def plan_epochs(
     log: EventLog, lake: LakeTable, events_per_epoch: int | None = None
 ) -> list[tuple[int, int, int]]:
@@ -412,19 +452,42 @@ def replay(
     max_epochs: int | None = None,
     salt_buckets: int = M.DEFAULT_SALT_BUCKETS,
     crash_after_epoch: int | None = None,
+    adaptive: AdaptiveEpochSizer | None = None,
 ) -> ReplayResult:
     """Tail the log from the current checkpoint to its head.
 
     ``crash_after_epoch`` aborts the loop right after that epoch commits —
-    used by the resume tests to simulate a mid-replay crash.
+    used by the resume tests to simulate a mid-replay crash. ``adaptive``
+    replaces the static epoch plan with measured-rate sizing (each epoch's
+    offset budget derives from the previous epoch's events/sec); crash and
+    resume semantics are identical because every epoch still commits through
+    the same fence and the loop re-derives its position from the lake.
     """
     log = EventLog(log_dir)
     lake = LakeTable(lake_root, n_buckets=n_buckets)
     result = ReplayResult()
+    _, _, active_version = lake.resume_point()
+
+    if adaptive is not None:
+        ep, lo, _ = lake.resume_point()
+        max_seq = log.max_seq()
+        size = adaptive.first_size()
+        while lo < max_seq and (max_epochs is None or len(result.epochs) < max_epochs):
+            hi = min(lo + size, max_seq)
+            res = apply_epoch(
+                spark, log, lake, ep, lo, hi, active_version, salt_buckets
+            )
+            active_version = max(active_version, res.schema_version)
+            result.epochs.append(res)
+            size = adaptive.next_size(hi - lo, res.wall_sec)
+            lo, ep = hi, ep + 1
+            if crash_after_epoch is not None and res.epoch >= crash_after_epoch:
+                break
+        return result
+
     plans = plan_epochs(log, lake, events_per_epoch)
     if max_epochs is not None:
         plans = plans[:max_epochs]
-    _, _, active_version = lake.resume_point()
     for epoch, lo, hi in plans:
         res = apply_epoch(
             spark, log, lake, epoch, lo, hi, active_version, salt_buckets

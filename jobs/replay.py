@@ -34,6 +34,11 @@ def main() -> None:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--events-per-epoch", type=int, default=None)
     p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--adaptive-target-sec", type=float, default=None,
+                   help="size each epoch from the measured apply rate to "
+                        "target this many seconds of work (overrides "
+                        "--events-per-epoch)")
+    p.add_argument("--adaptive-initial", type=int, default=100_000)
     p.add_argument("--generate-events", type=int, default=None,
                    help="generate a synthetic stream of N events into --log-dir first")
     p.add_argument("--generate-epochs", type=int, default=8)
@@ -64,6 +69,12 @@ def main() -> None:
             spark.sparkContext.addPyFile(zip_base + ".zip")
     except Exception:
         pass  # zipped --py-files deployment: nothing to re-ship
+    adaptive = None
+    if args.adaptive_target_sec is not None:
+        adaptive = R.AdaptiveEpochSizer(
+            target_sec=args.adaptive_target_sec,
+            initial_events=args.adaptive_initial,
+        )
     res = R.replay(
         spark,
         args.log_dir,
@@ -71,6 +82,7 @@ def main() -> None:
         n_buckets=args.n_buckets,
         events_per_epoch=args.events_per_epoch,
         max_epochs=args.max_epochs,
+        adaptive=adaptive,
     )
     lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
     R.write_checkpoint_table(spark, lake)
