@@ -1,0 +1,121 @@
+"""Structured observability: JSON run logs + Prometheus counter export.
+
+Mirrors the reference's envelope and id hierarchy — JSON log lines carrying
+service/host/duration_ms (/root/reference/src/logger/logging_setup.py:11-22)
+with context_id > job_id > task_id scoping
+(/root/reference/docs/observability/logs.md:72-94) — and its Prometheus
+counter vocabulary (/root/reference/docs/observability/metrics.md:33-53),
+re-keyed to engine semantics (epochs, quarantine, hot keys).
+
+The log records are driver-side only (per-epoch granularity): per-partition
+facts already live in the `_lineage`/`_metrics` sidecar TABLES, which are
+the queryable observability surface; these JSON lines are the stream a log
+collector (the reference ships Loki) would ingest.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import socket
+import time
+import uuid
+from collections import Counter
+
+
+class JsonRunLogger:
+    """Emit one JSON object per line through stdlib logging.
+
+    context_id identifies the run (a replay/tail/redrive invocation),
+    job_id an epoch within it, task_id an optional sub-step — the
+    reference's work-generator/producer/consumer id chain."""
+
+    def __init__(self, service: str = "cdc-engine", logger: logging.Logger | None = None):
+        self.service = service
+        self.host = socket.gethostname()
+        self.log = logger or logging.getLogger("cdc.engine")
+        self.context_id = uuid.uuid4().hex[:12]
+
+    def new_context(self, kind: str) -> str:
+        """Start a new run scope; returns the fresh context_id."""
+        self.context_id = f"{kind}-{uuid.uuid4().hex[:12]}"
+        return self.context_id
+
+    def event(
+        self,
+        message: str,
+        level: str = "INFO",
+        job_id: str | None = None,
+        task_id: str | None = None,
+        duration_ms: float | None = None,
+        **fields,
+    ) -> dict:
+        rec = {
+            "ts": round(time.time(), 3),
+            "level": level,
+            "service": self.service,
+            "host": self.host,
+            "context_id": self.context_id,
+            "message": message,
+        }
+        if job_id is not None:
+            rec["job_id"] = job_id
+        if task_id is not None:
+            rec["task_id"] = task_id
+        if duration_ms is not None:
+            rec["duration_ms"] = round(duration_ms, 3)
+        rec.update(fields)
+        self.log.log(getattr(logging, level, logging.INFO), json.dumps(rec, sort_keys=True))
+        return rec
+
+
+#: counter name -> manifest counts key (reference metric vocabulary adapted:
+#: bbc_consumer_messages_processed_total -> events applied, DLQ -> quarantine)
+_COUNTERS = {
+    "cdc_events_applied_total": "events_applied",
+    "cdc_events_quarantined_total": "events_quarantined",
+    "cdc_events_duplicate_total": "events_duplicate",
+    "cdc_buckets_rewritten_total": "buckets_touched",
+    "cdc_hot_repos_split_total": "hot_repos_split",
+}
+
+
+def prometheus_text(lake) -> str:
+    """Render the lake's committed counters in Prometheus text exposition
+    format — driver-side, from the manifests alone (no Spark job), so a
+    scrape endpoint can serve it cheaply at any table size (manifest count
+    == snapshot count, bounded by expiration)."""
+    totals: Counter = Counter()
+    epochs = lake.committed_epochs()
+    last_rate = None
+    for ep in epochs:
+        c = lake.manifest(ep).get("counts", {})
+        for metric, key in _COUNTERS.items():
+            v = c.get(key, 0)
+            if isinstance(v, int):
+                totals[metric] += v
+    if epochs:
+        try:  # last epoch's apply rate from its _metrics sidecar (pyarrow, tiny)
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            d = lake.sidecar_dir("_metrics", epochs[-1])
+            files = glob.glob(os.path.join(d, "*.parquet"))
+            if files:
+                t = pq.read_table(files[0])
+                last_rate = float(t.column("events_per_sec")[0].as_py())
+        except Exception:
+            last_rate = None
+
+    lines = []
+    for metric in _COUNTERS:
+        lines.append(f"# TYPE {metric} counter")
+        lines.append(f"{metric} {totals[metric]}")
+    lines.append("# TYPE cdc_epochs_committed_total counter")
+    lines.append(f"cdc_epochs_committed_total {len(epochs)}")
+    if last_rate is not None:
+        lines.append("# TYPE cdc_events_per_sec gauge")
+        lines.append(f"cdc_events_per_sec {last_rate}")
+    return "\n".join(lines) + "\n"

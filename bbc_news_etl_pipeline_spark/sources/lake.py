@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import schema_registry as reg
+from ..util import with_backoff
 
 _MANIFEST_RE = re.compile(r"manifest-(\d{6})\.json$")
 
@@ -71,8 +72,13 @@ class LakeTable:
         return sorted(out)
 
     def manifest(self, epoch: int) -> dict:
-        with open(os.path.join(self.manifests_dir, f"manifest-{epoch:06d}.json")) as f:
-            return json.load(f)
+        def _read() -> dict:
+            with open(
+                os.path.join(self.manifests_dir, f"manifest-{epoch:06d}.json")
+            ) as f:
+                return json.load(f)
+
+        return with_backoff(_read)
 
     def current_manifest(self) -> dict | None:
         epochs = self.committed_epochs()
@@ -91,10 +97,14 @@ class LakeTable:
         if os.path.exists(final):
             return False
         tmp = final + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-            f.flush()
-            os.fsync(f.fileno())
+
+        def _write() -> None:
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+
+        with_backoff(_write)
         try:
             os.rename(tmp, final)  # atomic POSIX swap = the commit point
         except OSError:

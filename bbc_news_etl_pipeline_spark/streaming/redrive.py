@@ -67,7 +67,9 @@ def redrive(
     no log offsets, so the offset planner's resume point is unaffected.
     """
     pend = pending_quarantine_epochs(lake)
+    R.RUN_LOGGER.new_context("redrive")
     if not pend:
+        R.RUN_LOGGER.event("redrive_noop", pending=[])
         return None
     qdirs = [lake.sidecar_dir("_quarantine", ep) for ep in pend]
     template = reg.event_schema(reg.LATEST_VERSION)

@@ -31,10 +31,18 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..observability import JsonRunLogger
 from ..operators import merge as M
 from ..plans import schema_registry as reg
 from ..sources.event_log import EventLog
 from ..sources.lake import LakeTable
+from ..util import with_backoff
+
+#: shared run logger — replay()/tail()/redrive() open a fresh context;
+#: apply_events emits one epoch_committed record per commit (the JSON log
+#: stream a collector would ingest; per-partition facts live in the
+#: _lineage/_metrics sidecar tables)
+RUN_LOGGER = JsonRunLogger()
 
 LINEAGE_SCHEMA = T.StructType(
     [
@@ -87,8 +95,11 @@ def _write_sidecar(dir_path: str, columns: dict, schema: T.StructType) -> None:
     }
     pa_schema = pa.schema([(f.name, _PA[f.dataType]) for f in schema.fields])
     os.makedirs(dir_path, exist_ok=True)
-    pq.write_table(
-        pa.table(columns, schema=pa_schema), os.path.join(dir_path, "part-00000.parquet")
+    with_backoff(
+        lambda: pq.write_table(
+            pa.table(columns, schema=pa_schema),
+            os.path.join(dir_path, "part-00000.parquet"),
+        )
     )
 
 
@@ -429,6 +440,19 @@ def apply_events(
     }
     committed = lake.commit(manifest)
     wall = time.perf_counter() - t0
+    RUN_LOGGER.event(
+        "epoch_committed" if committed else "epoch_fence_skip",
+        job_id=f"epoch-{epoch}",
+        duration_ms=wall * 1000.0,
+        events_applied=n_valid,
+        events_quarantined=n_quar,
+        events_duplicate=n_valid - n_distinct,
+        buckets_touched=len(touched),
+        hot_repos_split=n_hot,
+        schema_version=ver,
+        seq_lo=seq_lo,
+        seq_hi=seq_hi,
+    )
     return EpochResult(
         epoch,
         seq_lo,
@@ -466,6 +490,7 @@ def replay(
     log = EventLog(log_dir)
     lake = LakeTable(lake_root, n_buckets=n_buckets)
     result = ReplayResult()
+    RUN_LOGGER.new_context("replay")
     _, _, active_version = lake.resume_point()
 
     if adaptive is not None:

@@ -101,6 +101,7 @@ def tail(
     """
     lake = LakeTable(lake_root, n_buckets=n_buckets)
     result = TailResult()
+    R.RUN_LOGGER.new_context("tail")
 
     # ---- epoch namespacing: Structured Streaming's batch_id restarts at 0
     # for a fresh checkpoint dir, so fencing on batch_id alone would collide

@@ -1,0 +1,28 @@
+"""Small driver-side utilities."""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+
+def with_backoff(
+    fn: Callable,
+    attempts: int = 5,
+    base_delay: float = 0.05,
+    retry_on: tuple[type[BaseException], ...] = (OSError,),
+):
+    """Run `fn()` with exponential backoff — the reference wraps every
+    client call this way (delay * 2**(attempt-1),
+    /root/reference/src/clients/mongo/mongo_base.py:185-208; tenacity at
+    postgres_base.py:76). The engine's EXECUTOR-side IO already retries via
+    Spark task re-execution + the epoch fence; this covers the driver-side
+    manifest/sidecar file IO that has no task framework around it (flaky
+    NFS/object-store metadata ops at scale)."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except retry_on:
+            if i == attempts - 1:
+                raise
+            time.sleep(base_delay * (2**i))

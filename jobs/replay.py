@@ -39,6 +39,9 @@ def main() -> None:
                         "target this many seconds of work (overrides "
                         "--events-per-epoch)")
     p.add_argument("--adaptive-initial", type=int, default=100_000)
+    p.add_argument("--metrics-out", default=None,
+                   help="write Prometheus text-exposition counters here "
+                        "after the run (the scrape-endpoint payload)")
     p.add_argument("--generate-events", type=int, default=None,
                    help="generate a synthetic stream of N events into --log-dir first")
     p.add_argument("--generate-epochs", type=int, default=8)
@@ -86,6 +89,11 @@ def main() -> None:
     )
     lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
     R.write_checkpoint_table(spark, lake)
+    if args.metrics_out:
+        from bbc_news_etl_pipeline_spark.observability import prometheus_text
+
+        with open(args.metrics_out, "w") as f:
+            f.write(prometheus_text(lake))
     from pyspark.sql import functions as F
 
     state = lake.read_state(spark)

@@ -1,0 +1,100 @@
+"""Structured observability (observability.py) + driver IO retry (util.py):
+JSON log records with the reference id hierarchy, Prometheus counter export
+from the manifests, and exponential backoff on driver-side file IO
+(VERDICT r01 missing items 3 and 5)."""
+
+from __future__ import annotations
+
+import json
+import logging
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.observability import prometheus_text
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+from bbc_news_etl_pipeline_spark.util import with_backoff
+
+
+@pytest.fixture(scope="module")
+def replayed(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("obs_stream"))
+    gen.build_stream(2_000, 2, d)
+    root = str(tmp_path_factory.mktemp("obs_lake") / "lake")
+    with _capture() as records:
+        res = R.replay(spark, d, root, n_buckets=8)
+    return root, res, records
+
+
+class _capture:
+    def __enter__(self):
+        self.records: list[str] = []
+        self.handler = logging.Handler()
+        self.handler.emit = lambda rec: self.records.append(rec.getMessage())
+        logger = logging.getLogger("cdc.engine")
+        logger.addHandler(self.handler)
+        logger.setLevel(logging.INFO)
+        return self.records
+
+    def __exit__(self, *exc):
+        logging.getLogger("cdc.engine").removeHandler(self.handler)
+
+
+def test_json_log_envelope(replayed):
+    _, res, records = replayed
+    parsed = [json.loads(r) for r in records]
+    commits = [p for p in parsed if p["message"] == "epoch_committed"]
+    assert len(commits) == len(res.epochs)
+    for p in commits:
+        # the reference envelope: service/host/duration + id hierarchy
+        assert p["service"] == "cdc-engine" and p["host"]
+        assert p["context_id"].startswith("replay-")
+        assert p["job_id"].startswith("epoch-")
+        assert p["duration_ms"] > 0
+        assert p["level"] == "INFO"
+    # all epochs of one run share one context_id
+    assert len({p["context_id"] for p in commits}) == 1
+    assert sum(p["events_applied"] for p in commits) == 2_000
+
+
+def test_prometheus_export(spark, replayed):
+    root, res, _ = replayed
+    lake = LakeTable(root, n_buckets=8)
+    text = prometheus_text(lake)
+    metrics = {}
+    for line in text.splitlines():
+        if line and not line.startswith("#"):
+            k, v = line.split()
+            metrics[k] = float(v)
+    assert metrics["cdc_events_applied_total"] == 2_000
+    assert metrics["cdc_epochs_committed_total"] == len(res.epochs)
+    assert metrics["cdc_events_quarantined_total"] == 0
+    assert metrics["cdc_hot_repos_split_total"] >= 1
+    assert metrics.get("cdc_events_per_sec", 0) > 0
+    assert "# TYPE cdc_events_applied_total counter" in text
+
+
+def test_with_backoff_retries_then_succeeds():
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert with_backoff(flaky, attempts=5, base_delay=0.001) == "ok"
+    assert len(calls) == 3
+
+
+def test_with_backoff_exhausts():
+    calls = []
+
+    def broken():
+        calls.append(1)
+        raise OSError("permanent")
+
+    with pytest.raises(OSError):
+        with_backoff(broken, attempts=3, base_delay=0.001)
+    assert len(calls) == 3
