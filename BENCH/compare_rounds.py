@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Per-query bench delta between two bench JSON records (driver
+`BENCH_r{N}.json` files or a local `python bench.py` line) — makes
+regressions visible round over round.
+
+Usage: python BENCH/compare_rounds.py OLD.json NEW.json [> BENCH/ROUNDS.md]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _load(path: str) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    # driver BENCH_r{N}.json wraps the bench line under "parsed"
+    return d.get("parsed", d)
+
+
+def main(old_path: str, new_path: str) -> None:
+    old = _load(old_path)
+    new = _load(new_path)
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    names = sorted(set(oq) | set(nq))
+    print(f"# Bench delta: {old_path} -> {new_path}\n")
+    print(f"Totals: {old.get('value')}s -> {new.get('value')}s "
+          f"(sf={new.get('sf')})\n")
+    print("| query | old (s) | new (s) | delta |")
+    print("|---|---|---|---|")
+    for n in names:
+        a, b = oq.get(n), nq.get(n)
+        if a is None or b is None:
+            d = "added" if a is None else "removed"
+        else:
+            pct = (b - a) / a * 100 if a else 0.0
+            d = f"{pct:+.0f}%"
+        print(f"| {n} | {a} | {b} | {d} |")
+    oc, nc = old.get("cdc") or {}, new.get("cdc") or {}
+    if oc and nc:
+        print(
+            f"\nCDC replay: {oc.get('events_per_sec'):,} -> "
+            f"{nc.get('events_per_sec'):,} events/sec "
+            f"({oc.get('events'):,} events, {oc.get('epochs')} epochs)"
+        )
+    for k, v in (new.get("extra") or {}).items():
+        print(f"\nextra: {k} = {v}s")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

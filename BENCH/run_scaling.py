@@ -126,15 +126,10 @@ def main() -> None:
     ap.add_argument("--levels", type=int, nargs="+", default=[2, 8, 32])
     args = ap.parse_args()
 
-    log_dir = os.path.join(
-        tempfile.gettempdir(), f"cdc_bench_log_{args.events}_{args.epochs}_v2"
-    )
-    if not os.path.exists(os.path.join(log_dir, "_segments.json")):
-        from bbc_news_etl_pipeline_spark.fixtures.generator import build_stream
+    from bbc_news_etl_pipeline_spark.fixtures.generator import ensure_cached_stream
 
-        shutil.rmtree(log_dir, ignore_errors=True)
-        print(f"generating {args.events} events x {args.epochs} epochs ...")
-        build_stream(args.events, args.epochs, log_dir)
+    print(f"ensuring {args.events} events x {args.epochs} epochs stream ...")
+    log_dir = ensure_cached_stream(args.events, args.epochs)
 
     staging = tempfile.mkdtemp(prefix="scaling_zip_")
     try:

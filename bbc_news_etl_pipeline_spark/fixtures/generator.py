@@ -277,3 +277,27 @@ def build_stream(n_events: int, n_epochs: int, out_dir: str, seed: int = SEED) -
     """Generate + persist a stream; returns the segment manifest."""
     spec = StreamSpec(n_events=n_events, n_epochs=n_epochs, seed=seed)
     return write_event_log(generate_events(spec), out_dir)
+
+
+def stream_cache_dir(n_events: int, n_epochs: int, seed: int = SEED) -> str:
+    """Canonical temp-dir cache location for a generated stream, keyed by
+    (size, epochs, seed) AND a hash of this module's source — a generator
+    change can therefore never silently benchmark a stale stream."""
+    import tempfile
+
+    with open(__file__, "rb") as f:
+        src = hashlib.sha1(f.read()).hexdigest()[:10]
+    return os.path.join(
+        tempfile.gettempdir(), f"cdc_stream_{n_events}x{n_epochs}_s{seed}_g{src}"
+    )
+
+
+def ensure_cached_stream(n_events: int, n_epochs: int, seed: int = SEED) -> str:
+    """build_stream into the canonical cache dir if absent; returns the dir."""
+    d = stream_cache_dir(n_events, n_epochs, seed)
+    if not os.path.exists(os.path.join(d, "_segments.json")):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        build_stream(n_events, n_epochs, d, seed)
+    return d

@@ -64,18 +64,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
-    from bbc_news_etl_pipeline_spark.fixtures.generator import build_stream
+    from bbc_news_etl_pipeline_spark.fixtures.generator import ensure_cached_stream
     from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
     from bbc_news_etl_pipeline_spark.streaming.replay import replay
 
     # cache the generated log across runs (generation is driver-side pandas
-    # and deterministic; replay throughput is what we measure)
-    cache = os.path.join(
-        tempfile.gettempdir(), f"cdc_bench_log_{n_events}_{n_epochs}_v2"
-    )
-    if not os.path.exists(os.path.join(cache, "_segments.json")):
-        shutil.rmtree(cache, ignore_errors=True)
-        build_stream(n_events, n_epochs, cache)
+    # and deterministic; replay throughput is what we measure). The cache
+    # key embeds a generator-source hash, so a generator change regenerates.
+    cache = ensure_cached_stream(n_events, n_epochs)
     lake_root = tempfile.mkdtemp(prefix="cdc_bench_lake_")
     try:
         res = replay(spark, cache, lake_root, n_buckets=64)
@@ -100,6 +96,18 @@ def main() -> None:
 
     queries = bench_queries(spark, sf_dir)
 
+    # production-hash (xxhash64) minhash variant: not a contract query (the
+    # contract rows stay on the DuckDB-portable md5 path), timed here so the
+    # fast path's advantage is visible in every round's bench record
+    from bbc_news_etl_pipeline_spark.operators import dedup as D
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.perf_counter()
+    D.minhash_signatures(docs, hash_mode="fast").write.mode("overwrite").format(
+        "noop"
+    ).save()
+    extra = {"dedup_minhash_signatures_fast": round(time.perf_counter() - t0, 3)}
+
     cdc = None
     if os.environ.get("BENCH_SKIP_CDC") != "1":
         cdc = bench_cdc(
@@ -118,6 +126,7 @@ def main() -> None:
                 "queries": queries,
                 "sf": _sf_of(sf_dir),
                 "cdc": cdc,
+                "extra": extra,
             }
         )
     )
