@@ -202,6 +202,59 @@ class LakeTable:
         df = self.read_buckets(spark, None, ver, manifest=manifest)
         return df.where(~F.col("is_deleted")).drop("is_deleted")
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        log,
+        from_epoch: int,
+        to_epoch: int | None = None,
+    ) -> DataFrame:
+        """Incremental scan (Iceberg `incremental read` analog): the NET
+        change between two committed snapshots, as one row per key touched
+        in (seq_hi(from), seq_hi(to)] — `change` is 'upsert' (with the
+        post-image payload at `to_epoch`) or 'delete' (tombstone).
+
+        A downstream consumer that applied snapshot `from_epoch` reaches
+        snapshot `to_epoch` by applying exactly these rows — intermediate
+        churn within the window is already LWW-collapsed, so the cost is
+        proportional to the window's TOUCHED KEYS, not to the table or to
+        the raw event count:
+
+        - the changed-key set comes from a slim log scan of the offset
+          window (keys only — content pruned at the parquet reader);
+        - post-images come from a semi-join of the touched buckets' state
+          against that key set (broadcast when small).
+        """
+        m_from = self.manifest(from_epoch)
+        m_to = (
+            self.manifest(to_epoch)
+            if to_epoch is not None
+            else self.current_manifest()
+        )
+        if m_to is None:
+            raise ValueError("no committed snapshot to diff against")
+        keys = (
+            log.read_range(
+                spark, m_from["seq_hi"], m_to["seq_hi"], m_to["schema_version"]
+            )
+            .where(F.col("repo").isNotNull() & F.col("path").isNotNull())
+            .select("repo", "path")
+            .distinct()
+        )
+        from ..operators.merge import bucket_col
+
+        keyed = keys.select("repo", "path", bucket_col(self.n_buckets).alias("b"))
+        touched = sorted(
+            {r["b"] for r in keyed.select("b").distinct().collect()}
+        )
+        state = self.read_buckets(
+            spark, touched, m_to["schema_version"], manifest=m_to
+        )
+        rows = state.join(F.broadcast(keys), ["repo", "path"], "left_semi")
+        return rows.withColumn(
+            "change", F.when(F.col("is_deleted"), F.lit("delete")).otherwise(F.lit("upsert"))
+        ).drop("is_deleted")
+
     def read_sidecar(self, spark: SparkSession, name: str) -> DataFrame | None:
         """Union a sidecar table (_lineage/_metrics/_quarantine) across all
         COMMITTED epochs only."""

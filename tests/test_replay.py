@@ -14,6 +14,7 @@ from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
 from bbc_news_etl_pipeline_spark.streaming import replay as R
 
 from .oracle import content_sha256, sequential_replay, table_digest
+from .util import engine_live_pdf
 
 E = 10_000
 N_EPOCHS = 5
@@ -122,3 +123,40 @@ def test_shuffle_join_path_matches_broadcast(spark, tmp_path, monkeypatch):
     R.replay(spark, d, root_s, n_buckets=8)
 
     assert engine_digest(spark, root_b) == engine_digest(spark, root_s)
+
+
+def test_read_changes_bridges_snapshots(spark, tmp_path):
+    """Incremental scan: applying read_changes(from, to) onto snapshot
+    `from` must reproduce snapshot `to` exactly (upserts replace, deletes
+    remove), and the change set collapses intra-window churn to one row per
+    touched key."""
+    import pandas as pd
+
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+
+    d = str(tmp_path / "log")
+    gen.build_stream(3_000, 3, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+
+    cols = ["repo", "path", "lsn", "content_sha256"]
+    s0 = engine_live_pdf(spark, root, epoch=0)[cols]
+    s2 = engine_live_pdf(spark, root)[cols]
+
+    ch = lake.read_changes(spark, EventLog(d), 0).toPandas()
+    assert set(ch["change"]) <= {"upsert", "delete"}
+    assert not ch.duplicated(["repo", "path"]).any(), "one row per touched key"
+
+    keys = ch[["repo", "path"]]
+    survivors = s0.merge(keys, on=["repo", "path"], how="left", indicator=True)
+    survivors = survivors[survivors["_merge"] == "left_only"][cols]
+    ups = ch[ch["change"] == "upsert"][cols]
+    derived = (
+        pd.concat([survivors, ups], ignore_index=True)
+        .sort_values(["repo", "path"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    s2s = s2.sort_values(["repo", "path"], kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(derived, s2s)
