@@ -1,0 +1,88 @@
+"""Property-based LWW commutativity (SURVEY.md section 5, test 8, upgraded
+from seeded schedules to hypothesis): for ANY event set and ANY partition of
+it into epochs, the engine's final state equals the sequential oracle's.
+
+Spark replay per example is expensive, so examples are few but adversarial:
+hypothesis shrinks failures to minimal schedules (tiny key spaces maximize
+key collisions; deletes and ghost keys included)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .test_skew_quarantine_lww import _mk_events
+from .util import engine_live_pdf
+
+# an event: (key_id 0..2, op, epoch 0..2) — lsn is the list position + 1,
+# so every schedule is a valid log with unique, dense lsns
+_event = st.tuples(
+    st.integers(min_value=0, max_value=2),
+    st.sampled_from(["insert", "update", "delete"]),
+    st.integers(min_value=0, max_value=2),
+)
+
+
+def _expected_state(rows: list[dict]) -> pd.DataFrame:
+    """Sequential oracle: apply in lsn order, last writer wins, deletes
+    remove; ghost deletes are no-ops."""
+    state: dict[str, tuple] = {}
+    for r in sorted(rows, key=lambda r: r["lsn"]):
+        if r["op"] == "delete":
+            state.pop(r["path"], None)
+        else:
+            state[r["path"]] = (r["lsn"], r["content"])
+    return (
+        pd.DataFrame(
+            [{"path": p, "lsn": v[0], "content": v[1]} for p, v in state.items()]
+        )
+        .sort_values("path", kind="mergesort")
+        .reset_index(drop=True)
+        if state
+        else pd.DataFrame(columns=["path", "lsn", "content"])
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_event, min_size=1, max_size=12))
+def test_any_schedule_matches_sequential_oracle(spark, tmp_path_factory, schedule):
+    rows = [
+        {
+            "lsn": i + 1,
+            "op": op,
+            "path": f"k{key}.py",
+            "content": None if op == "delete" else f"v{i + 1}",
+            "epoch": ep,
+        }
+        for i, (key, op, ep) in enumerate(schedule)
+    ]
+    ev = _mk_events(rows)
+    # epochs must be contiguous 0..n for the segment writer; arrival order
+    # within an epoch is the schedule order (already a shuffle of lsn order)
+    ev["epoch"] = ev["epoch"].rank(method="dense").astype(int) - 1
+    ev = ev.sort_values(["epoch"], kind="mergesort").reset_index(drop=True)
+    ev["arrival_seq"] = range(len(ev))
+
+    work = tmp_path_factory.mktemp("prop")
+    d = str(work / "log")
+    gen.write_event_log(ev, d)
+    root = str(work / "lake")
+    R.replay(spark, d, root, n_buckets=4)
+
+    got = (
+        engine_live_pdf(spark, root)[["path", "lsn", "content"]]
+        .sort_values("path", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = _expected_state(rows)
+    assert len(got) == len(want), f"\ngot:\n{got}\nwant:\n{want}"
+    if len(want):
+        pd.testing.assert_frame_equal(got, want)
