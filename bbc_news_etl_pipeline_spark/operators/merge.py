@@ -103,22 +103,24 @@ def epoch_probe(events: DataFrame, n_buckets: int) -> DataFrame:
         events.select(
             bucket_col(n_buckets).alias("bucket"),
             "repo",
-            "path",
             is_valid.alias("_ok"),
             F.col("lsn"),
+            # distinct (repo, path, lsn) triples per bucket: a real binlog can
+            # redeliver the same event inside one batch window; n_valid minus
+            # the distinct total flags it so the merge engages its (rare)
+            # dedup path only when duplicates actually exist. Distinct runs
+            # over the HASHED triple (8-byte shuffle rows, map-side partial
+            # distinct) — a hash collision can only under-count, i.e. engage
+            # the dedup unnecessarily; identical triples always collide, so a
+            # real duplicate is never missed.
+            F.xxhash64("repo", "path", "lsn").alias("_kh"),
         )
         .groupingSets([["bucket"], ["repo"]], "bucket", "repo")
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n"),
             F.count_if(F.col("_ok")).alias("n_valid"),
-            # distinct (repo, path, lsn) triples per bucket: a real binlog can
-            # redeliver the same event inside one batch window; n_valid minus
-            # the distinct total flags it so the merge engages its (rare)
-            # dedup path only when duplicates actually exist
-            F.count_distinct(
-                F.when(F.col("_ok"), F.struct("repo", "path", "lsn"))
-            ).alias("n_distinct"),
+            F.count_distinct(F.when(F.col("_ok"), F.col("_kh"))).alias("n_distinct"),
             F.min(F.when(F.col("_ok"), F.col("lsn"))).alias("lo"),
             F.max(F.when(F.col("_ok"), F.col("lsn"))).alias("hi"),
         )
