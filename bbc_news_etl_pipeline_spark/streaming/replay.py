@@ -33,7 +33,6 @@ from pyspark.sql import types as T
 
 from ..observability import JsonRunLogger
 from ..operators import merge as M
-from ..plans import schema_registry as reg
 from ..sources.event_log import EventLog
 from ..sources.lake import LakeTable
 from ..util import with_backoff
