@@ -1,0 +1,86 @@
+"""Streaming windowed aggregation with watermarked late-data handling.
+
+The engine's MERGE path needs no watermark (LWW-by-lsn is order-insensitive;
+SURVEY.md section 2.9 T6), but a deployment also wants streaming ANALYTICS
+over the same event log — the reference's per-date doc counts
+(/root/reference/src/clients/mongo/producer_repository.py:58-74) computed
+continuously instead of by rescan. This is the idiomatic Spark surface for
+that: `readStream -> withWatermark -> window -> append sink`.
+
+Semantics demonstrated (and pinned by tests/test_streaming_windows.py):
+
+- late events (the generator delivers ~2% one epoch late) are folded into
+  their ORIGINAL event-time window as long as they arrive inside the
+  watermark — the exact case the reference handles by re-scraping past
+  dates, here handled by state retention instead of recomputation;
+- append mode emits each window EXACTLY ONCE, when the watermark passes its
+  end: restarting a drained query emits nothing new (checkpointed state),
+  and every emitted row equals the batch ground truth over the full log;
+- windows newer than (max event time - watermark) stay open in state —
+  correctness over completeness at the stream frontier.
+
+Scale shape: the aggregation state is (window, repo) keyed — partial
+aggregation map-side, state store per key-range partition; content is
+pruned at the parquet reader (only ts/repo/op are touched).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import schema_registry as reg
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """The shared aggregation plan (batch ground truth == stream logic):
+    per (event-time window, repo): event count, delete count, max lsn."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("op") == "delete").alias("n_deletes"),
+            F.max("lsn").alias("max_lsn"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "repo",
+            "n_events",
+            "n_deletes",
+            "max_lsn",
+        )
+    )
+
+
+def tail_windowed_counts(
+    spark: SparkSession,
+    log_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 8,
+    timeout_sec: float = 300.0,
+) -> None:
+    """Continuously aggregate the event log into per-window parquet
+    (availableNow drain; restart-safe via the stream checkpoint). Append
+    mode: a window is written exactly once, after the watermark passes it."""
+    stream = (
+        spark.readStream.schema(reg.event_schema(reg.LATEST_VERSION))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{log_dir}/segment-*.parquet")
+    )
+    agg = windowed_event_counts(stream.withWatermark("ts", watermark), window)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(30)
