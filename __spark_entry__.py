@@ -172,6 +172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- live CDC engine replay (non-SQL-expressible: full engine path) ----
     q["cdc_replay_state"] = _cdc_replay_state
 
+    # ---- streaming-analytics plan (same code the watermarked stream runs) ----
+    q["cdc_windowed_counts"] = _cdc_windowed_counts
+
     return q
 
 
@@ -220,6 +223,29 @@ def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         LakeTable(lake_root, n_buckets=8)
         .read_state(spark)
         .select("repo", "path", "lsn", "content_sha256")
+    )
+
+
+def _cdc_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked stream's aggregation plan (streaming/windows.py),
+    run in batch over the staged oracle log — value-checks the exact logic
+    the availableNow tailer executes (the stream itself is checked for
+    batch-equality in tests/test_streaming_windows.py)."""
+    from bbc_news_etl_pipeline_spark.plans import schema_registry as reg
+    from bbc_news_etl_pipeline_spark.streaming.windows import windowed_event_counts
+
+    log_dir = _ensure_cdc_oracle_log()
+    events = spark.read.schema(reg.event_schema(reg.LATEST_VERSION)).parquet(
+        os.path.join(log_dir, "segment-*.parquet")
+    )
+    out = windowed_event_counts(events)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "repo",
+        "n_events",
+        "n_deletes",
+        "max_lsn",
     )
 
 
@@ -525,5 +551,14 @@ def oracle_sql() -> dict[str, str]:
         "  (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev) "
         "SELECT repo, path, lsn, sha256(content) AS content_sha256 "
         "FROM ranked WHERE rn = 1 AND op <> 'delete'"
+    )
+    o["cdc_windowed_counts"] = (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+        "strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end, "
+        "repo, count(*) AS n_events, "
+        "CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes, "
+        "max(lsn) AS max_lsn "
+        f"FROM read_parquet('{log_glob}', union_by_name=true) "
+        "GROUP BY 1, 2, 3"
     )
     return o
