@@ -191,6 +191,31 @@ def _lww_reduce_fn(tbl: pa.Table) -> pa.Table:
 WINNER_SCHEMA = "repo string, path string, lsn long"
 
 
+def delta_winners(
+    delta: DataFrame,
+    target_version: int,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    hint_broadcast: bool = True,
+    dedupe_delta: bool = False,
+) -> DataFrame:
+    """Merge-on-read write path: LWW-compact the DELTA ALONE to one winner
+    row per key (tombstones kept) and cluster by bucket — the layer a MOR
+    epoch appends. No base read, no base rewrite: write cost is O(epoch
+    winners), not O(table). Cross-layer resolution happens at read
+    (LakeTable.read_state) or at compaction (LakeTable.compact), both of
+    which take max-lsn per key — LWW associativity makes layer-local
+    compaction + cross-layer resolution equal to the full COW merge."""
+    template = reg.lake_schema(target_version)
+    delta_c = reg.cast_to_version(delta, target_version, template)
+    if dedupe_delta:
+        delta_c = delta_c.dropDuplicates(["repo", "path", "lsn"])
+    dwin = salted_winner_keys(delta_c, salt_buckets).select("repo", "path", "lsn")
+    keys = F.broadcast(dwin) if hint_broadcast else dwin
+    return delta_c.join(keys, ["repo", "path", "lsn"], "left_semi").repartition(
+        "bucket"
+    )
+
+
 def merge_into_base(
     delta: DataFrame,
     base: DataFrame,

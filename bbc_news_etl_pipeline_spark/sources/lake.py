@@ -44,6 +44,21 @@ from ..util import with_backoff
 _MANIFEST_RE = re.compile(r"manifest-(\d{6})\.json$")
 
 
+def _resolve_layers(df: DataFrame) -> DataFrame:
+    """Max-lsn winner per (repo, path) across merge-on-read layers.
+    Identical (repo, path, lsn) rows across layers (cross-epoch redelivery)
+    are byte-identical by the log contract, so the row_number tiebreak is
+    value-deterministic."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("repo", "path").orderBy(F.desc("lsn"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 class LakeTable:
     def __init__(self, root: str, n_buckets: int = 64):
         self.root = root
@@ -196,11 +211,63 @@ class LakeTable:
         epoch: int | None = None,
     ) -> DataFrame:
         """The merged current state (live rows only) — what a user queries.
-        `epoch` selects a historical snapshot (time travel)."""
+        `epoch` selects a historical snapshot (time travel).
+
+        Copy-on-write snapshots hold one row per key, so this is a pure
+        scan. A LAYERED (merge-on-read) snapshot holds one row per key PER
+        LAYER; the winner is resolved here — max-lsn row per key via a
+        bucket-local window (the read tax MOR trades for O(epoch) writes;
+        `compact()` pays it once and clears the flag). Tombstone filtering
+        runs AFTER resolution: a tombstone layer must hide older live
+        layers, never the reverse."""
         manifest = self.manifest(epoch) if epoch is not None else self.current_manifest()
         ver = target_version or (manifest["schema_version"] if manifest else reg.LATEST_VERSION)
         df = self.read_buckets(spark, None, ver, manifest=manifest)
+        if manifest and manifest.get("layered"):
+            df = _resolve_layers(df)
         return df.where(~F.col("is_deleted")).drop("is_deleted")
+
+    def compact(self, spark: SparkSession) -> dict | None:
+        """Collapse a layered (merge-on-read) table back to one row per key
+        — the Iceberg `rewrite_data_files` analog. Commits as a new epoch
+        (same fence; seq range empty like a redrive) whose manifest replaces
+        every bucket's layer list with the single compacted generation;
+        `expire_snapshots` then reclaims the superseded layer files.
+        Tombstones are KEPT so late lower-lsn events remain no-ops. No-op
+        (returns None) when the current snapshot is not layered."""
+        m = self.current_manifest()
+        if m is None or not m.get("layered"):
+            return None
+        ver = m["schema_version"]
+        epoch = m["epoch"] + 1
+        resolved = _resolve_layers(self.read_buckets(spark, None, ver, manifest=m))
+        (
+            resolved.repartition("bucket")
+            .withColumn("bucket_p", F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket_p")
+            .parquet(self.epoch_data_dir(epoch))
+        )
+        new_files = self.list_epoch_files(epoch)
+        buckets = {}
+        for b, entries in new_files.items():
+            for e in entries:
+                e["schema_version"] = ver
+            buckets[str(b)] = entries
+        from datetime import datetime, timezone
+
+        manifest = {
+            **{k: m[k] for k in ("seq_lo", "seq_hi", "lsn_lo", "lsn_hi", "n_buckets")},
+            "epoch": epoch,
+            "seq_lo": m["seq_hi"],
+            "schema_version": ver,
+            "layered": False,
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+            "counts": {"mode": "compact", "compacted_from": m["epoch"]},
+            "buckets": buckets,
+        }
+        self.commit(manifest)
+        return manifest
 
     def read_changes(
         self,

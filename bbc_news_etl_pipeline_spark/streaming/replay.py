@@ -238,6 +238,7 @@ def apply_epoch(
     seq_hi: int,
     active_version: int,
     salt_buckets: int = M.DEFAULT_SALT_BUCKETS,
+    mode: str = "cow",
 ) -> EpochResult:
     """Apply one epoch of the log to the lake. Idempotent: a committed epoch
     is skipped before any work (the exactly-once fence). Thin wrapper:
@@ -252,7 +253,7 @@ def apply_epoch(
     ver = max(active_version, log.max_schema_version(seq_lo, seq_hi))
     events = log.read_range(spark, seq_lo, seq_hi, ver)
     return apply_events(
-        spark, lake, epoch, events, ver, seq_lo, seq_hi, salt_buckets
+        spark, lake, epoch, events, ver, seq_lo, seq_hi, salt_buckets, mode=mode
     )
 
 
@@ -266,9 +267,18 @@ def apply_events(
     seq_hi: int,
     salt_buckets: int = M.DEFAULT_SALT_BUCKETS,
     counts_extra: dict | None = None,
+    mode: str = "cow",
 ) -> EpochResult:
     """The epoch pipeline over an arbitrary event frame (already cast to
     schema version `ver`). Caller is responsible for the fence check.
+
+    ``mode``: 'cow' (default) rewrites touched buckets to one row per key
+    (read-optimized); 'mor' appends the LWW-compacted delta as a new LAYER
+    per touched bucket — write cost O(epoch winners) instead of O(touched
+    table), read pays a max-lsn resolution until `LakeTable.compact()`.
+    Write-heavy, rarely-read workloads (a 100 TB training-data ingest
+    between refreshes) run MOR + periodic compaction; both paths share the
+    probe, quarantine, lineage, metrics, and fence.
 
     Job structure (exactly one content-bearing shuffle, see operators/merge.py):
       1. stats probe   — narrow per-key aggregation (content never shuffled);
@@ -321,12 +331,27 @@ def apply_events(
         # enough (backpressure via events_per_epoch keeps it so); huge
         # epochs fall back to Catalyst-planned shuffle joins.
         delta = M.events_to_lake_shape(valid, ver, lake.n_buckets)
-        base = lake.read_buckets(spark, touched, ver, manifest=prev_manifest)
-        merged = M.merge_into_base(
-            delta, base, ver, salt_buckets,
-            hint_broadcast=n_valid <= BROADCAST_KEYS_MAX,
-            dedupe_delta=n_distinct < n_valid,
-        )
+        if mode == "mor":
+            merged = M.delta_winners(
+                delta, ver, salt_buckets,
+                hint_broadcast=n_valid <= BROADCAST_KEYS_MAX,
+                dedupe_delta=n_distinct < n_valid,
+            )
+        else:
+            base = lake.read_buckets(spark, touched, ver, manifest=prev_manifest)
+            if prev_manifest and prev_manifest.get("layered"):
+                # COW epoch on a layered base: resolve the touched buckets'
+                # layers first so the winner semi-join sees one row per
+                # (repo, path, lsn); untouched buckets stay layered (the
+                # manifest keeps the flag until compact()).
+                from ..sources.lake import _resolve_layers
+
+                base = _resolve_layers(base)
+            merged = M.merge_into_base(
+                delta, base, ver, salt_buckets,
+                hint_broadcast=n_valid <= BROADCAST_KEYS_MAX,
+                dedupe_delta=n_distinct < n_valid,
+            )
         with _timed(f"e{epoch} merge+write"):
             (
                 merged.withColumn("bucket_p", F.col("bucket"))
@@ -400,17 +425,22 @@ def apply_events(
         METRICS_SCHEMA,
     )
 
-    # ---- 4. manifest: carry untouched buckets forward, swap touched
+    # ---- 4. manifest: carry untouched buckets forward; COW swaps touched
+    # buckets' file lists, MOR appends the new layer to them
     new_files = lake.list_epoch_files(epoch) if touched else {}
     buckets: dict[str, list[dict]] = {}
     if prev_manifest:
         for b, entries in prev_manifest["buckets"].items():
-            if int(b) not in touched:
-                buckets[b] = entries
+            if mode == "mor" or int(b) not in touched:
+                buckets[b] = list(entries)
     for b, entries in new_files.items():
         for e in entries:
             e["schema_version"] = ver
-        buckets[str(b)] = entries
+        if mode == "mor":
+            buckets[str(b)] = buckets.get(str(b), []) + entries
+        else:
+            buckets[str(b)] = entries
+    layered = mode == "mor" or bool(prev_manifest and prev_manifest.get("layered"))
 
     prev_lo = prev_manifest.get("lsn_lo") if prev_manifest else None
     prev_hi = prev_manifest.get("lsn_hi") if prev_manifest else None
@@ -426,6 +456,7 @@ def apply_events(
         else None,
         "schema_version": ver,
         "n_buckets": lake.n_buckets,
+        "layered": layered,
         "committed_at": datetime.now(timezone.utc).isoformat(),
         "counts": {
             "events_applied": n_valid,
@@ -476,6 +507,7 @@ def replay(
     salt_buckets: int = M.DEFAULT_SALT_BUCKETS,
     crash_after_epoch: int | None = None,
     adaptive: AdaptiveEpochSizer | None = None,
+    mode: str = "cow",
 ) -> ReplayResult:
     """Tail the log from the current checkpoint to its head.
 
@@ -499,7 +531,8 @@ def replay(
         while lo < max_seq and (max_epochs is None or len(result.epochs) < max_epochs):
             hi = min(lo + size, max_seq)
             res = apply_epoch(
-                spark, log, lake, ep, lo, hi, active_version, salt_buckets
+                spark, log, lake, ep, lo, hi, active_version, salt_buckets,
+                mode=mode,
             )
             active_version = max(active_version, res.schema_version)
             result.epochs.append(res)
@@ -514,7 +547,8 @@ def replay(
         plans = plans[:max_epochs]
     for epoch, lo, hi in plans:
         res = apply_epoch(
-            spark, log, lake, epoch, lo, hi, active_version, salt_buckets
+            spark, log, lake, epoch, lo, hi, active_version, salt_buckets,
+            mode=mode,
         )
         active_version = max(active_version, res.schema_version)
         result.epochs.append(res)

@@ -73,18 +73,29 @@ def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
     # key embeds a generator-source hash, so a generator change regenerates.
     cache = ensure_cached_stream(n_events, n_epochs)
     lake_root = tempfile.mkdtemp(prefix="cdc_bench_lake_")
+    mor_root = tempfile.mkdtemp(prefix="cdc_bench_mor_")
     try:
         res = replay(spark, cache, lake_root, n_buckets=64)
         n_live = LakeTable(lake_root, n_buckets=64).read_state(spark).count()
+        # merge-on-read path on the same stream (informative; the headline
+        # wall_sec stays the read-optimized COW number)
+        mres = replay(spark, cache, mor_root, n_buckets=64, mode="mor")
+        t0 = time.perf_counter()
+        LakeTable(mor_root, n_buckets=64).compact(spark)
+        compact_sec = round(time.perf_counter() - t0, 3)
         return {
             "events": res.events_applied,
             "epochs": len(res.epochs),
             "wall_sec": round(res.wall_sec, 3),
             "events_per_sec": round(res.events_per_sec, 1),
             "live_rows": n_live,
+            "mor_events_per_sec": round(mres.events_per_sec, 1),
+            "mor_wall_sec": round(mres.wall_sec, 3),
+            "mor_compact_sec": compact_sec,
         }
     finally:
         shutil.rmtree(lake_root, ignore_errors=True)
+        shutil.rmtree(mor_root, ignore_errors=True)
 
 
 def main() -> None:

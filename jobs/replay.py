@@ -39,6 +39,12 @@ def main() -> None:
                         "target this many seconds of work (overrides "
                         "--events-per-epoch)")
     p.add_argument("--adaptive-initial", type=int, default=100_000)
+    p.add_argument("--mode", choices=["cow", "mor"], default="cow",
+                   help="cow: rewrite touched buckets (read-optimized); "
+                        "mor: append LWW-compacted delta layers (write cost "
+                        "O(epoch), reads resolve until --compact)")
+    p.add_argument("--compact", action="store_true",
+                   help="run LakeTable.compact() after the replay")
     p.add_argument("--metrics-out", default=None,
                    help="write Prometheus text-exposition counters here "
                         "after the run (the scrape-endpoint payload)")
@@ -86,8 +92,11 @@ def main() -> None:
         events_per_epoch=args.events_per_epoch,
         max_epochs=args.max_epochs,
         adaptive=adaptive,
+        mode=args.mode,
     )
     lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
+    if args.compact:
+        lake.compact(spark)
     R.write_checkpoint_table(spark, lake)
     if args.metrics_out:
         from bbc_news_etl_pipeline_spark.observability import prometheus_text

@@ -1,0 +1,94 @@
+"""Merge-on-read mode (delta layers + read-time resolution + compaction):
+state must be bit-identical to copy-on-write at every point, compaction
+must be a pure physical rewrite, and the fence must hold."""
+
+from __future__ import annotations
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest, engine_live_pdf
+
+E = 4_000
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mor_stream"))
+    gen.build_stream(E, 4, d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def cow_digest(spark, stream_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cow") / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    return engine_digest(spark, root)
+
+
+def test_mor_state_equals_cow(spark, stream_dir, tmp_path, cow_digest):
+    root = str(tmp_path / "lake")
+    res = R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    assert sum(e.n_events for e in res.epochs) == E
+    lake = LakeTable(root, n_buckets=8)
+    assert lake.current_manifest()["layered"] is True
+    assert engine_digest(spark, root) == cow_digest
+
+    # layers really accumulated (no table rewrite happened)
+    m = lake.current_manifest()
+    n_layers = max(len(v) for v in m["buckets"].values())
+    assert n_layers > 1, "MOR should append layers, not rewrite"
+
+
+def test_compact_is_pure_rewrite(spark, stream_dir, tmp_path, cow_digest):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    lake = LakeTable(root, n_buckets=8)
+    before_epochs = lake.committed_epochs()
+
+    cm = lake.compact(spark)
+    assert cm is not None and cm["layered"] is False
+    assert cm["counts"]["mode"] == "compact"
+    assert engine_digest(spark, root) == cow_digest
+    # one generation per bucket after compaction
+    assert all(len(v) >= 1 for v in cm["buckets"].values())
+    # compaction consumed no offsets: a follow-up replay has nothing to do
+    res = R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    assert res.events_applied == 0
+    # a second compact is a no-op (not layered any more)
+    assert lake.compact(spark) is None
+    assert len(lake.committed_epochs()) == len(before_epochs) + 1
+
+    # expiration reclaims the superseded layer files; state unchanged
+    lake.expire_snapshots(keep_last=1)
+    assert engine_digest(spark, root) == cow_digest
+
+
+def test_mor_then_cow_epochs_interleave(spark, stream_dir, tmp_path, cow_digest):
+    """MOR epochs followed by COW epochs on the layered base must still
+    converge to the same state (COW resolves touched buckets' layers)."""
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor", max_epochs=2)
+    res = R.replay(spark, stream_dir, root, n_buckets=8, mode="cow")
+    assert len(res.epochs) == 2
+    assert engine_digest(spark, root) == cow_digest
+
+
+def test_mor_tombstones_resolve_over_older_layers(spark, tmp_path):
+    """A delete in a NEWER layer must hide a live row in an OLDER layer —
+    read-time resolution must run before tombstone filtering."""
+    from .test_skew_quarantine_lww import _mk_events
+
+    ev = _mk_events([
+        {"lsn": 1, "op": "insert", "content": "v1", "epoch": 0},
+        {"lsn": 2, "op": "delete", "epoch": 1},
+    ])
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4, mode="mor")
+    got = engine_live_pdf(spark, root)
+    assert len(got) == 0, f"older layer leaked through a tombstone:\n{got}"
