@@ -53,7 +53,11 @@ class TailResult:
 
 
 def _apply_stream_batch(
-    spark: SparkSession, lake: LakeTable, batch_df: DataFrame, epoch: int
+    spark: SparkSession,
+    lake: LakeTable,
+    batch_df: DataFrame,
+    epoch: int,
+    mode: str = "cow",
 ) -> int:
     """foreachBatch body: the SAME epoch core as batch replay
     (replay.apply_events) driven by a batch the streaming runtime scoped.
@@ -80,6 +84,7 @@ def _apply_stream_batch(
         seq_lo=int(bounds["lo"]) - 1,
         seq_hi=int(bounds["hi"]),
         counts_extra={"mode": "tail"},
+        mode=mode,
     )
     return res.n_events
 
@@ -92,6 +97,7 @@ def tail(
     n_buckets: int = 64,
     max_files_per_trigger: int = 8,
     timeout_sec: float = 120.0,
+    mode: str = "cow",
 ) -> TailResult:
     """Tail `log_dir` with Structured Streaming until the source is drained
     (availableNow), applying each micro-batch through the merge core.
@@ -127,7 +133,9 @@ def tail(
     )
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        n = _apply_stream_batch(spark, lake, batch_df, epoch_base + int(batch_id))
+        n = _apply_stream_batch(
+            spark, lake, batch_df, epoch_base + int(batch_id), mode=mode
+        )
         result.batches.append((int(batch_id), n))
 
     q = (

@@ -34,6 +34,10 @@ def main() -> None:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--max-files-per-trigger", type=int, default=8)
     p.add_argument("--timeout-sec", type=float, default=600.0)
+    p.add_argument("--mode", choices=["cow", "mor"], default="cow",
+                   help="mor appends LWW-compacted layers per batch (the "
+                        "write-optimized shape for a live tailer); compact "
+                        "with jobs/replay.py --compact or LakeTable.compact")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -46,6 +50,7 @@ def main() -> None:
         n_buckets=args.n_buckets,
         max_files_per_trigger=args.max_files_per_trigger,
         timeout_sec=args.timeout_sec,
+        mode=args.mode,
     )
     from pyspark.sql import functions as F
 

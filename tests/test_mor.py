@@ -92,3 +92,21 @@ def test_mor_tombstones_resolve_over_older_layers(spark, tmp_path):
     R.replay(spark, d, root, n_buckets=4, mode="mor")
     got = engine_live_pdf(spark, root)
     assert len(got) == 0, f"older layer leaked through a tombstone:\n{got}"
+
+
+def test_tail_mor_matches_batch(spark, stream_dir, tmp_path, cow_digest):
+    """A live tailer in MOR mode converges to the same state as COW batch
+    replay (the write-optimized shape for continuous ingest)."""
+    from bbc_news_etl_pipeline_spark.streaming.tail import tail
+
+    root = str(tmp_path / "lake")
+    res = tail(
+        spark, stream_dir, root, str(tmp_path / "ckpt"),
+        n_buckets=8, max_files_per_trigger=2, timeout_sec=300, mode="mor",
+    )
+    assert res.events_applied == E
+    lake = LakeTable(root, n_buckets=8)
+    assert lake.current_manifest()["layered"] is True
+    assert engine_digest(spark, root) == cow_digest
+    lake.compact(spark)
+    assert engine_digest(spark, root) == cow_digest
