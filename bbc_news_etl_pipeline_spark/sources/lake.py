@@ -317,6 +317,8 @@ class LakeTable:
         state = self.read_buckets(
             spark, touched, m_to["schema_version"], manifest=m_to
         )
+        if m_to.get("layered"):
+            state = _resolve_layers(state)
         rows = state.join(F.broadcast(keys), ["repo", "path"], "left_semi")
         return rows.withColumn(
             "change", F.when(F.col("is_deleted"), F.lit("delete")).otherwise(F.lit("upsert"))

@@ -110,3 +110,19 @@ def test_tail_mor_matches_batch(spark, stream_dir, tmp_path, cow_digest):
     assert engine_digest(spark, root) == cow_digest
     lake.compact(spark)
     assert engine_digest(spark, root) == cow_digest
+
+
+def test_read_changes_on_layered_lake(spark, stream_dir, tmp_path):
+    """Incremental scan over a MOR lake must resolve layers: one row per
+    touched key, post-images matching the resolved state."""
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    lake = LakeTable(root, n_buckets=8)
+    ch = lake.read_changes(spark, EventLog(stream_dir), 0).toPandas()
+    assert not ch.duplicated(["repo", "path"]).any(), "layered dup leaked"
+    state = engine_live_pdf(spark, root)
+    ups = ch[ch["change"] == "upsert"][["repo", "path", "lsn"]]
+    merged = ups.merge(state[["repo", "path", "lsn"]], on=["repo", "path"], how="left")
+    assert (merged["lsn_x"] == merged["lsn_y"]).all(), "post-image != resolved state"
