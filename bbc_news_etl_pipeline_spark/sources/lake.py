@@ -269,6 +269,37 @@ class LakeTable:
         self.commit(manifest)
         return manifest
 
+    def read_key(
+        self,
+        spark: SparkSession,
+        repo: str,
+        path: str,
+        target_version: int | None = None,
+        epoch: int | None = None,
+    ) -> DataFrame:
+        """Point lookup through the hidden partitioning: compute the key's
+        bucket, list ONLY that bucket's files (1/n_buckets of the table at
+        any size), push the key predicate into the parquet scan, resolve
+        layers if the snapshot is merge-on-read. The file-pruning half of
+        what an index would do, with zero index maintenance."""
+        manifest = self.manifest(epoch) if epoch is not None else self.current_manifest()
+        ver = target_version or (
+            manifest["schema_version"] if manifest else reg.LATEST_VERSION
+        )
+        from ..operators.merge import bucket_col
+
+        b = (
+            spark.createDataFrame([(repo, path)], "repo string, path string")
+            .select(bucket_col(self.n_buckets).alias("b"))
+            .first()["b"]
+        )
+        df = self.read_buckets(spark, [b], ver, manifest=manifest).where(
+            (F.col("repo") == F.lit(repo)) & (F.col("path") == F.lit(path))
+        )
+        if manifest and manifest.get("layered"):
+            df = _resolve_layers(df)
+        return df.where(~F.col("is_deleted")).drop("is_deleted")
+
     def read_changes(
         self,
         spark: SparkSession,

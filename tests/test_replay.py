@@ -160,3 +160,26 @@ def test_read_changes_bridges_snapshots(spark, tmp_path):
     )
     s2s = s2.sort_values(["repo", "path"], kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(derived, s2s)
+
+
+def test_read_key_point_lookup(spark, tmp_path):
+    """read_key must return exactly the key's current row while listing
+    only the key's bucket (1/n_buckets of the table's files)."""
+    d = str(tmp_path / "log")
+    gen.build_stream(2_000, 2, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=16)
+    lake = LakeTable(root, n_buckets=16)
+
+    state = engine_live_pdf(spark, root)
+    sample = state.sample(n=5, random_state=7)
+    total_files = sum(len(v) for v in lake.current_manifest()["buckets"].values())
+    for row in sample.itertuples(index=False):
+        df = lake.read_key(spark, row.repo, row.path)
+        assert len(df.inputFiles()) <= total_files / 8, "bucket pruning failed"
+        got = df.toPandas()
+        assert len(got) == 1
+        assert got.loc[0, "lsn"] == row.lsn
+        assert got.loc[0, "content_sha256"] == row.content_sha256
+    # a deleted/absent key returns empty
+    assert lake.read_key(spark, "org_missing/none", "no/file.py").count() == 0
