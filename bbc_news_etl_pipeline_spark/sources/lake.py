@@ -244,6 +244,7 @@ class LakeTable:
         (
             resolved.repartition("bucket")
             .withColumn("bucket_p", F.col("bucket"))
+            .sortWithinPartitions("bucket_p", "repo", "path")
             .write.mode("overwrite")
             .partitionBy("bucket_p")
             .parquet(self.epoch_data_dir(epoch))

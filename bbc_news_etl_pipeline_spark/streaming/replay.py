@@ -353,8 +353,16 @@ def apply_events(
                 dedupe_delta=n_distinct < n_valid,
             )
         with _timed(f"e{epoch} merge+write"):
+            # sortWithinPartitions = key-clustered files at zero shuffle
+            # cost: every written file carries tight (repo, path) row-group
+            # stats, so point lookups (LakeTable.read_key) and per-repo
+            # range scans prune row groups, not just buckets. The partition
+            # column leads the sort so the dynamic-partition writer's
+            # required ordering is already satisfied and it does NOT insert
+            # its own (order-destroying) sort.
             (
                 merged.withColumn("bucket_p", F.col("bucket"))
+                .sortWithinPartitions("bucket_p", "repo", "path")
                 .write.mode("overwrite")
                 .partitionBy("bucket_p")
                 .parquet(epoch_dir)

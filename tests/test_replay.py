@@ -183,3 +183,22 @@ def test_read_key_point_lookup(spark, tmp_path):
         assert got.loc[0, "content_sha256"] == row.content_sha256
     # a deleted/absent key returns empty
     assert lake.read_key(spark, "org_missing/none", "no/file.py").count() == 0
+
+
+def test_written_files_are_key_clustered(spark, tmp_path):
+    """Every lake file must be sorted by (repo, path) so parquet row-group
+    stats prune point/range reads (clustering at zero shuffle cost)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "log")
+    gen.build_stream(2_000, 2, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8)
+    files = _glob.glob(f"{root}/data/e*/bucket_p=*/*.parquet")
+    assert files
+    for fp in files[:12]:
+        t = pq.read_table(fp, columns=["repo", "path"])
+        pairs = list(zip(t.column("repo").to_pylist(), t.column("path").to_pylist()))
+        assert pairs == sorted(pairs), f"unsorted lake file {fp}"
