@@ -1,0 +1,121 @@
+"""Custom stateful streaming operator: applyInPandasWithState.
+
+The engine's merge and windowed aggregates cover the built-in streaming
+surfaces; this module covers the CUSTOM-state surface — per-key state the
+built-ins cannot express (here: a running per-repo ingest profile carrying
+first/last-seen bounds). State lives in Spark's state store (checkpointed,
+restart-safe); each micro-batch updates it through one Arrow-vectorized
+grouped call (no per-row Python).
+
+The tracked quantities are deliberately ORDER-INSENSITIVE (counts, max,
+min) so the streaming result is exactly equal to the batch ground truth
+regardless of arrival order — the same commutativity discipline as the
+LWW merge itself (tests pin the equality).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..plans import schema_registry as reg
+
+STATE_SCHEMA = "n_events long, n_deletes long, max_lsn long, min_ts timestamp, max_ts timestamp"
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_deletes", T.LongType()),
+        T.StructField("max_lsn", T.LongType()),
+        T.StructField("min_ts", T.TimestampType()),
+        T.StructField("max_ts", T.TimestampType()),
+    ]
+)
+
+
+def _update_repo_profile(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n_events, n_deletes, max_lsn, min_ts, max_ts = (
+        state.get if state.exists else (0, 0, None, None, None)
+    )
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        n_events += len(pdf)
+        n_deletes += int((pdf["op"] == "delete").sum())
+        batch_max_lsn = int(pdf["lsn"].max())
+        max_lsn = batch_max_lsn if max_lsn is None else max(max_lsn, batch_max_lsn)
+        bmin, bmax = pdf["ts"].min(), pdf["ts"].max()
+        min_ts = bmin if min_ts is None or bmin < min_ts else min_ts
+        max_ts = bmax if max_ts is None or bmax > max_ts else max_ts
+    state.update((n_events, n_deletes, max_lsn, min_ts, max_ts))
+    yield pd.DataFrame(
+        {
+            "repo": [key[0]],
+            "n_events": [n_events],
+            "n_deletes": [n_deletes],
+            "max_lsn": [max_lsn],
+            "min_ts": [min_ts],
+            "max_ts": [max_ts],
+        }
+    )
+
+
+def repo_profiles_batch(events: DataFrame) -> DataFrame:
+    """Batch ground truth for the stateful stream (identical quantities)."""
+    return events.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("op") == "delete").alias("n_deletes"),
+        F.max("lsn").alias("max_lsn"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+def tail_repo_profiles(
+    spark: SparkSession,
+    log_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "repo_profiles",
+    max_files_per_trigger: int = 8,
+    timeout_sec: float = 300.0,
+) -> DataFrame:
+    """Drain the log through the stateful operator (availableNow); returns
+    the in-memory sink table holding each repo's LAST emitted profile.
+    Update output mode: one row per (batch, updated repo); the final row
+    per repo is the converged state."""
+    stream = (
+        spark.readStream.schema(reg.event_schema(reg.LATEST_VERSION))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{log_dir}/segment-*.parquet")
+    )
+    profiles = (
+        stream.select("repo", "op", "lsn", "ts")
+        .groupBy("repo")
+        .applyInPandasWithState(
+            _update_repo_profile,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        profiles.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(query_name)

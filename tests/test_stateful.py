@@ -1,0 +1,52 @@
+"""Custom stateful streaming operator (applyInPandasWithState): the
+converged per-repo profiles must equal the batch ground truth exactly,
+independent of arrival order and batch partitioning."""
+
+from __future__ import annotations
+
+import glob
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.plans import schema_registry as reg
+from bbc_news_etl_pipeline_spark.streaming.stateful import (
+    repo_profiles_batch,
+    tail_repo_profiles,
+)
+
+E = 3_000
+
+
+def test_stateful_profiles_match_batch(spark, tmp_path):
+    d = str(tmp_path / "log")
+    gen.build_stream(E, 3, d)
+
+    got_all = tail_repo_profiles(
+        spark, d, str(tmp_path / "ckpt"), query_name="prof_t1",
+        max_files_per_trigger=2,
+    ).toPandas()
+    # update mode emits one row per (batch, touched repo); n_events strictly
+    # grows per emission, so the max-n_events row per repo is the converged
+    # state
+    got = (
+        got_all.sort_values("n_events")
+        .groupby("repo", as_index=False)
+        .last()
+        .sort_values("repo", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    segs = sorted(glob.glob(f"{d}/segment-*.parquet"))
+    allev = None
+    for s in segs:
+        f = spark.read.schema(reg.event_schema(reg.LATEST_VERSION)).parquet(s)
+        allev = f if allev is None else allev.unionByName(f)
+    want = (
+        repo_profiles_batch(allev)
+        .toPandas()
+        .sort_values("repo", kind="mergesort")
+        .reset_index(drop=True)[got.columns]
+    )
+    assert got["n_events"].sum() >= E  # every event counted somewhere
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
