@@ -227,20 +227,33 @@ class LakeTable:
             df = _resolve_layers(df)
         return df.where(~F.col("is_deleted")).drop("is_deleted")
 
-    def compact(self, spark: SparkSession) -> dict | None:
+    def compact(
+        self, spark: SparkSession, tombstone_horizon_lsn: int | None = None
+    ) -> dict | None:
         """Collapse a layered (merge-on-read) table back to one row per key
         — the Iceberg `rewrite_data_files` analog. Commits as a new epoch
         (same fence; seq range empty like a redrive) whose manifest replaces
         every bucket's layer list with the single compacted generation;
         `expire_snapshots` then reclaims the superseded layer files.
-        Tombstones are KEPT so late lower-lsn events remain no-ops. No-op
-        (returns None) when the current snapshot is not layered."""
+
+        Tombstones are KEPT by default so late lower-lsn events remain
+        no-ops forever. ``tombstone_horizon_lsn`` is the GC policy for them:
+        tombstones with lsn <= horizon are dropped, which is safe exactly
+        when the source guarantees no event with lsn <= horizon can still
+        arrive (the log's late-delivery bound — the analog of a streaming
+        watermark). Dropping beyond that guarantee would let a late
+        lower-lsn upsert resurrect a deleted key. No-op (returns None) when
+        the current snapshot is not layered."""
         m = self.current_manifest()
         if m is None or not m.get("layered"):
             return None
         ver = m["schema_version"]
         epoch = m["epoch"] + 1
         resolved = _resolve_layers(self.read_buckets(spark, None, ver, manifest=m))
+        if tombstone_horizon_lsn is not None:
+            resolved = resolved.where(
+                ~F.col("is_deleted") | (F.col("lsn") > F.lit(tombstone_horizon_lsn))
+            )
         (
             resolved.repartition("bucket")
             .withColumn("bucket_p", F.col("bucket"))

@@ -126,3 +126,50 @@ def test_read_changes_on_layered_lake(spark, stream_dir, tmp_path):
     ups = ch[ch["change"] == "upsert"][["repo", "path", "lsn"]]
     merged = ups.merge(state[["repo", "path", "lsn"]], on=["repo", "path"], how="left")
     assert (merged["lsn_x"] == merged["lsn_y"]).all(), "post-image != resolved state"
+
+
+def test_compact_tombstone_horizon(spark, tmp_path):
+    """Tombstone GC: compaction drops tombstones at or below the declared
+    late-delivery horizon and keeps newer ones (which must keep masking
+    late lower-lsn events)."""
+    from .test_skew_quarantine_lww import _mk_events
+
+    ev = _mk_events([
+        {"lsn": 1, "op": "insert", "content": "a1", "path": "a.py", "epoch": 0},
+        {"lsn": 2, "op": "delete", "path": "a.py", "epoch": 0},          # old tomb
+        {"lsn": 8, "op": "insert", "content": "b8", "path": "b.py", "epoch": 1},
+        {"lsn": 9, "op": "delete", "path": "b.py", "epoch": 1},          # recent tomb
+    ])
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4, mode="mor")
+    lake = LakeTable(root, n_buckets=4)
+
+    cm = lake.compact(spark, tombstone_horizon_lsn=5)
+    raw = lake.read_buckets(spark, None, cm["schema_version"]).toPandas()
+    tombs = raw[raw["is_deleted"]]
+    assert list(tombs["path"]) == ["b.py"], f"horizon GC wrong:\n{raw}"
+    assert len(engine_live_pdf(spark, root)) == 0
+
+    # the kept tombstone still masks a late lower-lsn update after compaction
+    late = _mk_events([
+        {"lsn": 7, "op": "update", "content": "b7-late", "path": "b.py", "epoch": 0},
+    ])
+    late["arrival_seq"] = [4]
+    d2 = str(tmp_path / "log2")
+    gen.write_event_log(late, d2)
+    # append the late segment as a new epoch over the same lake
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    seg = _json.load(open(_os.path.join(d2, "_segments.json")))[0]
+    _shutil.move(_os.path.join(d2, seg["file"]), _os.path.join(d, "segment-00002.parquet"))
+    segs = _json.load(open(_os.path.join(d, "_segments.json")))
+    segs.append({**seg, "file": "segment-00002.parquet", "epoch": 2,
+                 "seq_lo": 4, "seq_hi": 4})
+    _json.dump(segs, open(_os.path.join(d, "_segments.json"), "w"))
+    R.replay(spark, d, root, n_buckets=4, mode="mor")
+    got = engine_live_pdf(spark, root)
+    assert len(got) == 0, f"late update resurrected through GC'd state:\n{got}"
