@@ -86,3 +86,56 @@ def test_any_schedule_matches_sequential_oracle(spark, tmp_path_factory, schedul
     assert len(got) == len(want), f"\ngot:\n{got}\nwant:\n{want}"
     if len(want):
         pd.testing.assert_frame_equal(got, want)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_event, min_size=2, max_size=10),
+    st.lists(st.sampled_from(["cow", "mor", "mor+compact"]), min_size=3, max_size=3),
+)
+def test_mode_interleave_matches_oracle(spark, tmp_path_factory, schedule, modes):
+    """Any interleaving of COW epochs, MOR epochs, and compactions over any
+    schedule converges to the sequential-oracle state."""
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+
+    rows = [
+        {
+            "lsn": i + 1,
+            "op": op,
+            "path": f"k{key}.py",
+            "content": None if op == "delete" else f"v{i + 1}",
+            "epoch": ep,
+        }
+        for i, (key, op, ep) in enumerate(schedule)
+    ]
+    ev = _mk_events(rows)
+    ev["epoch"] = ev["epoch"].rank(method="dense").astype(int) - 1
+    ev = ev.sort_values(["epoch"], kind="mergesort").reset_index(drop=True)
+    ev["arrival_seq"] = range(len(ev))
+    n_epochs = int(ev["epoch"].max()) + 1
+
+    work = tmp_path_factory.mktemp("prop_mode")
+    d = str(work / "log")
+    gen.write_event_log(ev, d)
+    root = str(work / "lake")
+    lake = LakeTable(root, n_buckets=4)
+    for i in range(n_epochs):
+        m = modes[i % len(modes)]
+        R.replay(spark, d, root, n_buckets=4, max_epochs=1,
+                 mode="mor" if m.startswith("mor") else "cow")
+        if m == "mor+compact":
+            lake.compact(spark)
+
+    got = (
+        engine_live_pdf(spark, root)[["path", "lsn", "content"]]
+        .sort_values("path", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = _expected_state(rows)
+    assert len(got) == len(want), f"\nmodes={modes}\ngot:\n{got}\nwant:\n{want}"
+    if len(want):
+        pd.testing.assert_frame_equal(got, want)
