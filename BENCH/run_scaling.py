@@ -46,7 +46,7 @@ def make_engine_zip(staging: str) -> str:
     return zpath
 
 
-def run_once(cores: int, log_dir: str, zpath: str, n_buckets: int) -> dict:
+def run_once(cores: int, log_dir: str, zpath: str, n_buckets: int, mode: str = "cow") -> dict:
     # tmpfs for shuffle + lake: the sandbox's virtio disk queues multi-GB
     # writeback across runs and makes successive identical runs 2-3x slower
     # (measured) — a real cluster node has local NVMe per executor. The
@@ -70,6 +70,7 @@ def run_once(cores: int, log_dir: str, zpath: str, n_buckets: int) -> dict:
             "--log-dir", log_dir,
             "--lake-root", lake_root,
             "--n-buckets", str(n_buckets),
+            "--mode", mode,
             "--master", f"local[{cores}]",
         ]
         env = dict(os.environ)
@@ -124,6 +125,10 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3,
                     help="repetitions per level; best run is reported")
     ap.add_argument("--levels", type=int, nargs="+", default=[2, 8, 32])
+    ap.add_argument("--mode", choices=["cow", "mor"], default="cow",
+                    help="replay write mode benchmarked (mor appends layers)")
+    ap.add_argument("--out", default=None,
+                    help="output markdown path (default BENCH/BASELINE.md)")
     args = ap.parse_args()
 
     from bbc_news_etl_pipeline_spark.fixtures.generator import ensure_cached_stream
@@ -139,7 +144,7 @@ def main() -> None:
         # hits all fairly; best-of-N per level filters the noise floor
         for i in range(args.runs):
             for cores in args.levels:
-                r = run_once(cores, log_dir, zpath, args.n_buckets)
+                r = run_once(cores, log_dir, zpath, args.n_buckets, args.mode)
                 print(f"local[{cores}] run {i + 1}: {json.dumps(r)}", flush=True)
                 best = results.get(cores)
                 if best is None or r["events_per_sec"] > best["events_per_sec"]:
@@ -157,6 +162,7 @@ def main() -> None:
 
     summary = {
         "metric": "scaling_efficiency",
+        "mode": args.mode,
         "value": round(eff, 3),
         "unit": "fraction",
         "pair": f"local[{lo_c}] -> local[{hi_c}]",
@@ -189,7 +195,7 @@ def main() -> None:
             "which is the regime the N->4N rule describes.\n"
         )
 
-    md = f"""# BENCH/BASELINE.md — CDC replay throughput & scaling efficiency
+    md = f"""# CDC replay throughput & scaling efficiency ({args.mode} mode)
 
 The north rule's two-cluster-size criterion (N vs 4N executors, efficiency
 >= 0.8) cannot use a real cluster in this sandbox; per the driver
@@ -248,7 +254,7 @@ sustained events/sec. Nothing in the engine is host-specific: partition
 counts follow `spark.sql.shuffle.partitions`/`maxPartitionBytes`, and the
 same job submits unchanged to a multi-executor master.
 """
-    out = os.path.join(REPO_ROOT, "BENCH", "BASELINE.md")
+    out = args.out or os.path.join(REPO_ROOT, "BENCH", "BASELINE.md")
     with open(out, "w") as f:
         f.write(md)
     print(f"wrote {out}")
