@@ -104,6 +104,66 @@ class LakeTable:
             os.path.join(self.manifests_dir, f"manifest-{epoch:06d}.json")
         )
 
+    # ---------- single-writer lease ----------
+    #
+    # The manifest fence makes RETRIES of the same epoch safe, but two live
+    # writers planning epochs concurrently could interleave file writes in
+    # one epoch dir before either commits. The engine is single-writer by
+    # design (one replay loop / one tailer per lake — the Delta-style
+    # simple-writer model); this advisory lease makes that assumption fail
+    # LOUDLY instead of corrupting: O_EXCL lock file with owner + ttl; a
+    # crashed writer's stale lease is stolen after ttl.
+
+    @property
+    def _lease_path(self) -> str:
+        return os.path.join(self.root, "_writer.lock")
+
+    def acquire_writer_lease(
+        self, owner: str = "writer", ttl_sec: float = 3600.0
+    ) -> str:
+        import time as _time
+        import uuid as _uuid
+
+        token = _uuid.uuid4().hex
+        payload = {"owner": owner, "token": token, "acquired_at": _time.time(), "ttl_sec": ttl_sec}
+        for attempt in (0, 1):
+            try:
+                fd = os.open(self._lease_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump(payload, f)
+                return token
+            except FileExistsError:
+                try:
+                    with open(self._lease_path) as f:
+                        held = json.load(f)
+                except (OSError, ValueError):
+                    held = {}
+                age = _time.time() - held.get("acquired_at", 0)
+                if attempt == 0 and age > held.get("ttl_sec", ttl_sec):
+                    try:  # stale: previous writer died without release
+                        os.unlink(self._lease_path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise RuntimeError(
+                    f"lake {self.root} is locked by writer "
+                    f"{held.get('owner')!r} (age {age:.0f}s / ttl "
+                    f"{held.get('ttl_sec')}s) — single-writer model"
+                ) from None
+        raise AssertionError("unreachable")
+
+    def release_writer_lease(self, token: str) -> None:
+        try:
+            with open(self._lease_path) as f:
+                held = json.load(f)
+        except (OSError, ValueError):
+            return
+        if held.get("token") == token:
+            try:
+                os.unlink(self._lease_path)
+            except FileNotFoundError:
+                pass
+
     def commit(self, manifest: dict) -> bool:
         """Atomically publish a snapshot. False if the epoch was already
         committed (idempotent re-commit — the exactly-once fence)."""
@@ -247,6 +307,15 @@ class LakeTable:
         m = self.current_manifest()
         if m is None or not m.get("layered"):
             return None
+        lease = self.acquire_writer_lease("compact")
+        try:
+            return self._compact_locked(spark, m, tombstone_horizon_lsn)
+        finally:
+            self.release_writer_lease(lease)
+
+    def _compact_locked(
+        self, spark: SparkSession, m: dict, tombstone_horizon_lsn: int | None
+    ) -> dict:
         ver = m["schema_version"]
         epoch = m["epoch"] + 1
         resolved = _resolve_layers(self.read_buckets(spark, None, ver, manifest=m))

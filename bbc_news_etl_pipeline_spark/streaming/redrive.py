@@ -71,6 +71,20 @@ def redrive(
     if not pend:
         R.RUN_LOGGER.event("redrive_noop", pending=[])
         return None
+    lease = lake.acquire_writer_lease("redrive")
+    try:
+        return _redrive_locked(spark, lake, fix_fn, salt_buckets, pend)
+    finally:
+        lake.release_writer_lease(lease)
+
+
+def _redrive_locked(
+    spark: SparkSession,
+    lake: LakeTable,
+    fix_fn,
+    salt_buckets: int,
+    pend: list[int],
+) -> R.EpochResult:
     qdirs = [lake.sidecar_dir("_quarantine", ep) for ep in pend]
     template = reg.event_schema(reg.LATEST_VERSION)
     events = (

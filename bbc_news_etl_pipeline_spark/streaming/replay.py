@@ -528,6 +528,27 @@ def replay(
     """
     log = EventLog(log_dir)
     lake = LakeTable(lake_root, n_buckets=n_buckets)
+    lease = lake.acquire_writer_lease("replay")
+    try:
+        return _replay_locked(
+            spark, log, lake, events_per_epoch, max_epochs, salt_buckets,
+            crash_after_epoch, adaptive, mode,
+        )
+    finally:
+        lake.release_writer_lease(lease)
+
+
+def _replay_locked(
+    spark: SparkSession,
+    log: EventLog,
+    lake: LakeTable,
+    events_per_epoch: int | None,
+    max_epochs: int | None,
+    salt_buckets: int,
+    crash_after_epoch: int | None,
+    adaptive: AdaptiveEpochSizer | None,
+    mode: str,
+) -> ReplayResult:
     result = ReplayResult()
     RUN_LOGGER.new_context("replay")
     _, _, active_version = lake.resume_point()

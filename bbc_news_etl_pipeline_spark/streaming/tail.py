@@ -106,6 +106,25 @@ def tail(
     manifest fence gives sink idempotence — together, exactly-once.
     """
     lake = LakeTable(lake_root, n_buckets=n_buckets)
+    lease = lake.acquire_writer_lease("tail")
+    try:
+        return _tail_locked(
+            spark, log_dir, lake, checkpoint_dir, max_files_per_trigger,
+            timeout_sec, mode,
+        )
+    finally:
+        lake.release_writer_lease(lease)
+
+
+def _tail_locked(
+    spark: SparkSession,
+    log_dir: str,
+    lake: LakeTable,
+    checkpoint_dir: str,
+    max_files_per_trigger: int,
+    timeout_sec: float,
+    mode: str,
+) -> TailResult:
     result = TailResult()
     R.RUN_LOGGER.new_context("tail")
 

@@ -173,3 +173,29 @@ def test_compact_tombstone_horizon(spark, tmp_path):
     R.replay(spark, d, root, n_buckets=4, mode="mor")
     got = engine_live_pdf(spark, root)
     assert len(got) == 0, f"late update resurrected through GC'd state:\n{got}"
+
+
+def test_mor_across_schema_evolution(spark, tmp_path, stream_dir, cow_digest):
+    """MOR layers written under different schema versions (v1 int
+    size_bytes ... v3 +license) must resolve and compact identically to
+    COW across the same evolution boundary."""
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    lake = LakeTable(root, n_buckets=8)
+    # layers span schema versions
+    vers = {
+        e["schema_version"]
+        for v in lake.current_manifest()["buckets"].values()
+        for e in v
+    }
+    assert len(vers) > 1, f"stream did not cross an evolution boundary: {vers}"
+    assert engine_digest(spark, root) == cow_digest
+    lake.compact(spark)
+    assert engine_digest(spark, root) == cow_digest
+    # compacted generation is homogeneous at the latest version
+    vers2 = {
+        e["schema_version"]
+        for v in lake.current_manifest()["buckets"].values()
+        for e in v
+    }
+    assert vers2 == {3}, vers2

@@ -202,3 +202,31 @@ def test_written_files_are_key_clustered(spark, tmp_path):
         t = pq.read_table(fp, columns=["repo", "path"])
         pairs = list(zip(t.column("repo").to_pylist(), t.column("path").to_pylist()))
         assert pairs == sorted(pairs), f"unsorted lake file {fp}"
+
+
+def test_writer_lease_single_writer(spark, tmp_path):
+    """A held lease makes a second writer fail loudly; release and stale
+    leases recover; normal runs acquire/release transparently."""
+    import json as _json
+    import time as _time
+
+    import pytest as _pytest
+
+    d = str(tmp_path / "log")
+    gen.build_stream(500, 1, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4)  # acquires + releases
+    lake = LakeTable(root, n_buckets=4)
+
+    token = lake.acquire_writer_lease("holder")
+    with _pytest.raises(RuntimeError, match="single-writer"):
+        R.replay(spark, d, root, n_buckets=4)
+    lake.release_writer_lease(token)
+    assert R.replay(spark, d, root, n_buckets=4).events_applied == 0  # all committed
+
+    # stale lease (crashed writer) is stolen after ttl
+    with open(lake._lease_path, "w") as f:
+        _json.dump({"owner": "dead", "token": "x",
+                    "acquired_at": _time.time() - 10_000, "ttl_sec": 60}, f)
+    t2 = lake.acquire_writer_lease("recovered")
+    lake.release_writer_lease(t2)
