@@ -65,6 +65,15 @@ class LakeTable:
         self.n_buckets = n_buckets
         os.makedirs(self.manifests_dir, exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        # For an EXISTING lake the manifest's bucket count is authoritative:
+        # bucket = pmod(hash(key), n) is baked into every stored row, so
+        # merging with a different n would route a key's base and delta rows
+        # to different reduce groups — silent duplicate keys. The ctor arg
+        # only seeds NEW lakes; `rebucket()` is the sanctioned way to change
+        # partitioning.
+        m = self.current_manifest()
+        if m is not None and m.get("n_buckets"):
+            self.n_buckets = int(m["n_buckets"])
 
     # ---------- layout ----------
     @property
@@ -437,6 +446,66 @@ class LakeTable:
         return rows.withColumn(
             "change", F.when(F.col("is_deleted"), F.lit("delete")).otherwise(F.lit("upsert"))
         ).drop("is_deleted")
+
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict:
+        """Partition evolution: rewrite the table under a new bucket count
+        (the response to a table outgrowing its layout — more buckets =
+        more merge parallelism and smaller per-bucket rewrites). A full
+        COW rewrite committed as one fenced epoch; layer-resolves first if
+        the snapshot was merge-on-read; tombstones kept. Subsequent epochs
+        route through the new bucket function automatically because every
+        reader/writer takes n_buckets from the manifest."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError("cannot rebucket an empty lake")
+        if new_n_buckets == self.n_buckets:
+            return m
+        lease = self.acquire_writer_lease("rebucket")
+        try:
+            from ..operators.merge import bucket_col
+
+            ver = m["schema_version"]
+            epoch = m["epoch"] + 1
+            rows = self.read_buckets(spark, None, ver, manifest=m)
+            if m.get("layered"):
+                rows = _resolve_layers(rows)
+            rows = rows.drop("bucket").withColumn(
+                "bucket", bucket_col(new_n_buckets)
+            )
+            (
+                rows.repartition("bucket")
+                .withColumn("bucket_p", F.col("bucket"))
+                .sortWithinPartitions("bucket_p", "repo", "path")
+                .write.mode("overwrite")
+                .partitionBy("bucket_p")
+                .parquet(self.epoch_data_dir(epoch))
+            )
+            new_files = self.list_epoch_files(epoch)
+            buckets = {}
+            for b, entries in new_files.items():
+                for e in entries:
+                    e["schema_version"] = ver
+                buckets[str(b)] = entries
+            from datetime import datetime, timezone
+
+            manifest = {
+                "epoch": epoch,
+                "seq_lo": m["seq_hi"],
+                "seq_hi": m["seq_hi"],
+                "lsn_lo": m.get("lsn_lo"),
+                "lsn_hi": m.get("lsn_hi"),
+                "schema_version": ver,
+                "n_buckets": new_n_buckets,
+                "layered": False,
+                "committed_at": datetime.now(timezone.utc).isoformat(),
+                "counts": {"mode": "rebucket", "from_n_buckets": self.n_buckets},
+                "buckets": buckets,
+            }
+            self.commit(manifest)
+            self.n_buckets = new_n_buckets
+            return manifest
+        finally:
+            self.release_writer_lease(lease)
 
     def read_sidecar(self, spark: SparkSession, name: str) -> DataFrame | None:
         """Union a sidecar table (_lineage/_metrics/_quarantine) across all

@@ -230,3 +230,35 @@ def test_writer_lease_single_writer(spark, tmp_path):
                     "acquired_at": _time.time() - 10_000, "ttl_sec": 60}, f)
     t2 = lake.acquire_writer_lease("recovered")
     lake.release_writer_lease(t2)
+
+
+def test_bucket_count_adoption_and_rebucket(spark, tmp_path):
+    """The manifest's bucket count is authoritative: reopening (or
+    resuming) a lake with a mismatched n_buckets arg must not mis-route
+    merges; rebucket() is the sanctioned partition-evolution path."""
+    d = str(tmp_path / "log")
+    gen.build_stream(2_000, 2, d)
+
+    clean = str(tmp_path / "clean")
+    R.replay(spark, d, clean, n_buckets=8)
+    want = engine_live_pdf(spark, clean)[["repo", "path", "lsn", "content_sha256"]]
+
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8, max_epochs=1)
+    # resume with a WRONG ctor count: adoption must keep the merge correct
+    assert LakeTable(root, n_buckets=64).n_buckets == 8
+    R.replay(spark, d, root, n_buckets=64)
+    got = engine_live_pdf(spark, root)[["repo", "path", "lsn", "content_sha256"]]
+    assert got.equals(want), "bucket-count mismatch corrupted the merge"
+
+    # partition evolution: rewrite under 16 buckets, state unchanged
+    lake = LakeTable(root)
+    m = lake.rebucket(spark, 16)
+    assert m["n_buckets"] == 16 and m["counts"]["mode"] == "rebucket"
+    assert LakeTable(root).n_buckets == 16
+    got2 = engine_live_pdf(spark, root)[["repo", "path", "lsn", "content_sha256"]]
+    assert got2.equals(want)
+    # point lookup still prunes under the new layout
+    row = want.iloc[0]
+    hit = lake.read_key(spark, row.repo, row.path).toPandas()
+    assert len(hit) == 1 and hit.loc[0, "lsn"] == row.lsn
