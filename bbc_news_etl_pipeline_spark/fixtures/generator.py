@@ -215,7 +215,7 @@ EVENT_COLUMNS_V = {
 }
 
 
-def write_event_log(df: pd.DataFrame, out_dir: str) -> list[dict]:
+def write_event_log(df: pd.DataFrame, out_dir: str, fmt: str = "parquet") -> list[dict]:
     """Write the stream as arrival-ordered parquet segments (one per epoch).
 
     Each segment is written with the PHYSICAL schema of the max
@@ -240,7 +240,10 @@ def write_event_log(df: pd.DataFrame, out_dir: str) -> list[dict]:
         out["schema_version"] = out["schema_version"].astype("int32")
         out["arrival_seq"] = out["arrival_seq"].astype("int64")
         out["lsn"] = out["lsn"].astype("int64")
-        fname = f"segment-{int(ep):05d}.parquet"
+        # jsonl segments carry a .jsonl suffix so the streaming tailer's
+        # parquet glob never misreads them (the tailer requires columnar
+        # segments; batch replay accepts both — see EventLog.read_range)
+        fname = f"segment-{int(ep):05d}.{ 'jsonl' if fmt == 'jsonl' else 'parquet' }"
         fpath = os.path.join(out_dir, fname)
         # Each segment is a DIRECTORY of ~64k-row part files (~15 MB), not
         # one monolithic file: Spark's scan parallelism is bounded by
@@ -252,17 +255,29 @@ def write_event_log(df: pd.DataFrame, out_dir: str) -> list[dict]:
         os.makedirs(fpath, exist_ok=True)
         rows_per_part = 65536
         for j, lo in enumerate(range(0, len(out), rows_per_part)):
-            out.iloc[lo : lo + rows_per_part].to_parquet(
-                os.path.join(fpath, f"part-{j:05d}.parquet"),
-                index=False,
-                coerce_timestamps="us",
-                allow_truncated_timestamps=True,
-            )
+            part = out.iloc[lo : lo + rows_per_part]
+            if fmt == "jsonl":
+                # the pre-columnarization collector format (webhook/debezium
+                # style); ISO timestamps, one JSON object per line
+                part.to_json(
+                    os.path.join(fpath, f"part-{j:05d}.jsonl"),
+                    orient="records",
+                    lines=True,
+                    date_format="iso",
+                )
+            else:
+                part.to_parquet(
+                    os.path.join(fpath, f"part-{j:05d}.parquet"),
+                    index=False,
+                    coerce_timestamps="us",
+                    allow_truncated_timestamps=True,
+                )
         segments.append(
             {
                 "file": fname,
                 "epoch": int(ep),
                 "schema_version": ver,
+                "format": fmt,
                 "seq_lo": int(g["arrival_seq"].min()),
                 "seq_hi": int(g["arrival_seq"].max()),
                 "n_events": int(len(g)),

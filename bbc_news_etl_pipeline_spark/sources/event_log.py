@@ -52,14 +52,19 @@ class EventLog:
         template = reg.event_schema(target_version)
         if not segs:
             return spark.createDataFrame([], template)
-        by_ver: dict[int, list[str]] = {}
+        by_kind: dict[tuple[int, str], list[str]] = {}
         for s in segs:
-            by_ver.setdefault(s["schema_version"], []).append(
-                os.path.join(self.log_dir, s["file"])
-            )
+            k = (s["schema_version"], s.get("format", "parquet"))
+            by_kind.setdefault(k, []).append(os.path.join(self.log_dir, s["file"]))
         parts = []
-        for ver, files in sorted(by_ver.items()):
-            df = spark.read.schema(reg.event_schema(ver)).parquet(*files)
+        for (ver, fmt), files in sorted(by_kind.items()):
+            reader = spark.read.schema(reg.event_schema(ver))
+            # jsonl segments: what a webhook/debezium-style collector emits
+            # before columnarization; same explicit schema (timestamps parse
+            # from ISO-8601), no inference. Parquet remains the fast path —
+            # a production collector compacts jsonl -> parquet, and this
+            # reader accepts logs mid-compaction (mixed formats per range).
+            df = reader.json(*files) if fmt == "jsonl" else reader.parquet(*files)
             parts.append(reg.cast_to_version(df, target_version, template))
         out = reduce(lambda a, b: a.unionByName(b), parts)
         return out.where(

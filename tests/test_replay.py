@@ -262,3 +262,45 @@ def test_bucket_count_adoption_and_rebucket(spark, tmp_path):
     row = want.iloc[0]
     hit = lake.read_key(spark, row.repo, row.path).toPandas()
     assert len(hit) == 1 and hit.loc[0, "lsn"] == row.lsn
+
+
+def test_jsonl_event_log_source(spark, tmp_path):
+    """The log reader accepts jsonl segments (the pre-columnarization
+    collector format) and mixed-format logs, producing the identical final
+    state as the parquet log for the same events."""
+    spec = gen.StreamSpec(n_events=1_500, n_epochs=3)
+    events = gen.generate_events(spec)
+
+    pq_dir = str(tmp_path / "log_pq")
+    gen.write_event_log(events, pq_dir)
+    pq_root = str(tmp_path / "lake_pq")
+    R.replay(spark, pq_dir, pq_root, n_buckets=8)
+    want = engine_live_pdf(spark, pq_root)[["repo", "path", "lsn", "content_sha256"]]
+
+    jl_dir = str(tmp_path / "log_jl")
+    gen.write_event_log(events, jl_dir, fmt="jsonl")
+    jl_root = str(tmp_path / "lake_jl")
+    res = R.replay(spark, jl_dir, jl_root, n_buckets=8)
+    assert sum(e.n_events for e in res.epochs) == 1_500
+    got = engine_live_pdf(spark, jl_root)[["repo", "path", "lsn", "content_sha256"]]
+    assert got.equals(want), "jsonl source diverged from parquet source"
+
+    # mixed-format log: epoch 0 as jsonl, epochs 1-2 as parquet
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    mx_dir = str(tmp_path / "log_mx")
+    _os.makedirs(mx_dir)
+    _shutil.copytree(_os.path.join(jl_dir, "segment-00000.jsonl"),
+                     _os.path.join(mx_dir, "segment-00000.jsonl"))
+    for i in (1, 2):
+        _shutil.copytree(_os.path.join(pq_dir, f"segment-{i:05d}.parquet"),
+                         _os.path.join(mx_dir, f"segment-{i:05d}.parquet"))
+    jl_segs = _json.load(open(_os.path.join(jl_dir, "_segments.json")))
+    pq_segs = _json.load(open(_os.path.join(pq_dir, "_segments.json")))
+    _json.dump([jl_segs[0]] + pq_segs[1:], open(_os.path.join(mx_dir, "_segments.json"), "w"))
+    mx_root = str(tmp_path / "lake_mx")
+    R.replay(spark, mx_dir, mx_root, n_buckets=8)
+    got_mx = engine_live_pdf(spark, mx_root)[["repo", "path", "lsn", "content_sha256"]]
+    assert got_mx.equals(want), "mixed-format log diverged"
