@@ -113,15 +113,6 @@ def _timed(label: str):
     sys.stderr.write(f"[cdc-timing] {label}: {time.perf_counter() - t0:.3f}s\n")
 
 
-QUARANTINE_SCHEMA = T.StructType(
-    [
-        T.StructField("epoch", T.LongType()),
-        T.StructField("event_json", T.StringType()),
-        T.StructField("error", T.StringType()),
-    ]
-)
-
-
 @dataclass
 class EpochResult:
     epoch: int

@@ -1,0 +1,53 @@
+"""spark-submit entry point: lake maintenance (the Iceberg `rewrite/expire`
+operational surface).
+
+Usage:
+    spark-submit --master local[32] jobs/maintain.py --lake-root /tmp/lake \
+        [--compact] [--tombstone-horizon-lsn N] \
+        [--expire-keep-last K] [--rebucket N]
+
+Order when combined: compact -> rebucket -> expire (compaction first so
+expiration can reclaim superseded layers; rebucket on the compacted state).
+Prints one JSON line describing what ran.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bbc_news_etl_pipeline_spark.session import build_session  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--lake-root", required=True)
+    p.add_argument("--compact", action="store_true")
+    p.add_argument("--tombstone-horizon-lsn", type=int, default=None)
+    p.add_argument("--expire-keep-last", type=int, default=None)
+    p.add_argument("--rebucket", type=int, default=None)
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    spark = build_session(app_name="cdc-maintain", master=args.master)
+    lake = LakeTable(args.lake_root)
+    out: dict = {"lake": args.lake_root, "n_buckets": lake.n_buckets}
+    if args.compact:
+        cm = lake.compact(spark, tombstone_horizon_lsn=args.tombstone_horizon_lsn)
+        out["compacted"] = cm["epoch"] if cm else None
+    if args.rebucket is not None:
+        rm = lake.rebucket(spark, args.rebucket)
+        out["rebucketed_to"] = rm["n_buckets"]
+    if args.expire_keep_last is not None:
+        out["expired"] = lake.expire_snapshots(keep_last=args.expire_keep_last)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
