@@ -145,8 +145,8 @@ def orders_rollup(orders: DataFrame) -> DataFrame:
     """A4: ROLLUP (year, month) totals with explicit grouping level —
     subtotal/grand-total hierarchy in ONE pass (partial-agg friendly;
     Catalyst expands to a single Expand + hash agg, not three scans)."""
-    y = F.year("o_orderdate").alias("y")
-    m = F.month("o_orderdate").alias("m")
+    y = F.year("o_orderdate").cast("long").alias("y")
+    m = F.month("o_orderdate").cast("long").alias("m")
     return (
         orders.rollup(y, m)
         .agg(

@@ -31,9 +31,9 @@ def token_stats(docs: DataFrame) -> DataFrame:
     regex token count approximating BPE pre-tokenization."""
     return docs.select(
         "doc_id",
-        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
-        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).alias("n_re_tokens"),
-        F.length("text").alias("n_chars"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).cast("long").alias("n_re_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 
@@ -48,7 +48,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
     return docs.select(
         "doc_id",
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         F.round(n_punct / n_chars, 4).alias("punct_ratio"),
         F.round(n_stop / n_words, 4).alias("stopword_ratio"),
         F.round((n_chars - n_words + 1) / n_words, 4).alias("mean_word_len"),
@@ -78,7 +78,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
     out = docs.select(
         "doc_id",
-        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in langs],
         pred.alias("pred_lang"),
         "lang",
     )
@@ -91,5 +91,5 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
-        F.length(normalize_text(F.col("text"))).alias("norm_len"),
+        F.length(normalize_text(F.col("text"))).cast("long").alias("norm_len"),
     )
