@@ -4,9 +4,12 @@
 filter, anti-join, gap detection, LWW merge-state, aggregation, window,
 sort/limit, scalar functions, streaming-shaped analytics) plus the
 training-data-pipeline operators (dedup ladder, similarity search, text
-analysis, multimodal plumbing). `oracle_sql()` carries the DuckDB-equivalent
-SQL for every value-checkable query; the few entries without an oracle are
-genuinely non-SQL-expressible (the live CDC replay) and are rows-only.
+analysis, multimodal plumbing) and the live engine itself. `oracle_sql()`
+carries a DuckDB twin for EVERY query — including the full CDC replay
+(`cdc_replay_state`: the engine runs epoch-fenced merge over a staged
+deterministic stream; the oracle computes the same LWW final state as one
+window query over the identical parquet segments) and the streaming-window
+aggregation plan (`cdc_windowed_counts`).
 
 Column names are aliased identically on both sides; float aggregates are
 rounded identically; hashes use the md5-prefix bigint that Spark's
