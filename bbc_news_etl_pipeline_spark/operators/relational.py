@@ -63,8 +63,17 @@ def date_gaps(orders: DataFrame, start: str, end: str, threshold: int) -> DataFr
 def lww_latest_state(events: DataFrame) -> DataFrame:
     """Current-state view of an event stream: last writer (by ts, event_id)
     wins per user_id; a final 'error' event acts as a delete. This is the
-    engine's CDC merge semantic expressed over the generic events table —
-    single partial-aggregatable max_by, no window shuffle-sort."""
+    engine's CDC merge semantic expressed over the generic events table,
+    as a single-scan partial-aggregatable argmax — no window shuffle-sort,
+    one exchange, map-side combine.
+
+    Plan note: Spark's max/max_by over a struct keeps a typed buffer, so
+    the two-phase aggregate is Sort- rather than Hash-based (measured: no
+    struct/`max_by` formulation hash-aggregates, and a 64-bit pack cannot
+    hold (micros, event_id)). That is fine HERE — one scan, partial combine
+    before the exchange — but it is exactly why the ENGINE's hot merge path
+    reduces on the slim primitive lsn instead
+    (operators/merge.salted_winner_keys; see tests/test_plans.py)."""
     winner = events.groupBy("user_id").agg(
         F.max_by(
             F.struct("event_type", "value", "ts"), F.struct("ts", "event_id")

@@ -1,0 +1,116 @@
+"""Physical-plan assertions: the scale properties (predicate pushdown,
+column pruning, broadcast joins, single-shuffle shapes, no Window sorts
+where max_by suffices) are contracts, not accidents — these tests fail if
+a refactor silently degrades a plan the 100 TB design depends on."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _n_nodes(plan: str, node: str) -> int:
+    """Count physical nodes by their '(n) Name' detail headers (the tree
+    section would double-count)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {node}\b", plan, flags=re.M))
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__ as entry_mod
+
+    return entry_mod.queries()
+
+
+def test_filter_pushdown_and_column_pruning(spark, qs):
+    plan = _plan(spark, qs["p1_projection_filter"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # projection reaches the scan: only the 4 referenced columns are read
+    read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert all(c in read for c in ("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"))
+    assert "l_comment" not in read and "l_extendedprice" not in read
+
+
+def test_antijoin_is_broadcast(spark, qs):
+    plan = _plan(spark, qs["p3_antijoin_no_orders"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_gap_detection_broadcasts_calendar(spark, qs):
+    plan = _plan(spark, qs["j2_gap_detection"](spark, SF))
+    assert "BroadcastHashJoin" in plan, "calendar side must broadcast"
+
+
+def test_q5_broadcasts_dimensions(spark, qs):
+    plan = _plan(spark, qs["q5_revenue_by_nation"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, "dims must broadcast"
+
+
+def test_lww_state_single_scan_partial_argmax(spark, qs):
+    """One scan, one exchange, two-phase (partial+final) aggregate, no
+    Window. Spark plans struct max_by as SortAggregate (typed buffer) —
+    acceptable for this analytic; the engine's hot merge path reduces on a
+    slim primitive instead (test_merge_winner_reduce_is_slim_and_packed)."""
+    plan = _plan(spark, qs["j3_lww_latest_state"](spark, SF))
+    assert "Window" not in plan, "LWW must not window-sort the stream"
+    assert _n_nodes(plan, "Scan parquet") == 1
+    assert _n_nodes(plan, "Exchange") == 1
+    agg_nodes = _n_nodes(plan, "SortAggregate") + _n_nodes(plan, "HashAggregate")
+    assert agg_nodes >= 2, "winner reduce must have a map-side partial phase"
+
+
+def test_top1_uses_take_ordered(spark, qs):
+    plan = _plan(spark, qs["o1_multikey_sort_page"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, "limit must not trigger a global sort"
+
+
+def test_rollup_is_single_pass_expand(spark, qs):
+    plan = _plan(spark, qs["a4_orders_rollup"](spark, SF))
+    assert "Expand" in plan, "rollup must be one Expand pass, not a union of scans"
+    assert _n_nodes(plan, "Scan parquet") == 1
+
+
+def test_embedding_dedup_single_exchange(spark, qs):
+    plan = _plan(spark, qs["dedup_embedding_cosine"](spark, SF))
+    assert _n_nodes(plan, "Exchange") == 1, "triangle blocking needs exactly one shuffle"
+    assert _n_nodes(plan, "FlatMapGroupsInPandas") == 1
+    assert _n_nodes(plan, "Scan parquet") == 1
+
+
+def test_minhash_partial_aggregation(spark, qs):
+    plan = _plan(spark, qs["dedup_minhash_signatures"](spark, SF))
+    # two-phase hash agg: partial before the doc_id exchange, final after
+    assert plan.count("HashAggregate") >= 2
+    assert "ObjectHashAggregate" not in plan, "min() on bigints must stay packed"
+
+
+def test_merge_winner_reduce_is_slim_and_packed(spark):
+    """salted_winner_keys must plan as packed two-phase hash aggs over slim
+    columns — never ObjectHashAggregate (the r01 payload-in-aggregate trap)."""
+    from pyspark.sql import functions as F
+
+    from bbc_news_etl_pipeline_spark.operators import merge as M
+
+    df = (
+        spark.range(1000)
+        .select(
+            F.concat(F.lit("org/r"), (F.col("id") % 7).cast("string")).alias("repo"),
+            F.concat(F.lit("f"), (F.col("id") % 50).cast("string")).alias("path"),
+            F.col("id").alias("lsn"),
+            F.lit("x" * 100).alias("content"),
+            F.pmod(F.col("id"), F.lit(8)).cast("int").alias("bucket"),
+        )
+    )
+    plan = _plan(spark, M.salted_winner_keys(df))
+    assert "ObjectHashAggregate" not in plan
+    assert "content" not in plan.split("== Physical Plan ==")[1].split("(1) Scan")[0], (
+        "payload column leaked into the winner reduce"
+    )
