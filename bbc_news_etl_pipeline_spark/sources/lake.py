@@ -519,6 +519,35 @@ class LakeTable:
             return None
         return spark.read.parquet(*dirs)
 
+    def register_views(self, spark: SparkSession, prefix: str = "cdc") -> list[str]:
+        """SQL facade: register the merged state and every sidecar as temp
+        views so `spark.sql` works against the lake the way the reference's
+        warehouse is queried with SQL (postgres articles table,
+        /root/reference/src/clients/postgres/postgres_base.py:210-226).
+        Returns the view names created."""
+        views = [f"{prefix}_state"]
+        self.read_state(spark).createOrReplaceTempView(views[0])
+        for side in ("_lineage", "_metrics", "_quarantine"):
+            df = self.read_sidecar(spark, side)
+            if df is not None:
+                name = f"{prefix}{side}"
+                df.createOrReplaceTempView(name)
+                views.append(name)
+        rows = self.checkpoint_rows()
+        if rows:
+            name = f"{prefix}_checkpoint"
+            spark.createDataFrame(
+                [
+                    (r["epoch"], r["seq_lo"], r["seq_hi"], r["lsn_lo"],
+                     r["lsn_hi"], r["schema_version"], r["committed_at"])
+                    for r in rows
+                ],
+                "epoch long, seq_lo long, seq_hi long, lsn_lo long, "
+                "lsn_hi long, schema_version int, committed_at string",
+            ).createOrReplaceTempView(name)
+            views.append(name)
+        return views
+
     def checkpoint_rows(self) -> list[dict]:
         """The `_checkpoint` table (FIXTURES.md section 3), derived from the
         committed manifests — the analog of the reference's

@@ -304,3 +304,33 @@ def test_jsonl_event_log_source(spark, tmp_path):
     R.replay(spark, mx_dir, mx_root, n_buckets=8)
     got_mx = engine_live_pdf(spark, mx_root)[["repo", "path", "lsn", "content_sha256"]]
     assert got_mx.equals(want), "mixed-format log diverged"
+
+
+def test_sql_facade(spark, tmp_path):
+    """spark.sql works over the registered lake views — state, sidecars,
+    and checkpoint — the reference's SQL-warehouse read surface."""
+    d = str(tmp_path / "log")
+    gen.build_stream(1_000, 2, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4)
+    lake = LakeTable(root)
+    views = lake.register_views(spark)
+    assert "cdc_state" in views and "cdc_checkpoint" in views
+
+    n = spark.sql("SELECT count(*) AS n FROM cdc_state").first()["n"]
+    assert n == len(engine_live_pdf(spark, root))
+    top = spark.sql(
+        "SELECT repo, count(*) AS files FROM cdc_state GROUP BY repo "
+        "ORDER BY files DESC, repo LIMIT 1"
+    ).first()
+    pdf = engine_live_pdf(spark, root)
+    want_top = pdf.groupby("repo").size().sort_values(ascending=False)
+    assert top["repo"] == want_top.index[0] and top["files"] == want_top.iloc[0]
+    ck = spark.sql(
+        "SELECT max(epoch) AS e, max(seq_hi) AS s FROM cdc_checkpoint"
+    ).first()
+    assert ck["e"] == 1 and ck["s"] == 999
+    lin = spark.sql(
+        "SELECT sum(n_events) AS n FROM cdc_lineage"
+    ).first()
+    assert lin["n"] == 1_000
