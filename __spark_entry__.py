@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         query_label=int(_t(s, d, "embeddings").where(F.col("vec_id") == 0).select("label").first()[0]),
         k=10, exclude_vec_id=0,
     )
+    q["ann_rp_lsh_topk"] = lambda s, d: S.rp_lsh_topk(
+        _t(s, d, "embeddings"), _query_vec(s, d), k=10, exclude_vec_id=0,
+        n_planes=4,
+    )
     q["ann_label_centroids"] = lambda s, d: S.label_centroids(_t(s, d, "embeddings"))
     q["ann_centroid_outliers"] = lambda s, d: S.centroid_outliers(_t(s, d, "embeddings"))
 
@@ -478,6 +482,32 @@ def oracle_sql() -> dict[str, str]:
         "SELECT v.vec_id, round(list_inner_product(CAST(v.embedding AS DOUBLE[]), q.e) / "
         "  (sqrt(list_inner_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))) * q.nrm), 6) AS cosine "
         "FROM embeddings v, q WHERE v.vec_id <> 0 AND v.label = q.ql "
+        "ORDER BY cosine DESC, v.vec_id ASC LIMIT 10"
+    )
+    # random-hyperplane LSH: the planes are fixed literals shared with the
+    # Spark implementation (similarity.rp_planes); dots are rounded to 6
+    # digits before the sign test so summation-order ulps cannot flip a bit
+    def _rp_sig_sql(col: str) -> str:
+        import bbc_news_etl_pipeline_spark.operators.similarity as _S
+
+        terms = []
+        for j, plane in enumerate(_S.rp_planes(4)):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN round(list_inner_product({col}, {lit}), 6) >= 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    o["ann_rp_lsh_topk"] = (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e, "
+        "  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm, "
+        f"  {_rp_sig_sql('CAST(embedding AS DOUBLE[])')} AS sig "
+        "  FROM embeddings WHERE vec_id = 0) "
+        "SELECT v.vec_id, round(list_inner_product(CAST(v.embedding AS DOUBLE[]), q.e) / "
+        "  (sqrt(list_inner_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))) * q.nrm), 6) AS cosine "
+        "FROM embeddings v, q WHERE v.vec_id <> 0 "
+        f"AND {_rp_sig_sql('CAST(v.embedding AS DOUBLE[])')} = q.sig "
         "ORDER BY cosine DESC, v.vec_id ASC LIMIT 10"
     )
     o["ann_label_centroids"] = (

@@ -57,6 +57,75 @@ def ivf_topk(embs: DataFrame, query_vec: list[float], query_label: int, k: int =
     )
 
 
+#: deterministic random-hyperplane family for sign-bit LSH: plane j,
+#: component p derives from md5(f"rp{j}:{p}") -> uniform in [-1, 1]. Fixed
+#: literals on BOTH engines (the Spark plan embeds them as array literals,
+#: the oracle SQL as DOUBLE[] literals), so no portable-hash arithmetic is
+#: needed at all.
+RP_DIM = 64
+
+
+def rp_planes(n_planes: int = 8, dim: int = RP_DIM) -> list[list[float]]:
+    import hashlib
+
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for p in range(dim):
+            h = int(hashlib.md5(f"rp{j}:{p}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def rp_signature_py(vec: list[float], planes: list[list[float]]) -> int:
+    """Query-side signature (driver Python, same math + rounding as the
+    column expression below)."""
+    sig = 0
+    for j, plane in enumerate(planes):
+        d = 0.0
+        for a, b in zip(vec, plane):
+            d += a * b
+        if round(d, 6) >= 0:
+            sig += 1 << j
+    return sig
+
+
+def rp_signature_col(v: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH bucket id: bit j = (dot(v, plane_j) >= 0). The dot is
+    rounded to 6 digits before the sign test so both engines agree even
+    when their summation orders differ in the last ulps."""
+    sig: Column = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.round(_dot(v, arr), 6)
+        sig = sig + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def rp_lsh_topk(
+    embs: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    exclude_vec_id: int | None = None,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: candidates = vectors sharing the query's
+    sign-bit bucket, then exact cosine re-rank within the bucket.
+
+    The scale path alongside ivf_topk: the signature is a pure map-side
+    column (8 codegen'd dot products against literal planes), so a corpus
+    materialized WITH a signature column gets partition/row-group pruning
+    on it; even computed on the fly, only ~1/2^n_planes of rows reach the
+    top-k. Recall can be raised by multi-probing neighboring buckets
+    (Hamming distance 1) — here exact-bucket, matching the oracle."""
+    planes = rp_planes(n_planes)
+    qsig = rp_signature_py([float(x) for x in query_vec], planes)
+    v = _as_double(F.col("embedding"))
+    cand = embs.where(rp_signature_col(v, planes) == F.lit(qsig))
+    return cosine_topk(cand, query_vec, k, exclude_vec_id)
+
+
 def label_centroids(embs: DataFrame) -> DataFrame:
     """Per-label centroid statistics: (label, n_vectors, centroid_norm).
     posexplode -> (label, pos) mean -> norm; two partial-agg shuffles,
