@@ -199,3 +199,17 @@ def test_mor_across_schema_evolution(spark, tmp_path, stream_dir, cow_digest):
         for e in v
     }
     assert vers2 == {3}, vers2
+
+
+def test_mor_crash_resume(spark, stream_dir, tmp_path, cow_digest):
+    """Crash after the first MOR epoch and resume: the fence + layer
+    appends must converge to the same state as an uninterrupted run."""
+    root = str(tmp_path / "lake")
+    first = R.replay(spark, stream_dir, root, n_buckets=8, mode="mor",
+                     crash_after_epoch=0)
+    assert len(first.epochs) == 1
+    resumed = R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    assert all(not e.skipped for e in resumed.epochs)
+    assert engine_digest(spark, root) == cow_digest
+    # a third run applies nothing (fence)
+    assert R.replay(spark, stream_dir, root, n_buckets=8, mode="mor").events_applied == 0
