@@ -35,7 +35,7 @@ import os
 import re
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import schema_registry as reg
@@ -44,18 +44,85 @@ from ..util import with_backoff
 _MANIFEST_RE = re.compile(r"manifest-(\d{6})\.json$")
 
 
-def _resolve_layers(df: DataFrame) -> DataFrame:
-    """Max-lsn winner per (repo, path) across merge-on-read layers.
-    Identical (repo, path, lsn) rows across layers (cross-epoch redelivery)
-    are byte-identical by the log contract, so the row_number tiebreak is
-    value-deterministic."""
+#: stage-1 salt fan-out of the read-side winner reduce (mirrors the write
+#: path's operators.merge.DEFAULT_SALT_BUCKETS)
+RESOLVE_SALT_BUCKETS = 16
+
+
+def resolve_layers(
+    df: DataFrame,
+    n_layers: int,
+    lsn_hi: int | None = None,
+    salt_buckets: int = RESOLVE_SALT_BUCKETS,
+    hint_broadcast: bool = False,
+) -> DataFrame:
+    """Window-free max-lsn winner per (repo, path) across merge-on-read
+    layers. `df` must carry a `_layer` ordinal column (the bucket-local
+    append order, from ``read_buckets(with_layer=True)``); dropped on
+    return.
+
+    Same no-Window, skew-split shape as the WRITE path
+    (operators/merge.py:salted_winner_keys): a SLIM salted two-stage packed
+    hash-agg (keys + one long, map-side partial combine) picks each key's
+    winner, then a semi-join plucks the winning full rows — payload never
+    enters an aggregate or a sort, and a high-churn key is pre-reduced over
+    `salt_buckets` subpartitions before one reducer sees it.
+
+    Winner order is (lsn, layer) lexicographic, bit-packed into ONE long
+    (layer ordinal in the low bits) so the reduce stays a packed primitive
+    ``max`` — a struct max would plan as ObjectHashAggregate and fall back
+    to sorting past 128 groups. The layer tiebreak makes cross-epoch
+    redelivery (the same (repo, path, lsn) row materialized in two layers;
+    byte-identical by the log contract) resolve to exactly one copy
+    deterministically. Falls back to the window oracle iff lsn_hi would
+    overflow the packing (unreachable at realistic lsns; keeps correctness
+    unconditional).
+
+    The semi-join build side is the slim winner frame: broadcast when the
+    caller knows it is tiny (point lookups), else a SHUFFLE_HASH hint so
+    the payload probe side streams unsorted (AQE still upgrades small build
+    sides to broadcast at runtime). Never sort-merge — sorting full rows is
+    exactly the cost this function exists to avoid."""
+    shift = max(1, (int(n_layers) - 1).bit_length())
+    if lsn_hi is not None and int(lsn_hi) >= (1 << (62 - shift)):
+        return _resolve_layers_window(df)
+    enc = (F.shiftleft(F.col("lsn"), shift) + F.col("_layer")).alias("_enc")
+    win = (
+        df.select("repo", "path", enc)
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("_enc")), F.lit(salt_buckets)).cast("int"),
+        )
+        .groupBy("repo", "path", "_salt")
+        .agg(F.max("_enc").alias("_enc"))
+        .groupBy("repo", "path")
+        .agg(F.max("_enc").alias("_enc"))
+        .select(
+            "repo",
+            "path",
+            F.shiftright(F.col("_enc"), shift).alias("lsn"),
+            F.col("_enc").bitwiseAND(F.lit((1 << shift) - 1)).cast("int").alias("_layer"),
+        )
+    )
+    win = F.broadcast(win) if hint_broadcast else win.hint("shuffle_hash")
+    return df.join(win, ["repo", "path", "lsn", "_layer"], "left_semi").drop("_layer")
+
+
+def _resolve_layers_window(df: DataFrame) -> DataFrame:
+    """Reference implementation (test oracle + packing-overflow fallback):
+    the row_number window the engine shipped before r03. Correct, but a
+    whole-partition shuffle-sort of full payload rows — kept OUT of every
+    production read path."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("repo", "path").orderBy(F.desc("lsn"))
+    order = [F.desc("lsn")]
+    if "_layer" in df.columns:
+        order.append(F.desc("_layer"))
+    w = Window.partitionBy("repo", "path").orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_layer")
     )
 
 
@@ -237,22 +304,33 @@ class LakeTable:
 
     # ---------- reads ----------
     def _read_files(
-        self, spark: SparkSession, entries: list[dict], target_version: int
+        self,
+        spark: SparkSession,
+        entries: list[tuple[int, dict]],
+        target_version: int,
+        with_layer: bool = False,
     ) -> DataFrame:
-        """Read manifest file entries (grouped by written schema version),
-        cast each group up to target_version, union."""
+        """Read manifest file entries — (layer_ordinal, entry) pairs —
+        grouped by written schema version (and by layer ordinal when
+        `with_layer`), cast each group up to target_version, union.
+        `with_layer` tags each row with its bucket-local layer ordinal
+        (the Iceberg file-sequence-number analog) for MOR resolution; the
+        group count is versions x layers-since-compaction, both small."""
         template = reg.lake_schema(target_version)
         if not entries:
-            return spark.createDataFrame([], template)
-        by_ver: dict[int, list[str]] = {}
-        for e in entries:
-            by_ver.setdefault(e["schema_version"], []).append(
-                os.path.join(self.root, e["path"])
-            )
+            df = spark.createDataFrame([], template)
+            return df.withColumn("_layer", F.lit(0)) if with_layer else df
+        by_grp: dict[tuple[int, int], list[str]] = {}
+        for layer, e in entries:
+            k = (e["schema_version"], layer if with_layer else 0)
+            by_grp.setdefault(k, []).append(os.path.join(self.root, e["path"]))
         parts = []
-        for ver, files in sorted(by_ver.items()):
+        for (ver, layer), files in sorted(by_grp.items()):
             df = spark.read.schema(reg.lake_schema(ver)).parquet(*files)
-            parts.append(reg.cast_to_version(df, target_version, template))
+            df = reg.cast_to_version(df, target_version, template)
+            if with_layer:
+                df = df.withColumn("_layer", F.lit(layer))
+            parts.append(df)
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     def read_buckets(
@@ -261,17 +339,49 @@ class LakeTable:
         buckets: list[int] | None,
         target_version: int,
         manifest: dict | None = None,
+        with_layer: bool = False,
     ) -> DataFrame:
         """Current rows (INCLUDING tombstones) of the given buckets; all
         buckets if None. Tombstones are needed by the merge so a late
-        lower-lsn event after a delete stays a no-op."""
+        lower-lsn event after a delete stays a no-op. A key lives in
+        exactly one bucket and at most once per layer, so the bucket-local
+        layer ordinal (`with_layer`) totally orders a key's copies."""
         manifest = manifest if manifest is not None else self.current_manifest()
-        entries: list[dict] = []
+        entries: list[tuple[int, dict]] = []
         if manifest:
             for b, files in manifest["buckets"].items():
                 if buckets is None or int(b) in buckets:
-                    entries.extend(files)
-        return self._read_files(spark, entries, target_version)
+                    entries.extend(enumerate(files))
+        return self._read_files(spark, entries, target_version, with_layer=with_layer)
+
+    def read_resolved(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None,
+        target_version: int,
+        manifest: dict | None = None,
+        key_filter: Column | None = None,
+        hint_broadcast: bool = False,
+    ) -> DataFrame:
+        """read_buckets + merge-on-read resolution: one row per key
+        (tombstones INCLUDED — callers filter). On a non-layered snapshot
+        this is exactly the pure scan. `key_filter` applies BELOW the
+        resolution (and reaches the parquet scan), so a point lookup
+        resolves only the looked-up key's rows; pass `hint_broadcast` when
+        the caller knows the surviving key set is tiny."""
+        manifest = manifest if manifest is not None else self.current_manifest()
+        layered = bool(manifest and manifest.get("layered"))
+        df = self.read_buckets(
+            spark, buckets, target_version, manifest=manifest, with_layer=layered
+        )
+        if key_filter is not None:
+            df = df.where(key_filter)
+        if not layered:
+            return df
+        n_layers = max((len(v) for v in manifest["buckets"].values()), default=1)
+        return resolve_layers(
+            df, n_layers, lsn_hi=manifest.get("lsn_hi"), hint_broadcast=hint_broadcast
+        )
 
     def read_state(
         self,
@@ -284,16 +394,15 @@ class LakeTable:
 
         Copy-on-write snapshots hold one row per key, so this is a pure
         scan. A LAYERED (merge-on-read) snapshot holds one row per key PER
-        LAYER; the winner is resolved here — max-lsn row per key via a
-        bucket-local window (the read tax MOR trades for O(epoch) writes;
-        `compact()` pays it once and clears the flag). Tombstone filtering
-        runs AFTER resolution: a tombstone layer must hide older live
-        layers, never the reverse."""
+        LAYER; the winner is resolved here — max-lsn row per key via the
+        salted slim winner reduce + payload semi-join (`resolve_layers`,
+        the read tax MOR trades for O(epoch) writes; `compact()` pays it
+        once and clears the flag). Tombstone filtering runs AFTER
+        resolution: a tombstone layer must hide older live layers, never
+        the reverse."""
         manifest = self.manifest(epoch) if epoch is not None else self.current_manifest()
         ver = target_version or (manifest["schema_version"] if manifest else reg.LATEST_VERSION)
-        df = self.read_buckets(spark, None, ver, manifest=manifest)
-        if manifest and manifest.get("layered"):
-            df = _resolve_layers(df)
+        df = self.read_resolved(spark, None, ver, manifest=manifest)
         return df.where(~F.col("is_deleted")).drop("is_deleted")
 
     def compact(
@@ -327,7 +436,7 @@ class LakeTable:
     ) -> dict:
         ver = m["schema_version"]
         epoch = m["epoch"] + 1
-        resolved = _resolve_layers(self.read_buckets(spark, None, ver, manifest=m))
+        resolved = self.read_resolved(spark, None, ver, manifest=m)
         if tombstone_horizon_lsn is not None:
             resolved = resolved.where(
                 ~F.col("is_deleted") | (F.col("lsn") > F.lit(tombstone_horizon_lsn))
@@ -373,23 +482,32 @@ class LakeTable:
         bucket, list ONLY that bucket's files (1/n_buckets of the table at
         any size), push the key predicate into the parquet scan, resolve
         layers if the snapshot is merge-on-read. The file-pruning half of
-        what an index would do, with zero index maintenance."""
+        what an index would do, with zero index maintenance.
+
+        The bucket is computed under the bucket count OF THE MANIFEST BEING
+        READ, not the current layout: after `rebucket()`, a time-travel
+        lookup into a pre-rebucket snapshot must hash with the old count or
+        it prunes the wrong files and silently returns empty."""
         manifest = self.manifest(epoch) if epoch is not None else self.current_manifest()
         ver = target_version or (
             manifest["schema_version"] if manifest else reg.LATEST_VERSION
         )
         from ..operators.merge import bucket_col
 
+        n = int(manifest.get("n_buckets", self.n_buckets)) if manifest else self.n_buckets
         b = (
             spark.createDataFrame([(repo, path)], "repo string, path string")
-            .select(bucket_col(self.n_buckets).alias("b"))
+            .select(bucket_col(n).alias("b"))
             .first()["b"]
         )
-        df = self.read_buckets(spark, [b], ver, manifest=manifest).where(
-            (F.col("repo") == F.lit(repo)) & (F.col("path") == F.lit(path))
+        df = self.read_resolved(
+            spark,
+            [b],
+            ver,
+            manifest=manifest,
+            key_filter=(F.col("repo") == F.lit(repo)) & (F.col("path") == F.lit(path)),
+            hint_broadcast=True,
         )
-        if manifest and manifest.get("layered"):
-            df = _resolve_layers(df)
         return df.where(~F.col("is_deleted")).drop("is_deleted")
 
     def read_changes(
@@ -413,7 +531,12 @@ class LakeTable:
         - the changed-key set comes from a slim log scan of the offset
           window (keys only — content pruned at the parquet reader);
         - post-images come from a semi-join of the touched buckets' state
-          against that key set (broadcast when small).
+          against that key set. The build side is broadcast ONLY when the
+          key count (known from the same slim scan) is under the merge
+          path's BROADCAST_KEYS_MAX — a wide window ("diff my nightly
+          snapshot against last week's") touches millions of keys, and
+          forcing those into a driver broadcast is the exact hazard the
+          merge guards with its gated hint.
         """
         m_from = self.manifest(from_epoch)
         m_to = (
@@ -432,17 +555,20 @@ class LakeTable:
             .distinct()
         )
         from ..operators.merge import bucket_col
+        from ..util import BROADCAST_KEYS_MAX
 
-        keyed = keys.select("repo", "path", bucket_col(self.n_buckets).alias("b"))
-        touched = sorted(
-            {r["b"] for r in keyed.select("b").distinct().collect()}
-        )
-        state = self.read_buckets(
+        # bucket under the layout of the snapshot being read (post-rebucket
+        # diffs against an old snapshot must hash with the old count)
+        n = int(m_to.get("n_buckets", self.n_buckets))
+        keyed = keys.select("repo", "path", bucket_col(n).alias("b"))
+        per_bucket = keyed.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+        touched = sorted(r["b"] for r in per_bucket)
+        n_keys = sum(r["n"] for r in per_bucket)
+        state = self.read_resolved(
             spark, touched, m_to["schema_version"], manifest=m_to
         )
-        if m_to.get("layered"):
-            state = _resolve_layers(state)
-        rows = state.join(F.broadcast(keys), ["repo", "path"], "left_semi")
+        build = F.broadcast(keys) if n_keys <= BROADCAST_KEYS_MAX else keys
+        rows = state.join(build, ["repo", "path"], "left_semi")
         return rows.withColumn(
             "change", F.when(F.col("is_deleted"), F.lit("delete")).otherwise(F.lit("upsert"))
         ).drop("is_deleted")
@@ -466,9 +592,7 @@ class LakeTable:
 
             ver = m["schema_version"]
             epoch = m["epoch"] + 1
-            rows = self.read_buckets(spark, None, ver, manifest=m)
-            if m.get("layered"):
-                rows = _resolve_layers(rows)
+            rows = self.read_resolved(spark, None, ver, manifest=m)
             rows = rows.drop("bucket").withColumn(
                 "bucket", bucket_col(new_n_buckets)
             )

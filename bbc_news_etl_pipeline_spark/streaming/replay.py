@@ -35,7 +35,7 @@ from ..observability import JsonRunLogger
 from ..operators import merge as M
 from ..sources.event_log import EventLog
 from ..sources.lake import LakeTable
-from ..util import with_backoff
+from ..util import BROADCAST_KEYS_MAX, with_backoff  # noqa: F401 (re-export)
 
 #: shared run logger — replay()/tail()/redrive() open a fresh context;
 #: apply_events emits one epoch_committed record per commit (the JSON log
@@ -69,12 +69,9 @@ METRICS_SCHEMA = T.StructType(
 
 _TIMING = os.environ.get("CDC_TIMING") == "1"
 
-#: epochs with at most this many valid events broadcast their slim delta-key
-#: and winner frames in the merge joins (~100 B/key -> a few hundred MB at
-#: the cap); larger epochs use shuffle joins. Measured crossover: broadcast
-#: wins clearly up to ~2M-event epochs (serial broadcast build is small);
-#: at ~6M-event epochs the parallel shuffle join overtakes it.
-BROADCAST_KEYS_MAX = int(os.environ.get("CDC_BROADCAST_KEYS_MAX", "4000000"))
+# BROADCAST_KEYS_MAX (imported above, defined in util.py): epochs with at
+# most this many valid events broadcast their slim delta-key and winner
+# frames in the merge joins; LakeTable.read_changes shares the same gate.
 
 
 def _write_sidecar(dir_path: str, columns: dict, schema: T.StructType) -> None:
@@ -329,15 +326,12 @@ def apply_events(
                 dedupe_delta=n_distinct < n_valid,
             )
         else:
-            base = lake.read_buckets(spark, touched, ver, manifest=prev_manifest)
-            if prev_manifest and prev_manifest.get("layered"):
-                # COW epoch on a layered base: resolve the touched buckets'
-                # layers first so the winner semi-join sees one row per
-                # (repo, path, lsn); untouched buckets stay layered (the
-                # manifest keeps the flag until compact()).
-                from ..sources.lake import _resolve_layers
-
-                base = _resolve_layers(base)
+            # COW epoch on a (possibly) layered base: read_resolved collapses
+            # the touched buckets' layers first — window-free salted reduce —
+            # so the winner semi-join sees one row per (repo, path, lsn);
+            # untouched buckets stay layered (the manifest keeps the flag
+            # until compact()).
+            base = lake.read_resolved(spark, touched, ver, manifest=prev_manifest)
             merged = M.merge_into_base(
                 delta, base, ver, salt_buckets,
                 hint_broadcast=n_valid <= BROADCAST_KEYS_MAX,

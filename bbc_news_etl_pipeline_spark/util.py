@@ -2,8 +2,17 @@
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Callable
+
+#: key-count gate for broadcasting slim key/winner frames in the merge and
+#: incremental-read joins (~100 B/key -> a few hundred MB at the cap).
+#: Measured crossover on this host: broadcast wins clearly up to ~2M-key
+#: builds (serial broadcast build stays small); at ~6M keys the parallel
+#: shuffle join overtakes it. Above the gate, Catalyst/AQE plans a shuffle
+#: join and every other scale property still holds.
+BROADCAST_KEYS_MAX = int(os.environ.get("CDC_BROADCAST_KEYS_MAX", "4000000"))
 
 
 def with_backoff(

@@ -201,6 +201,38 @@ def test_mor_across_schema_evolution(spark, tmp_path, stream_dir, cow_digest):
     assert vers2 == {3}, vers2
 
 
+def test_resolve_layers_matches_window_oracle(spark):
+    """The r03 window-free resolution (salted slim reduce + semi-join) must
+    agree with the row_number window oracle, INCLUDING on a cross-epoch
+    redelivery (the same (repo, path, lsn) row present in two layers) —
+    exactly one copy survives."""
+    from bbc_news_etl_pipeline_spark.sources.lake import (
+        _resolve_layers_window,
+        resolve_layers,
+    )
+
+    rows = [
+        ("r1", "a.py", 5, "v5", 0),
+        ("r1", "a.py", 7, "v7", 1),     # winner: higher lsn
+        ("r1", "b.py", 3, "dup", 0),
+        ("r1", "b.py", 3, "dup", 2),    # cross-layer duplicate -> one copy
+        ("r2", "c.py", 9, "only", 1),
+    ]
+    schema = "repo string, path string, lsn long, content string, _layer int"
+    df = spark.createDataFrame(rows, schema)
+    got = resolve_layers(df, n_layers=3).toPandas().sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    want = _resolve_layers_window(df).toPandas().sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    assert got.equals(want), f"\ngot:\n{got}\nwant:\n{want}"
+    assert len(got) == 3 and not got.duplicated(["repo", "path"]).any()
+
+    # packing-overflow fallback stays correct (lsn_hi too big for the shift)
+    got2 = resolve_layers(df, n_layers=3, lsn_hi=1 << 62).toPandas().sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    assert got2.equals(want)
+
+
 def test_mor_crash_resume(spark, stream_dir, tmp_path, cow_digest):
     """Crash after the first MOR epoch and resume: the fence + layer
     appends must converge to the same state as an uninterrupted run."""

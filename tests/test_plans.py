@@ -92,6 +92,67 @@ def test_minhash_partial_aggregation(spark, qs):
     assert "ObjectHashAggregate" not in plan, "min() on bigints must stay packed"
 
 
+def test_layered_read_has_no_window_and_stays_packed(spark, tmp_path_factory):
+    """Merge-on-read resolution is the read-side twin of the write path's
+    salted winner reduce: a layered read_state must plan with NO Window
+    (no whole-partition payload sort), NO ObjectHashAggregate (the packed
+    bit-shift encoding, not a struct max), and a hash join whose build side
+    is the slim winner frame (shuffled-hash or broadcast — never a
+    sort-merge join that re-sorts payload rows)."""
+    from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+    d = str(tmp_path_factory.mktemp("plan_mor_stream"))
+    gen.build_stream(400, 2, d)
+    root = str(tmp_path_factory.mktemp("plan_mor") / "lake")
+    R.replay(spark, d, root, n_buckets=4, mode="mor")
+    lake = LakeTable(root, n_buckets=4)
+    assert lake.current_manifest()["layered"] is True
+    plan = _plan(spark, lake.read_state(spark))
+    assert "Window" not in plan, "MOR read tax must not be a window sort"
+    assert "ObjectHashAggregate" not in plan, "winner reduce must stay packed"
+    assert "SortMergeJoin" not in plan, "payload probe side must not sort"
+    assert ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_read_changes_broadcast_is_gated(spark, tmp_path_factory, monkeypatch):
+    """Incremental read must broadcast its changed-key set ONLY under the
+    key-count gate: a small diff window broadcasts, a window with more keys
+    than BROADCAST_KEYS_MAX must NOT force a driver broadcast (Catalyst
+    plans a shuffle join; AQE may still upgrade at runtime if genuinely
+    small — the hazard is the unconditional hint, not the strategy)."""
+    from bbc_news_etl_pipeline_spark import util
+    from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+    d = str(tmp_path_factory.mktemp("gate_stream"))
+    gen.build_stream(400, 2, d)
+    root = str(tmp_path_factory.mktemp("gate") / "lake")
+    R.replay(spark, d, root, n_buckets=4)
+    lake = LakeTable(root, n_buckets=4)
+    log = EventLog(d)
+
+    # disable Catalyst's size-based auto-broadcast so the plans isolate the
+    # engine's own hint (the hazard under test is the unconditional hint,
+    # which would override size-based planning at any key count)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_small = _plan(spark, lake.read_changes(spark, log, 0))
+        assert "BroadcastHashJoin" in plan_small, "small window must broadcast"
+
+        monkeypatch.setattr(util, "BROADCAST_KEYS_MAX", 0)
+        plan_big = _plan(spark, lake.read_changes(spark, log, 0))
+        assert "BroadcastHashJoin" not in plan_big, (
+            "over-gate window must not force a driver broadcast"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_merge_winner_reduce_is_slim_and_packed(spark):
     """salted_winner_keys must plan as packed two-phase hash aggs over slim
     columns — never ObjectHashAggregate (the r01 payload-in-aggregate trap)."""

@@ -10,6 +10,7 @@ import pandas as pd
 import pytest
 
 from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
 from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
 from bbc_news_etl_pipeline_spark.streaming import replay as R
 
@@ -262,6 +263,21 @@ def test_bucket_count_adoption_and_rebucket(spark, tmp_path):
     row = want.iloc[0]
     hit = lake.read_key(spark, row.repo, row.path).toPandas()
     assert len(hit) == 1 and hit.loc[0, "lsn"] == row.lsn
+
+    # time travel ACROSS the rebucket: a lookup into a pre-rebucket
+    # snapshot must hash with THAT manifest's bucket count (8), not the
+    # current 16 — wrong-layout pruning silently returns empty
+    pre_epoch = m["epoch"] - 1
+    hit_old = lake.read_key(spark, row.repo, row.path, epoch=pre_epoch).toPandas()
+    assert len(hit_old) == 1 and hit_old.loc[0, "lsn"] == row.lsn
+
+    # incremental read diffing up to the pre-rebucket snapshot likewise
+    ch = lake.read_changes(spark, EventLog(d), 0, to_epoch=pre_epoch).toPandas()
+    assert len(ch) > 0, "pre-rebucket diff pruned the wrong layout"
+    merged = ch[ch["change"] == "upsert"].merge(
+        want, on=["repo", "path"], how="left", suffixes=("", "_want")
+    )
+    assert (merged["lsn"] == merged["lsn_want"]).all()
 
 
 def test_jsonl_event_log_source(spark, tmp_path):
