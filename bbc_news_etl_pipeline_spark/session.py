@@ -60,3 +60,29 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ship_engine_package(spark: SparkSession) -> None:
+    """Distribute this package to executor Python workers. Under
+    `spark-submit --py-files engine.zip` the zip is already on every
+    worker's path and this is a no-op-equivalent re-ship; when the zip
+    wasn't passed (bare `spark-submit jobs/x.py` from any cwd), build it
+    and `addPyFile` so cloudpickled UDFs (the applyInArrow merge reducer)
+    resolve on workers — a driver-side sys.path insert alone does not
+    reach them."""
+    try:
+        import bbc_news_etl_pipeline_spark as pkg
+
+        pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+        if os.path.isdir(pkg_dir):
+            import shutil
+            import tempfile
+
+            staging = tempfile.mkdtemp(prefix="engine_pyfiles_")
+            zip_base = os.path.join(staging, "bbc_news_etl_pipeline_spark")
+            shutil.make_archive(
+                zip_base, "zip", os.path.dirname(pkg_dir), os.path.basename(pkg_dir)
+            )
+            spark.sparkContext.addPyFile(zip_base + ".zip")
+    except Exception:
+        pass  # zipped --py-files deployment: nothing to re-ship

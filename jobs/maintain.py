@@ -20,7 +20,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bbc_news_etl_pipeline_spark.session import build_session  # noqa: E402
+from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_package  # noqa: E402
 from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
 
 
@@ -35,6 +35,7 @@ def main() -> None:
     args = p.parse_args()
 
     spark = build_session(app_name="cdc-maintain", master=args.master)
+    ship_engine_package(spark)
     lake = LakeTable(args.lake_root)
     out: dict = {"lake": args.lake_root, "n_buckets": lake.n_buckets}
     if args.compact:

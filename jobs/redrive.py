@@ -22,7 +22,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bbc_news_etl_pipeline_spark.session import build_session  # noqa: E402
+from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_package  # noqa: E402
 from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
 from bbc_news_etl_pipeline_spark.streaming.redrive import (  # noqa: E402
     pending_quarantine_epochs,
@@ -44,6 +44,7 @@ def main() -> None:
         fix_fn = getattr(importlib.import_module(mod), fn)
 
     spark = build_session(app_name="cdc-redrive", master=args.master)
+    ship_engine_package(spark)
     lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
     pending_before = pending_quarantine_epochs(lake)
     res = redrive(spark, lake, fix_fn=fix_fn)

@@ -22,7 +22,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bbc_news_etl_pipeline_spark.session import build_session  # noqa: E402
+from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_package  # noqa: E402
 from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
 from bbc_news_etl_pipeline_spark.streaming import replay as R  # noqa: E402
 
@@ -61,23 +61,7 @@ def main() -> None:
             build_stream(args.generate_events, args.generate_epochs, args.log_dir)
 
     spark = build_session(app_name="cdc-replay", master=args.master)
-    # Distribute the engine package to Python workers. Under
-    # `spark-submit --py-files engine.zip` this is already handled; when the
-    # zip wasn't passed, build and ship it so cloudpickled UDFs resolve.
-    try:
-        import bbc_news_etl_pipeline_spark  # noqa: F401
-        pkg_dir = os.path.dirname(os.path.abspath(bbc_news_etl_pipeline_spark.__file__))
-        if os.path.isdir(pkg_dir):
-            import shutil
-            import tempfile
-
-            staging = tempfile.mkdtemp(prefix="engine_pyfiles_")
-            zip_base = os.path.join(staging, "bbc_news_etl_pipeline_spark")
-            shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
-                                os.path.basename(pkg_dir))
-            spark.sparkContext.addPyFile(zip_base + ".zip")
-    except Exception:
-        pass  # zipped --py-files deployment: nothing to re-ship
+    ship_engine_package(spark)
     adaptive = None
     if args.adaptive_target_sec is not None:
         adaptive = R.AdaptiveEpochSizer(

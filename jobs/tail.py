@@ -21,7 +21,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bbc_news_etl_pipeline_spark.session import build_session  # noqa: E402
+from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_package  # noqa: E402
 from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
 from bbc_news_etl_pipeline_spark.streaming.tail import tail  # noqa: E402
 
@@ -42,6 +42,7 @@ def main() -> None:
     args = p.parse_args()
 
     spark = build_session(app_name="cdc-tail", master=args.master)
+    ship_engine_package(spark)
     res = tail(
         spark,
         args.log_dir,
