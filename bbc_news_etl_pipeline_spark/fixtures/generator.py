@@ -229,7 +229,10 @@ def write_event_log(df: pd.DataFrame, out_dir: str, fmt: str = "parquet") -> lis
     segments = []
     for ep, g in df.groupby("epoch", sort=True):
         ver = int(g["schema_version"].max())
-        cols = EVENT_COLUMNS_V[ver]
+        # events may CLAIM a version the registry doesn't know (the
+        # rejection-path fixtures); the physical layout clamps to the
+        # newest known column set while the rows keep their claimed value
+        cols = EVENT_COLUMNS_V[min(ver, max(EVENT_COLUMNS_V))]
         out = g[cols].copy()
         # pin physical types — an all-null object column must still write as
         # its declared type, never as pandas-inferred INT32/DOUBLE

@@ -63,6 +63,11 @@ def valid_predicate() -> Column:
         & F.col("path").isNotNull()
         & F.col("lsn").isNotNull()
         & ((F.col("op") == "delete") | F.col("content").isNotNull())
+        # schema evolution is REJECT-ahead, not guess-ahead: an event whose
+        # schema_version exceeds the registry's max carries columns this
+        # build cannot interpret — casting would silently drop them, so it
+        # quarantines instead (redrive applies it after a registry upgrade)
+        & F.col("schema_version").between(1, reg.LATEST_VERSION)
     )
 
 
@@ -78,7 +83,13 @@ def split_valid_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     valid = events.where(is_valid)
     quarantine = events.where(~F.coalesce(is_valid, F.lit(False))).select(
         F.to_json(F.struct(*events.columns)).alias("event_json"),
-        F.when(~F.col("op").isin(*VALID_OPS), F.lit("invalid op"))
+        F.when(
+            ~F.coalesce(
+                F.col("schema_version").between(1, reg.LATEST_VERSION), F.lit(False)
+            ),
+            F.lit("unknown schema_version"),
+        )
+        .when(~F.col("op").isin(*VALID_OPS), F.lit("invalid op"))
         .when(F.col("repo").isNull() | F.col("path").isNull(), F.lit("null key"))
         .when(F.col("lsn").isNull(), F.lit("null lsn"))
         .otherwise(F.lit("null content for upsert"))

@@ -58,7 +58,14 @@ class EventLog:
             by_kind.setdefault(k, []).append(os.path.join(self.log_dir, s["file"]))
         parts = []
         for (ver, fmt), files in sorted(by_kind.items()):
-            reader = spark.read.schema(reg.event_schema(ver))
+            # a segment stamped with a FUTURE schema version is read with
+            # the newest registry schema (extra physical columns are simply
+            # not read); its events keep their claimed schema_version and
+            # the validation filter quarantines them ("unknown
+            # schema_version") instead of silently dropping their columns
+            reader = spark.read.schema(
+                reg.event_schema(min(ver, reg.LATEST_VERSION))
+            )
             # jsonl segments: what a webhook/debezium-style collector emits
             # before columnarization; same explicit schema (timestamps parse
             # from ISO-8601), no inference. Parquet remains the fast path —
@@ -72,10 +79,12 @@ class EventLog:
         )
 
     def max_schema_version(self, seq_lo: int, seq_hi: int) -> int:
-        """Highest schema version among segments intersecting the range."""
+        """Highest REGISTRY-KNOWN schema version among segments
+        intersecting the range (a future-versioned segment cannot raise
+        the epoch's target version — its events quarantine instead)."""
         vers = [
             s["schema_version"]
             for s in self.segments()
             if s["seq_hi"] > seq_lo and s["seq_lo"] <= seq_hi
         ]
-        return max(vers) if vers else 1
+        return min(max(vers), reg.LATEST_VERSION) if vers else 1

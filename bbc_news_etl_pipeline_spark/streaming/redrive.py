@@ -98,6 +98,7 @@ def _redrive_locked(
     next_epoch, last_seq, active_ver = lake.resume_point()
     ver_row = events.agg(F.max("schema_version").alias("v")).first()
     ver = max(active_ver, int(ver_row["v"]) if ver_row["v"] is not None else active_ver)
+    ver = min(ver, reg.LATEST_VERSION)  # future-versioned events re-quarantine
     events = reg.cast_to_version(events, ver, reg.event_schema(ver))
     return R.apply_events(
         spark,

@@ -73,7 +73,7 @@ def _apply_stream_batch(
     if bounds["n"] == 0:
         return 0
     _, _, active_version = lake.resume_point()
-    ver = max(active_version, int(bounds["ver"]))
+    ver = min(max(active_version, int(bounds["ver"])), reg.LATEST_VERSION)
     events = reg.cast_to_version(batch_df, ver, reg.event_schema(ver))
     res = R.apply_events(
         spark,

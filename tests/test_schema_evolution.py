@@ -82,6 +82,63 @@ def test_evolution_replay_and_resume(spark, stream, tmp_path):
     ).all()
 
 
+def test_future_schema_version_quarantines(spark, tmp_path):
+    """REJECTION story: an event stamped with a schema_version beyond the
+    registry's max must quarantine with a distinct error (its unknown
+    columns cannot be interpreted — casting would drop them silently),
+    while the batch's valid events still commit. After a registry upgrade
+    a redrive applies it (here simulated by fixing the version)."""
+    from .test_skew_quarantine_lww import _mk_events
+
+    ev = _mk_events([
+        {"lsn": 1, "op": "insert", "content": "ok-v3", "path": "a.py"},
+        {"lsn": 2, "op": "insert", "content": "future", "path": "b.py"},
+    ])
+    ev.loc[1, "schema_version"] = 99
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    res = R.replay(spark, d, root, n_buckets=4)
+    assert res.events_applied == 1
+    assert sum(e.n_quarantined for e in res.epochs) == 1
+
+    lake = LakeTable(root, n_buckets=4)
+    q = lake.read_sidecar(spark, "_quarantine").toPandas()
+    assert list(q["error"]) == ["unknown schema_version"]
+    live = engine_live_pdf(spark, root)
+    assert list(live["path"]) == ["a.py"], "valid event must still commit"
+
+    # a segment STAMPED with a future version must not crash the reader:
+    # its events surface (with their claimed version) and quarantine
+    import json as _json
+    import os as _os
+
+    segs = _json.load(open(_os.path.join(d, "_segments.json")))
+    segs[-1]["schema_version"] = 99
+    _json.dump(segs, open(_os.path.join(d, "_segments.json"), "w"))
+    df = EventLog(d).read_range(spark, -1, 10, target_version=3)
+    assert df.count() == 2  # reader did not explode or drop the segment
+
+    # registry-upgrade path: redrive with a fix_fn that maps the event to
+    # a known version applies it exactly once
+    segs[-1]["schema_version"] = 3
+    _json.dump(segs, open(_os.path.join(d, "_segments.json"), "w"))
+    from bbc_news_etl_pipeline_spark.streaming.redrive import redrive
+
+    from pyspark.sql import functions as F
+
+    res2 = redrive(
+        spark, lake,
+        fix_fn=lambda e: e.withColumn(
+            "schema_version",
+            F.least(F.col("schema_version"), F.lit(reg.LATEST_VERSION)),
+        ),
+    )
+    assert res2 is not None and res2.n_events == 1
+    live2 = engine_live_pdf(spark, root)
+    assert sorted(live2["path"]) == ["a.py", "b.py"]
+
+
 def test_time_travel_reads_old_schema_epochs(spark, stream, tmp_path):
     """A historical snapshot committed under v1 must still be readable after
     the table evolved to v3 (cast-up on read)."""
