@@ -232,7 +232,7 @@ def near_dup_pairs_lsh(
     sizes = sig.select("doc_id", "n_sh")
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    return (
+    out = (
         shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
@@ -243,6 +243,14 @@ def near_dup_pairs_lsh(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # Release the cached signature frame before returning: the verified
+    # pair set is tiny, so materialize it (localCheckpoint severs the
+    # lineage back to `sig`), then unpersist — a long-lived session (the
+    # engine's own tailer) calling this repeatedly must not accumulate
+    # MEMORY_AND_DISK blocks across calls.
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def simhash_bits(docs: DataFrame, bits: int = 16, hash_mode: str = "portable") -> DataFrame:

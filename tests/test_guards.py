@@ -51,6 +51,27 @@ def test_no_per_row_python_or_rdd():
     assert not offenders, "\n".join(offenders)
 
 
+def test_lsh_verified_pairs_releases_cache(spark, sf_dir):
+    """near_dup_pairs_lsh persists its slim signature frame internally; it
+    must UNPERSIST it before returning — a long-lived session (the
+    engine's tailer) calling it repeatedly must not accumulate
+    MEMORY_AND_DISK blocks. Only the localCheckpoint of the (tiny) result
+    may remain registered."""
+    import os
+
+    from bbc_news_etl_pipeline_spark.operators import dedup as D
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = jmap.size()
+    out = D.near_dup_pairs_lsh(docs, threshold=0.8)
+    out.count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (
+        f"signature cache leaked: {after - before} new persistent RDDs"
+    )
+
+
 def test_entry_module_clean():
     text = (Path(__file__).resolve().parents[1] / "__spark_entry__.py").read_text()
     for pat, why in BANNED:
