@@ -163,6 +163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), _query_vec(s, d), k=10, exclude_vec_id=0,
         n_planes=4,
     )
+    q["ann_rp_lsh_multiprobe"] = lambda s, d: S.rp_lsh_multiprobe_topk(
+        _t(s, d, "embeddings"), _query_vec(s, d), k=10, exclude_vec_id=0,
+        n_planes=4,
+    )
     q["ann_label_centroids"] = lambda s, d: S.label_centroids(_t(s, d, "embeddings"))
     q["ann_centroid_outliers"] = lambda s, d: S.centroid_outliers(_t(s, d, "embeddings"))
 
@@ -508,6 +512,20 @@ def oracle_sql() -> dict[str, str]:
         "  (sqrt(list_inner_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))) * q.nrm), 6) AS cosine "
         "FROM embeddings v, q WHERE v.vec_id <> 0 "
         f"AND {_rp_sig_sql('CAST(v.embedding AS DOUBLE[])')} = q.sig "
+        "ORDER BY cosine DESC, v.vec_id ASC LIMIT 10"
+    )
+    # multi-probe: the query bucket plus every Hamming-distance-1 bucket —
+    # xor(sig, q.sig) being a power of two <=> exactly one flipped plane bit
+    _h1 = ", ".join(str(1 << j) for j in range(4))
+    o["ann_rp_lsh_multiprobe"] = (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e, "
+        "  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm, "
+        f"  {_rp_sig_sql('CAST(embedding AS DOUBLE[])')} AS sig "
+        "  FROM embeddings WHERE vec_id = 0) "
+        "SELECT v.vec_id, round(list_inner_product(CAST(v.embedding AS DOUBLE[]), q.e) / "
+        "  (sqrt(list_inner_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))) * q.nrm), 6) AS cosine "
+        "FROM embeddings v, q WHERE v.vec_id <> 0 "
+        f"AND xor({_rp_sig_sql('CAST(v.embedding AS DOUBLE[])')}::BIGINT, q.sig::BIGINT) IN (0, {_h1}) "
         "ORDER BY cosine DESC, v.vec_id ASC LIMIT 10"
     )
     o["ann_label_centroids"] = (
