@@ -45,22 +45,37 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Time every contract query; the dedup family runs BENCH_DEDUP_TRIALS
+    times (default 3) and records the MEDIAN — host wall-clock noise spans
+    2-4x between identical runs here, and medians are what the round-over-
+    round delta table compares (single samples made the r02 LSH-verify
+    delta unreadable). Returns (times, per-query trial samples)."""
+    import statistics
+
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    trials_n = int(os.environ.get("BENCH_DEDUP_TRIALS", "3"))
     # JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").write.mode("overwrite").format(
         "noop"
     ).save()
     out: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
     for name, fn in qs.items():
         if name in SKIP:
             continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+        n = trials_n if name.startswith("dedup_") else 1
+        samples = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        out[name] = round(statistics.median(samples), 3)
+        if n > 1:
+            trials[name] = samples
+    return out, trials
 
 
 def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
@@ -105,7 +120,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = build_session(app_name="bench", master=f"local[{cpus}]")
 
-    queries = bench_queries(spark, sf_dir)
+    queries, trials = bench_queries(spark, sf_dir)
 
     # production-hash (xxhash64) minhash variant: not a contract query (the
     # contract rows stay on the DuckDB-portable md5 path), timed here so the
@@ -138,6 +153,7 @@ def main() -> None:
                 "sf": _sf_of(sf_dir),
                 "cdc": cdc,
                 "extra": extra,
+                "trials": trials,
             }
         )
     )
