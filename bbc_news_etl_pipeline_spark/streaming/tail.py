@@ -19,8 +19,11 @@ recorded beside the checkpoint at first start. A crashed-and-restarted
 query re-runs the last uncommitted batch with the SAME batch_id -> the
 fence either skips it (manifest exists) or the overwrite-mode rewrite
 makes the retry idempotent — identical to replay.apply_epoch's crash
-model — and epochs committed by batch replay before the stream started can
-never collide with live batches.
+model. Epochs committed before the stream's FIRST start can never collide
+with live batches; epochs committed BETWEEN runs of the same checkpoint
+(batch replay / redrive on the same lake) are detected as foreign
+manifests and the batch is rebased onto a free epoch via a durable
+batch_id->epoch map (see _tail_locked).
 
 Schema note: the stream reads with the LATEST registry schema; older
 segments lack `license` (NULL-filled by the parquet reader) and carry
@@ -58,20 +61,33 @@ def _apply_stream_batch(
     batch_df: DataFrame,
     epoch: int,
     mode: str = "cow",
-) -> int:
+) -> int | None:
     """foreachBatch body: the SAME epoch core as batch replay
     (replay.apply_events) driven by a batch the streaming runtime scoped.
     Identical audit trail — lineage/metrics/quarantine sidecars, hot-repo
     census, duplicate detection, merged lsn range — so a lake built by the
-    tailer is indistinguishable from one built by replay."""
-    if lake.has_epoch(epoch):
-        return 0
+    tailer is indistinguishable from one built by replay.
+
+    A fence hit is only a skip when the existing manifest IS this batch
+    (a tail commit with matching seq bounds — the crash-retry case).
+    Anything else is a FOREIGN commit landing on our planned epoch number
+    (batch replay or a redrive ran on the same lake between tail runs):
+    returns None so the caller rebases instead of silently dropping live
+    events while the streaming checkpoint advances."""
     bounds = batch_df.agg(
         F.min("arrival_seq").alias("lo"), F.max("arrival_seq").alias("hi"),
         F.max("schema_version").alias("ver"), F.count(F.lit(1)).alias("n"),
     ).first()
     if bounds["n"] == 0:
         return 0
+    if lake.has_epoch(epoch):
+        m = lake.manifest(epoch)
+        ours = (
+            m.get("counts", {}).get("mode") == "tail"
+            and m["seq_lo"] == int(bounds["lo"]) - 1
+            and m["seq_hi"] == int(bounds["hi"])
+        )
+        return 0 if ours else None
     _, _, active_version = lake.resume_point()
     ver = min(max(active_version, int(bounds["ver"])), reg.LATEST_VERSION)
     events = reg.cast_to_version(batch_df, ver, reg.event_schema(ver))
@@ -127,6 +143,9 @@ def _tail_locked(
 ) -> TailResult:
     result = TailResult()
     R.RUN_LOGGER.new_context("tail")
+    from ..sources.event_log import assert_columnar_segments
+
+    assert_columnar_segments(log_dir, after_seq=lake.resume_point()[1])
 
     # ---- epoch namespacing: Structured Streaming's batch_id restarts at 0
     # for a fresh checkpoint dir, so fencing on batch_id alone would collide
@@ -134,7 +153,14 @@ def _tail_locked(
     # with a different checkpoint) — silently skipping LIVE batches while the
     # source offset advances. Record the lake's next free epoch at FIRST
     # start alongside the checkpoint; epoch = base + batch_id is then stable
-    # across restarts of the same query and disjoint from all prior commits.
+    # across restarts of the same query and disjoint from commits that
+    # PREDATE the first start. Commits landing BETWEEN runs of the same
+    # checkpoint (a batch replay or redrive on the same lake) can still
+    # collide with base + batch_id; _apply_stream_batch detects the foreign
+    # manifest and on_batch REBASES that batch to the lake's next free
+    # epoch, persisting the batch_id->epoch assignment beside the
+    # checkpoint BEFORE applying, so a crash-retry of the batch reuses the
+    # rebased epoch instead of double-applying.
     os.makedirs(checkpoint_dir, exist_ok=True)
     base_path = os.path.join(checkpoint_dir, "tail_epoch_base.json")
     if os.path.exists(base_path):
@@ -145,6 +171,18 @@ def _tail_locked(
         with open(base_path, "w") as f:
             json.dump({"epoch_base": epoch_base}, f)
 
+    map_path = os.path.join(checkpoint_dir, "tail_epoch_map.json")
+    epoch_map: dict[str, int] = {}
+    if os.path.exists(map_path):
+        with open(map_path) as f:
+            epoch_map = json.load(f)
+
+    def _persist_map() -> None:
+        tmp = map_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(epoch_map, f)
+        os.replace(tmp, map_path)
+
     stream = (
         spark.readStream.schema(reg.event_schema(reg.LATEST_VERSION))
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -152,9 +190,20 @@ def _tail_locked(
     )
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        n = _apply_stream_batch(
-            spark, lake, batch_df, epoch_base + int(batch_id), mode=mode
-        )
+        bid = str(int(batch_id))
+        epoch = epoch_map.get(bid, epoch_base + int(batch_id))
+        n = _apply_stream_batch(spark, lake, batch_df, epoch, mode=mode)
+        if n is None:
+            # planned epoch holds a foreign commit: rebase durably, retry
+            epoch = lake.resume_point()[0]
+            epoch_map[bid] = epoch
+            _persist_map()
+            n = _apply_stream_batch(spark, lake, batch_df, epoch, mode=mode)
+            if n is None:
+                raise RuntimeError(
+                    f"tail batch {bid}: rebased epoch {epoch} also holds a "
+                    "foreign commit — another writer is racing this tailer"
+                )
         result.batches.append((int(batch_id), n))
 
     q = (

@@ -97,6 +97,79 @@ def test_tail_sidecar_parity_with_replay(spark, stream_dir, tmp_path):
     assert m["lsn_lo"] == 1 and m["lsn_hi"] == E
 
 
+def _grow_log(full_dir: str, out_dir: str, upto: int) -> None:
+    """Materialize the first `upto` segments of a generated log into
+    `out_dir` (simulates a live log growing between runs)."""
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(full_dir, "_segments.json")) as f:
+        segs = json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    for s in segs[:upto]:
+        dst = os.path.join(out_dir, s["file"])
+        if not os.path.exists(dst):
+            shutil.copytree(os.path.join(full_dir, s["file"]), dst)
+    with open(os.path.join(out_dir, "_segments.json"), "w") as f:
+        json.dump(segs[:upto], f)
+
+
+def test_tail_replay_tail_resume_no_loss(spark, tmp_path):
+    """ADVICE r02 (high): epochs committed BETWEEN runs of the same tail
+    checkpoint — here a batch replay on the same lake — collide with the
+    resumed tailer's epoch_base + batch_id. The old fence skipped the live
+    batch wholesale while the streaming checkpoint advanced: permanent
+    loss. The foreign manifest must instead trigger a durable rebase and
+    the events must land."""
+    full = str(tmp_path / "full")
+    gen.build_stream(E, 4, full)
+    log = str(tmp_path / "log")
+    root = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    _grow_log(full, log, 2)
+    r1 = tail(spark, log, root, ckpt, n_buckets=8,
+              max_files_per_trigger=2, timeout_sec=300)
+    assert r1.events_applied > 0
+
+    _grow_log(full, log, 3)
+    R.replay(spark, log, root, n_buckets=8)  # foreign epochs on the same lake
+
+    _grow_log(full, log, 4)
+    tail(spark, log, root, ckpt, n_buckets=8,
+         max_files_per_trigger=2, timeout_sec=300)
+
+    clean = str(tmp_path / "clean")
+    R.replay(spark, full, clean, n_buckets=8)
+    got, want = engine_digest(spark, root), engine_digest(spark, clean)
+    assert got == want, f"live batch lost after tail->replay->tail: {got} != {want}"
+    # the collision really happened and was resolved by a durable rebase
+    import os
+
+    assert os.path.exists(os.path.join(ckpt, "tail_epoch_map.json"))
+
+
+def test_tail_rejects_unapplied_jsonl_segments(spark, tmp_path):
+    """ADVICE r02 (medium): the tailer globs segment-*.parquet, so a jsonl
+    segment would be silently skipped while seq advances past its offsets.
+    It must fail fast instead; after batch replay applies the jsonl log
+    (the migration path), the guard passes."""
+    spec = gen.StreamSpec(n_events=1_000, n_epochs=2)
+    events = gen.generate_events(spec)
+    d = str(tmp_path / "log")
+    gen.write_event_log(events, d, fmt="jsonl")
+    root = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    with pytest.raises(ValueError, match="columnar"):
+        tail(spark, d, root, ckpt, n_buckets=4, timeout_sec=60)
+
+    R.replay(spark, d, root, n_buckets=4)  # batch path reads jsonl fine
+    res = tail(spark, d, root, ckpt, n_buckets=4, timeout_sec=120)
+    assert res.events_applied == 0  # nothing columnar pending; no loss
+
+
 def test_tail_all_invalid_batch_persists_quarantine(spark, tmp_path):
     """A micro-batch whose events are ALL invalid must still persist its
     quarantine sidecar and commit a manifest (ADVICE r01: the old early-exit
