@@ -25,6 +25,35 @@ from pyspark.sql import functions as F
 from ..plans import schema_registry as reg
 
 
+def assert_columnar_segments(log_dir: str, after_seq: int = -1) -> None:
+    """Guard for the STREAMING surfaces (tail/windows/stateful), which
+    readStream a `segment-*.parquet` glob: a jsonl segment would be
+    silently skipped while the checkpoint advances past its offsets —
+    permanent loss, not degradation. Fail fast instead when any segment
+    past `after_seq` (the already-applied watermark; -1 = check all) is
+    jsonl. Batch replay reads mixed-format logs and is the migration
+    path; a collector that falls behind on compaction gets a loud error
+    here rather than a silent gap."""
+    try:
+        with open(os.path.join(log_dir, "_segments.json")) as f:
+            segs = json.load(f)
+    except FileNotFoundError:
+        return
+    bad = [
+        s["file"]
+        for s in segs
+        if s.get("format", "parquet") == "jsonl" and s["seq_hi"] > after_seq
+    ]
+    if bad:
+        raise ValueError(
+            "streaming surfaces require columnar segments; unapplied jsonl "
+            f"segments would be silently skipped by the parquet glob while "
+            f"the checkpoint advances past their offsets: {bad}. "
+            "Columnarize them first (collector compaction) or use batch "
+            "replay, which reads mixed-format logs."
+        )
+
+
 class EventLog:
     def __init__(self, log_dir: str):
         self.log_dir = log_dir

@@ -90,6 +90,9 @@ def tail_repo_profiles(
     the in-memory sink table holding each repo's LAST emitted profile.
     Update output mode: one row per (batch, updated repo); the final row
     per repo is the converged state."""
+    from ..sources.event_log import assert_columnar_segments
+
+    assert_columnar_segments(log_dir)
     stream = (
         spark.readStream.schema(reg.event_schema(reg.LATEST_VERSION))
         .option("maxFilesPerTrigger", max_files_per_trigger)

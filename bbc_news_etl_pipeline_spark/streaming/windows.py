@@ -66,6 +66,9 @@ def tail_windowed_counts(
     """Continuously aggregate the event log into per-window parquet
     (availableNow drain; restart-safe via the stream checkpoint). Append
     mode: a window is written exactly once, after the watermark passes it."""
+    from ..sources.event_log import assert_columnar_segments
+
+    assert_columnar_segments(log_dir)
     stream = (
         spark.readStream.schema(reg.event_schema(reg.LATEST_VERSION))
         .option("maxFilesPerTrigger", max_files_per_trigger)
