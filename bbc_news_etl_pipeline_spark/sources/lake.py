@@ -216,11 +216,34 @@ class LakeTable:
                     held = {}
                 age = _time.time() - held.get("acquired_at", 0)
                 if attempt == 0 and age > held.get("ttl_sec", ttl_sec):
-                    try:  # stale: previous writer died without release
-                        os.unlink(self._lease_path)
+                    # Stale steal WITHOUT a TOCTOU hole: a blind unlink could
+                    # delete a rival's FRESH lease written between our read
+                    # and the unlink (two contenders both observing the stale
+                    # lease -> two live writers). rename is atomic and keeps
+                    # the evidence: claim the file, verify the payload we got
+                    # is still the stale one we decided to steal, and put a
+                    # fresh lease back if it is not ours to take.
+                    claim = f"{self._lease_path}.steal-{token}"
+                    try:
+                        os.rename(self._lease_path, claim)
                     except FileNotFoundError:
-                        pass
-                    continue
+                        continue  # holder released / rival stole: retry create
+                    try:
+                        with open(claim) as f:
+                            got = json.load(f)
+                    except (OSError, ValueError):
+                        got = {}
+                    if got.get("token") == held.get("token"):
+                        os.unlink(claim)  # confirmed stale: proceed to create
+                        continue
+                    # the lease changed hands between read and rename — it is
+                    # a live rival's; restore it and report busy
+                    os.rename(claim, self._lease_path)
+                    raise RuntimeError(
+                        f"lake {self.root} lease was re-acquired by writer "
+                        f"{got.get('owner')!r} during a stale-steal attempt "
+                        "— single-writer model"
+                    ) from None
                 raise RuntimeError(
                     f"lake {self.root} is locked by writer "
                     f"{held.get('owner')!r} (age {age:.0f}s / ttl "

@@ -233,6 +233,42 @@ def test_writer_lease_single_writer(spark, tmp_path):
     lake.release_writer_lease(t2)
 
 
+def test_lease_steal_detects_fresh_rival(tmp_path, monkeypatch):
+    """ADVICE r02: the stale-lease steal had a TOCTOU hole — a blind unlink
+    could delete a rival's FRESH lease written between our read and the
+    unlink, leaving two live writers. The rename-based steal must detect
+    the payload changed hands, restore the rival's lease, and fail loudly."""
+    import json as _json
+    import os
+    import time as _time
+
+    import bbc_news_etl_pipeline_spark.sources.lake as L
+
+    lake = LakeTable(str(tmp_path / "lake"), n_buckets=4)
+    stale = {"owner": "dead", "token": "t-old",
+             "acquired_at": _time.time() - 10_000, "ttl_sec": 60}
+    with open(lake._lease_path, "w") as f:
+        _json.dump(stale, f)
+
+    fresh = {"owner": "rival", "token": "t-new",
+             "acquired_at": _time.time(), "ttl_sec": 3600}
+    real_rename = os.rename
+
+    def racy_rename(src, dst):
+        if src == lake._lease_path:
+            # rival re-acquires in the window between our read and rename
+            with open(lake._lease_path, "w") as f:
+                _json.dump(fresh, f)
+        real_rename(src, dst)
+
+    monkeypatch.setattr(L.os, "rename", racy_rename)
+    with pytest.raises(RuntimeError, match="re-acquired"):
+        lake.acquire_writer_lease("me")
+    monkeypatch.undo()
+    with open(lake._lease_path) as f:
+        assert _json.load(f)["token"] == "t-new", "rival's lease not restored"
+
+
 def test_bucket_count_adoption_and_rebucket(spark, tmp_path):
     """The manifest's bucket count is authoritative: reopening (or
     resuming) a lake with a mismatched n_buckets arg must not mis-route
