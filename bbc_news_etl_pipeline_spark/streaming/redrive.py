@@ -11,14 +11,21 @@ standard pipeline (same probe, merge, lineage, metrics, fence).
 
 Semantics:
 
-- Pending = committed epochs that have a quarantine sidecar and are not yet
-  listed in any manifest's ``counts.redrive_sources``. A redrive commits one
-  epoch whose manifest records the source epochs it consumed, so re-running
-  redrive with nothing new pending is a no-op (exactly-once at the epoch
-  granularity, same fence as replay).
+- Pending = committed epochs that have a quarantine sidecar and are not
+  recorded as redriven in the ``_redrive_ledger.json`` at the lake root
+  (expiration-safe: `expire_snapshots` dropping old manifests must not
+  resurrect already-redriven epochs, so the record does NOT live only in
+  expirable manifests; manifests' ``counts.redrive_sources`` stays as the
+  audit trail and is honored for back-compat). A redrive commits one epoch,
+  so re-running with nothing new pending is a no-op (exactly-once at the
+  epoch granularity, same fence as replay).
 - Events that are STILL invalid after ``fix_fn`` land in the new epoch's own
   quarantine — they stay on the DLQ for the next attempt, they never poison
   the batch.
+- A redrive in which ZERO events became valid commits nothing: the source
+  epochs are marked ``attempted`` in the ledger and re-enter pending only
+  when a ``fix_fn`` is supplied — a scheduled fix-less redrive job must not
+  commit an unbounded chain of epochs re-quarantining the same events.
 - Re-driven events keep their original ``lsn``: a fixed event whose key was
   meanwhile overwritten by a higher-lsn event is a no-op — LWW makes late
   re-drives safe by construction.
@@ -26,6 +33,7 @@ Semantics:
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
@@ -37,11 +45,40 @@ from ..sources.lake import LakeTable
 from . import replay as R
 
 
-def pending_quarantine_epochs(lake: LakeTable) -> list[int]:
-    """Committed epochs whose quarantine sidecar has not been re-driven."""
-    done: set[int] = set()
+def _ledger_path(lake: LakeTable) -> str:
+    return os.path.join(lake.root, "_redrive_ledger.json")
+
+
+def read_ledger(lake: LakeTable) -> dict:
+    try:
+        with open(_ledger_path(lake)) as f:
+            led = json.load(f)
+    except (OSError, ValueError):
+        led = {}
+    return {"redriven": led.get("redriven", []), "attempted": led.get("attempted", [])}
+
+
+def _record(lake: LakeTable, key: str, epochs: list[int]) -> None:
+    led = read_ledger(lake)
+    led[key] = sorted(set(led[key]) | set(epochs))
+    tmp = _ledger_path(lake) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(led, f)
+    os.replace(tmp, _ledger_path(lake))
+
+
+def pending_quarantine_epochs(
+    lake: LakeTable, include_attempted: bool = False
+) -> list[int]:
+    """Committed epochs whose quarantine sidecar has not been re-driven.
+    ``attempted`` epochs (a prior redrive made zero events valid) are
+    excluded unless the caller brings a fix_fn to change the outcome."""
+    led = read_ledger(lake)
+    done: set[int] = set(led["redriven"])
+    if not include_attempted:
+        done |= set(led["attempted"])
     committed = lake.committed_epochs()
-    for ep in committed:
+    for ep in committed:  # back-compat with pre-ledger lakes
         srcs = lake.manifest(ep).get("counts", {}).get("redrive_sources")
         if srcs:
             done.update(srcs)
@@ -66,7 +103,7 @@ def redrive(
     The epoch's seq range is empty (last_seq, last_seq]: a redrive consumes
     no log offsets, so the offset planner's resume point is unaffected.
     """
-    pend = pending_quarantine_epochs(lake)
+    pend = pending_quarantine_epochs(lake, include_attempted=fix_fn is not None)
     R.RUN_LOGGER.new_context("redrive")
     if not pend:
         R.RUN_LOGGER.event("redrive_noop", pending=[])
@@ -95,12 +132,20 @@ def _redrive_locked(
     if fix_fn is not None:
         events = fix_fn(events)
 
+    if not events.where(M.valid_predicate()).head(1):
+        # nothing became valid: committing would start an unbounded chain of
+        # epochs re-quarantining the same events. Mark attempted instead;
+        # these epochs re-enter pending only alongside a fix_fn.
+        _record(lake, "attempted", pend)
+        R.RUN_LOGGER.event("redrive_attempted_no_valid", sources=pend)
+        return None
+
     next_epoch, last_seq, active_ver = lake.resume_point()
     ver_row = events.agg(F.max("schema_version").alias("v")).first()
     ver = max(active_ver, int(ver_row["v"]) if ver_row["v"] is not None else active_ver)
     ver = min(ver, reg.LATEST_VERSION)  # future-versioned events re-quarantine
     events = reg.cast_to_version(events, ver, reg.event_schema(ver))
-    return R.apply_events(
+    res = R.apply_events(
         spark,
         lake,
         next_epoch,
@@ -111,3 +156,7 @@ def _redrive_locked(
         salt_buckets=salt_buckets,
         counts_extra={"mode": "redrive", "redrive_sources": pend},
     )
+    # ledger AFTER the fenced commit: a crash in between re-runs the redrive,
+    # whose fence skips the epoch and whose ledger write then completes
+    _record(lake, "redriven", pend)
+    return res

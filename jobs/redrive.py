@@ -46,13 +46,17 @@ def main() -> None:
     spark = build_session(app_name="cdc-redrive", master=args.master)
     ship_engine_package(spark)
     lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
-    pending_before = pending_quarantine_epochs(lake)
+    pending_before = pending_quarantine_epochs(
+        lake, include_attempted=fix_fn is not None
+    )
     res = redrive(spark, lake, fix_fn=fix_fn)
     print(
         json.dumps(
             {
                 "pending_before": pending_before,
-                "pending_after": pending_quarantine_epochs(lake),
+                "pending_after": pending_quarantine_epochs(
+                    lake, include_attempted=fix_fn is not None
+                ),
                 "epoch": res.epoch if res else None,
                 "events_applied": res.n_events if res else 0,
                 "events_requarantined": res.n_quarantined if res else 0,

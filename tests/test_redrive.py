@@ -104,6 +104,29 @@ def test_redrive_still_broken_events_stay_on_dlq(spark, tmp_path):
     assert len(after[after["lsn"].isin([9001, 9002, 9003])]) == 3
 
 
+def test_redrive_without_fix_does_not_chain(spark, tmp_path):
+    """ADVICE r02: a scheduled fix-less redrive must not commit an
+    unbounded chain of epochs re-quarantining the same events. Zero events
+    becoming valid -> no commit, sources parked as 'attempted' in the
+    expiration-safe ledger; a later fix_fn re-surfaces and drains them."""
+    lake, root = _build_lake_with_quarantine(spark, tmp_path)
+    before_epochs = lake.committed_epochs()
+    before_state = engine_live_pdf(spark, root)
+
+    assert redrive(spark, lake) is None, "zero-valid redrive must not commit"
+    assert lake.committed_epochs() == before_epochs
+    assert pending_quarantine_epochs(lake) == [], "attempted epochs must park"
+    assert redrive(spark, lake) is None  # stable no-op, run it on a schedule
+    assert lake.committed_epochs() == before_epochs
+
+    # supplying a fix re-surfaces the attempted epochs and drains them once
+    assert pending_quarantine_epochs(lake, include_attempted=True) == [0]
+    res = redrive(spark, lake, fix_fn=_fix)
+    assert res is not None and res.n_events == 3 and res.n_quarantined == 0
+    assert pending_quarantine_epochs(lake, include_attempted=True) == []
+    assert len(engine_live_pdf(spark, root)) == len(before_state) + 3
+
+
 def test_redrive_lower_lsn_than_applied_is_noop(spark, tmp_path):
     """A quarantined event whose key was meanwhile overwritten by a
     higher-lsn event must not clobber current state when re-driven."""
