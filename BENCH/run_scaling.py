@@ -57,6 +57,13 @@ def run_once(cores: int, log_dir: str, zpath: str, n_buckets: int, mode: str = "
     local_dir = tempfile.mkdtemp(prefix=f"spark_local_{cores}_", dir=shm)
     try:
         cmd = [
+            # Pin the whole JVM to exactly `cores` CPUs: local[N] bounds TASK
+            # slots only — GC, netty, and parquet codec threads otherwise run
+            # free on all 32 host cores, which lets the small level leak >N
+            # cores of real CPU (measured: local[2] burned 2.24 cores-worth)
+            # and deflates the efficiency ratio. A real N-core executor is
+            # cgroup-limited; taskset is the local-mode analog.
+            "taskset", "-c", f"0-{cores - 1}",
             SPARK_SUBMIT,
             "--master", f"local[{cores}]",
             # in local mode the executors live inside the driver JVM, and
@@ -80,7 +87,12 @@ def run_once(cores: int, log_dir: str, zpath: str, n_buckets: int, mode: str = "
             cmd, capture_output=True, text=True, env=env, timeout=3600
         )
         line = next(
-            (ln for ln in out.stdout.splitlines() if ln.startswith("{")), None
+            (
+                ln
+                for ln in out.stdout.splitlines()
+                if ln.startswith("{") and '"events_per_sec"' in ln
+            ),
+            None,
         )
         if line is None:
             sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:] + "\n")

@@ -221,7 +221,11 @@ def delta_winners(
     if dedupe_delta:
         delta_c = delta_c.dropDuplicates(["repo", "path", "lsn"])
     dwin = salted_winner_keys(delta_c, salt_buckets).select("repo", "path", "lsn")
-    keys = F.broadcast(dwin) if hint_broadcast else dwin
+    # over-gate epochs must NOT fall back to Catalyst's default sort-merge
+    # join: that sorts every full content row (~2 KB each) by key — the
+    # payload-sort trap. SHUFFLE_HASH builds a hash table from the slim
+    # winner keys and streams the payload side unsorted.
+    keys = F.broadcast(dwin) if hint_broadcast else dwin.hint("shuffle_hash")
     return delta_c.join(keys, ["repo", "path", "lsn"], "left_semi").repartition(
         "bucket"
     )
@@ -252,9 +256,11 @@ def merge_into_base(
       key count, not to payload size or table size.
     - `hint_broadcast` guards the build side: the driver enables it when the
       epoch's valid-event count is small enough to broadcast (bounded by
-      `events_per_epoch` backpressure); otherwise Catalyst/AQE picks a
-      shuffle join and everything above still holds except the bypass joins
-      shuffle slim/full rows by key.
+      `events_per_epoch` backpressure); over-gate epochs get a SHUFFLE_HASH
+      hint on the slim side instead — never Catalyst's default sort-merge,
+      which would sort every full content row by key (the payload-sort
+      trap). The bypass joins then shuffle slim/full rows by key, with the
+      payload side streamed unsorted into the hash probe.
     """
     template = reg.lake_schema(target_version)
     base_c = reg.cast_to_version(base, target_version, template)
@@ -267,7 +273,7 @@ def merge_into_base(
         delta_c = delta_c.dropDuplicates(["repo", "path", "lsn"])
 
     def hinted(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if hint_broadcast else df
+        return F.broadcast(df) if hint_broadcast else df.hint("shuffle_hash")
 
     # 1. slim delta winners (salted skew-split reduce; 1 row/key)
     dwin = salted_winner_keys(delta_c, salt_buckets)

@@ -45,7 +45,19 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # codec knobs: the replay payload is ~2 KB text, so shuffle/parquet
+        # bytes are the scaling bottleneck on bandwidth-bound hosts — zstd
+        # roughly halves bytes moved vs lz4/snappy at some extra CPU, which
+        # trades the scarce resource (memory bandwidth) for the abundant one
+        # (cores). Measured on the 2->8 scaling pair in BENCH/BASELINE_MOR.md.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
         # split scans finely enough that a few-hundred-MB epoch still fans
         # out to every core of this single host; a real multi-node cluster
         # at 100 TB would keep the 128m default (more data per task, less

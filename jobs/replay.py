@@ -62,6 +62,27 @@ def main() -> None:
 
     spark = build_session(app_name="cdc-replay", master=args.master)
     ship_engine_package(spark)
+    # Warm JVM codegen + the Arrow/Python worker pool BEFORE the timed
+    # replay loop: whole-stage codegen compilation and Python worker
+    # startup are one-time session costs (~5-8 s) that a long-running
+    # ingest amortizes to zero, but they land inside epoch 0's wall and
+    # distort short benchmark runs — disproportionately at high
+    # parallelism, where the steady-state epochs are short.
+    from pyspark.sql import functions as F
+
+    # bit_xor, not sum: ANSI mode makes sum(xxhash64) overflow
+    spark.range(1_000_000).select(
+        F.bit_xor(F.xxhash64("id")).alias("h")
+    ).write.mode("overwrite").format("noop").save()
+    (
+        spark.range(10_000)
+        .select((F.col("id") % 8).cast("int").alias("bucket"), F.col("id").alias("lsn"))
+        .groupBy("bucket")
+        .applyInArrow(lambda t: t, schema="bucket int, lsn long")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
     adaptive = None
     if args.adaptive_target_sec is not None:
         adaptive = R.AdaptiveEpochSizer(

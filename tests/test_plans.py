@@ -116,6 +116,59 @@ def test_layered_read_has_no_window_and_stays_packed(spark, tmp_path_factory):
     assert ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
 
 
+def test_overgate_merge_never_sorts_payload(spark, tmp_path_factory, monkeypatch):
+    """Epochs above BROADCAST_KEYS_MAX (hint_broadcast=False) must plan
+    SHUFFLE_HASH joins on the slim winner frames — Catalyst's default
+    sort-merge would sort every full content row by key (the payload-sort
+    trap at exactly the scale where broadcast stops being possible). Also
+    pins digest equality between the two regimes."""
+    from bbc_news_etl_pipeline_spark import util
+    from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+    from .util import engine_digest
+
+    d = str(tmp_path_factory.mktemp("og_stream"))
+    gen.build_stream(2_000, 2, d)
+
+    root_b = str(tmp_path_factory.mktemp("og_b") / "lake")
+    R.replay(spark, d, root_b, n_buckets=8)
+    want = engine_digest(spark, root_b)
+
+    monkeypatch.setattr(util, "BROADCAST_KEYS_MAX", 0)
+    monkeypatch.setattr(R, "BROADCAST_KEYS_MAX", 0)
+    for mode in ("cow", "mor"):
+        root = str(tmp_path_factory.mktemp(f"og_{mode}") / "lake")
+        R.replay(spark, d, root, n_buckets=8, mode=mode)
+        assert engine_digest(spark, root) == want, f"over-gate {mode} diverged"
+
+    # plan shape: no SortMergeJoin anywhere in the over-gate merge
+    from pyspark.sql import functions as F
+
+    from bbc_news_etl_pipeline_spark.operators import merge as M
+    from bbc_news_etl_pipeline_spark.plans import schema_registry as reg
+
+    events = spark.range(1000).select(
+        F.concat(F.lit("r/"), (F.col("id") % 5).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), (F.col("id") % 37).cast("string")).alias("path"),
+        F.lit("c").alias("commit"), F.lit("py").alias("lang"),
+        F.lit("x" * 64).alias("content"),
+        F.lit(64).cast("long").alias("size_bytes"),
+        F.lit(None).cast("string").alias("license"),
+        F.col("id").alias("lsn"), F.lit(False).alias("is_deleted"),
+        F.sha2(F.lit("x"), 256).alias("content_sha256"),
+        M.bucket_col(8),
+    )
+    base = spark.createDataFrame([], reg.lake_schema(3))
+    for hint, frame in (
+        ("merge", M.merge_into_base(events, base, 3, hint_broadcast=False)),
+        ("delta", M.delta_winners(events, 3, hint_broadcast=False)),
+    ):
+        plan = _plan(spark, frame)
+        assert "SortMergeJoin" not in plan, f"{hint}: payload rows sorted"
+
+
 def test_read_changes_broadcast_is_gated(spark, tmp_path_factory, monkeypatch):
     """Incremental read must broadcast its changed-key set ONLY under the
     key-count gate: a small diff window broadcasts, a window with more keys
