@@ -561,12 +561,12 @@ def oracle_sql() -> dict[str, str]:
         r"length(text) AS n_chars, len(regexp_extract_all(text, '[^\w\s]')) AS n_punct, "
         r"len(list_filter(regexp_split_to_array(text, '\s+'), "
         "x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS n_stop FROM documents) "
-        "SELECT doc_id, n_words, round(n_punct * 1.0 / n_chars, 4) AS punct_ratio, "
-        "round(n_stop * 1.0 / n_words, 4) AS stopword_ratio, "
-        "round((n_chars - n_words + 1) * 1.0 / n_words, 4) AS mean_word_len, "
+        "SELECT doc_id, n_words, round(n_punct * 1.0 / n_chars + 1e-9, 4) AS punct_ratio, "
+        "round(n_stop * 1.0 / n_words + 1e-9, 4) AS stopword_ratio, "
+        "round((n_chars - n_words + 1) * 1.0 / n_words + 1e-9, 4) AS mean_word_len, "
         "round(least(n_words / 400.0, 1.0) * 0.5 "
         "  + (1 - least(n_punct * 10.0 / n_chars, 1.0)) * 0.25 "
-        "  + least(n_stop * 5.0 / n_words, 1.0) * 0.25, 4) AS quality FROM b"
+        "  + least(n_stop * 5.0 / n_words, 1.0) * 0.25 + 1e-9, 4) AS quality FROM b"
     )
     o["text_lang_id"] = (
         r"WITH s AS (SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS w FROM documents), "

@@ -46,16 +46,24 @@ def quality_score(docs: DataFrame) -> DataFrame:
     n_chars = F.length("text")
     n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    # the +1e-9 nudge before round(…, 4) makes engines agree when the TRUE
+    # rational value sits exactly on a rounding midpoint (e.g. a 51-word
+    # punctless doc scores exactly 0.31375): 1e-9 is far above double
+    # arithmetic error (~1e-16, so both engines still see the same side)
+    # and far below the 5e-5 rounding grain (so no non-midpoint value can
+    # change). The DuckDB oracle applies the identical nudge.
+    eps = F.lit(1e-9)
     return docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
-        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
-        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
-        F.round((n_chars - n_words + 1) / n_words, 4).alias("mean_word_len"),
+        F.round(n_punct / n_chars + eps, 4).alias("punct_ratio"),
+        F.round(n_stop / n_words + eps, 4).alias("stopword_ratio"),
+        F.round((n_chars - n_words + 1) / n_words + eps, 4).alias("mean_word_len"),
         F.round(
             F.least(n_words / F.lit(400.0), F.lit(1.0)) * 0.5
             + (1 - F.least(n_punct / n_chars * 10, F.lit(1.0))) * 0.25
-            + F.least(n_stop / n_words * 5, F.lit(1.0)) * 0.25,
+            + F.least(n_stop / n_words * 5, F.lit(1.0)) * 0.25
+            + eps,
             4,
         ).alias("quality"),
     )

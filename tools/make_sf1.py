@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Derive an sf1-scale test dataset from the driver's sf0.1 tables.
+
+/root/testdata ships sf{0.001,0.01,0.1} only; the sf1 contract sweep
+(VERDICT r02 item 8) needs a 10x dataset to catch broadcast-threshold /
+AQE plan flips invisible at sf0.1. Tables are replicated 10x with
+disjoint key offsets (deterministic, no external data, DuckDB only —
+no Spark, so it can run beside nothing):
+
+- dimensions (region, nation) copy through unchanged;
+- fact tables offset every key column per replica (FK structure intact:
+  replica i of lineitem joins replica i of orders/part/supplier);
+- documents: replica 0 is the original corpus; replicas 1..9 suffix
+  every whitespace token with `_i`, so shingle/minhash/simhash near-dup
+  structure WITHIN a replica mirrors sf0.1 exactly and replicas never
+  collide -> dedup result sizes scale linearly (10x), not quadratically
+  (a naive copy would make every doc a 10-way near-duplicate and blow
+  the oracle tier up ~100x);
+- embeddings: replica i cyclically shifts each vector by i components —
+  an orthogonal transform, so pairwise cosines WITHIN a replica are
+  bit-identical to sf0.1 while cross-replica cosines are ~random; vec_id
+  0 (the ANN query vector) keeps its original embedding.
+
+Output: /root/repo/.sf1/*.parquet (gitignored).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1")
+
+#: per-replica key offsets (larger than any source key)
+OFF = {
+    "custkey": 1_000_000,
+    "suppkey": 100_000,
+    "partkey": 1_000_000,
+    "orderkey": 10_000_000,
+    "event_id": 10_000_000,
+    "user_id": 10_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+}
+R = 10  # replicas
+
+
+def copy_sql(table: str) -> str:
+    s = f"read_parquet('{SRC}/{table}.parquet')"
+    r = f"range({R}) t(i)"
+    if table in ("region", "nation"):
+        return f"SELECT * FROM {s}"
+    if table == "customer":
+        return (
+            f"SELECT c_custkey + i*{OFF['custkey']} AS c_custkey, c_name, "
+            f"c_nationkey, c_acctbal, c_mktsegment FROM {s}, {r}"
+        )
+    if table == "supplier":
+        return (
+            f"SELECT s_suppkey + i*{OFF['suppkey']} AS s_suppkey, s_name, "
+            f"s_nationkey, s_acctbal FROM {s}, {r}"
+        )
+    if table == "part":
+        return (
+            f"SELECT p_partkey + i*{OFF['partkey']} AS p_partkey, p_name, "
+            f"p_brand, p_type, p_size, p_retailprice FROM {s}, {r}"
+        )
+    if table == "orders":
+        return (
+            f"SELECT o_orderkey + i*{OFF['orderkey']} AS o_orderkey, "
+            f"o_custkey + i*{OFF['custkey']} AS o_custkey, o_orderstatus, "
+            f"o_totalprice, o_orderdate, o_orderpriority FROM {s}, {r}"
+        )
+    if table == "lineitem":
+        return (
+            f"SELECT l_orderkey + i*{OFF['orderkey']} AS l_orderkey, "
+            f"l_partkey + i*{OFF['partkey']} AS l_partkey, "
+            f"l_suppkey + i*{OFF['suppkey']} AS l_suppkey, "
+            f"l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+            f"l_returnflag, l_linestatus, l_shipdate FROM {s}, {r}"
+        )
+    if table == "events":
+        return (
+            f"SELECT event_id + i*{OFF['event_id']} AS event_id, ts, "
+            f"user_id + i*{OFF['user_id']} AS user_id, event_type, value, "
+            f"props FROM {s}, {r}"
+        )
+    if table == "documents":
+        return (
+            f"SELECT doc_id + i*{OFF['doc_id']} AS doc_id, "
+            "CASE WHEN i = 0 THEN text ELSE "
+            r"regexp_replace(text, '(\S+)', '\1_' || i::VARCHAR, 'g') END "
+            "AS text, lang, source, "
+            "length(CASE WHEN i = 0 THEN text ELSE "
+            r"regexp_replace(text, '(\S+)', '\1_' || i::VARCHAR, 'g') END) "
+            f"AS n_chars FROM {s}, {r}"
+        )
+    if table == "embeddings":
+        # cyclic shift by i: orthogonal, preserves within-replica cosines
+        return (
+            f"SELECT vec_id + i*{OFF['vec_id']} AS vec_id, "
+            "CAST(embedding[(i % len(embedding)) + 1 :] || "
+            "embedding[1 : (i % len(embedding))] AS FLOAT[]) AS embedding, "
+            f"label FROM {s}, {r}"
+        )
+    raise ValueError(table)
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads TO 8")
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        out = os.path.join(DST, f"{t}.parquet")
+        con.execute(
+            f"COPY ({copy_sql(t)}) TO '{out}' (FORMAT PARQUET, CODEC 'SNAPPY', "
+            "ROW_GROUP_SIZE 131072)"
+        )
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+        print(f"{t}: {n:,} rows")
+    print(f"wrote {DST}")
+
+
+if __name__ == "__main__":
+    main()
