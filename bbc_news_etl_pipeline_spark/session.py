@@ -27,6 +27,12 @@ def build_session(
     - UTC session timezone so timestamps compare exactly against DuckDB.
     """
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None and os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        # explicit override: a cluster sizes shuffle partitions to the DATA,
+        # not to the worker count — the scaling harness pins one value across
+        # parallelism levels so every level runs the identical plan and no
+        # level is held by a last coarse straggler task
+        shuffle_partitions = int(os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"])
     if shuffle_partitions is None:
         # match parallelism, not Spark's default 200 (too many tiny tasks locally)
         if master.startswith("local["):
