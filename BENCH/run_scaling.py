@@ -186,6 +186,12 @@ def main() -> None:
     ]
     digests = {c: results[c]["state_digest"] for c in args.levels}
     digests_match = len(set(digests.values())) == 1
+    # record the engine knobs the campaign ran under (codec, shuffle pin, ...)
+    # so the written baseline states its exact configuration
+    knobs = {
+        k: v for k, v in sorted(os.environ.items())
+        if k.startswith("SPARK_GRAFT_") and k not in ("SPARK_GRAFT_CPUS", "SPARK_GRAFT_UI")
+    }
 
     summary = {
         "metric": "scaling_efficiency",
@@ -202,6 +208,7 @@ def main() -> None:
         "state_digests_match": digests_match,
         "live_rows": hi["live_rows"],
         "membw_GBps_by_workers": dict(bw),
+        "engine_knobs": knobs,
     }
     print(json.dumps(summary))
 
@@ -243,6 +250,8 @@ input at two parallelism levels on one 32-vCPU host.
   successive runs; a real executor has local NVMe).
 - Best of {args.runs} interleaved runs per level (the host's throughput
   fluctuates ~2x on minute scales under the hypervisor).
+- Engine knobs for this campaign (identical at every level):
+  `{knobs if knobs else "defaults"}`.
 
 | parallelism | events applied | wall (s) | events/sec | total executor CPU (s) | final-state digest |
 |---|---|---|---|---|---|
