@@ -98,35 +98,51 @@ def split_valid_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, quarantine
 
 
-def epoch_probe(events: DataFrame, n_buckets: int) -> DataFrame:
-    """Column-pruned statistics pass — the epoch's planning probe (the
-    analog of the reference's per-date doc counts that decide work sharding,
-    /root/reference/src/clients/mongo/producer_repository.py:58-74).
+def slim_events(events: DataFrame, n_buckets: int) -> DataFrame:
+    """The epoch's ONE narrow pass over the raw events: key columns, bucket,
+    the fully-evaluated validity flag, and the hashed key triple. ~120 bytes
+    per row vs ~2 KB raw. The caller persists this frame so the epoch probe
+    AND the salted winner reduce both read it — the raw log (and in
+    particular the wide `content` column, which validity must touch for its
+    NULL-on-upsert rule) is decoded exactly once for all planning/slim work;
+    only the payload branch that actually writes `content` reads it again.
 
-    ONE narrow aggregation job (keys + counters only, content never
-    shuffled) over GROUPING SETS ((bucket), (repo)) yields everything the
-    planner needs: per-bucket delta sizes + lsn ranges (lineage, touched
-    set, totals) AND per-repo valid counts (the hot-repo skew probe).
+    (Before this existed the probe, the winner reduce's validity filter, and
+    the payload branch each re-scanned the log = 3 full decodes of a column
+    that is ~90% of the raw bytes per epoch — measured at ~25% of epoch wall
+    at local[8] on the 12M-event stream.)
+    """
+    return events.select(
+        bucket_col(n_buckets).alias("bucket"),
+        "repo",
+        "path",
+        "lsn",
+        valid_predicate().alias("_ok"),
+        # distinct (repo, path, lsn) triples per bucket: a real binlog can
+        # redeliver the same event inside one batch window; n_valid minus
+        # the distinct total flags it so the merge engages its (rare)
+        # dedup path only when duplicates actually exist. Distinct runs
+        # over the HASHED triple (8-byte shuffle rows, map-side partial
+        # distinct) — a hash collision can only under-count, i.e. engage
+        # the dedup unnecessarily; identical triples always collide, so a
+        # real duplicate is never missed.
+        F.xxhash64("repo", "path", "lsn").alias("_kh"),
+    )
+
+
+def probe_aggregate(slim: DataFrame) -> DataFrame:
+    """Statistics aggregation over the slim frame — the epoch's planning
+    probe (the analog of the reference's per-date doc counts that decide
+    work sharding, /root/reference/src/clients/mongo/producer_repository.py:58-74).
+
+    ONE narrow aggregation (keys + counters only, content never shuffled)
+    over GROUPING SETS ((bucket), (repo)) yields everything the planner
+    needs: per-bucket delta sizes + lsn ranges (lineage, touched set,
+    totals) AND per-repo valid counts (the hot-repo skew probe).
     Disambiguate rows by which of bucket/repo is non-null.
     """
-    is_valid = valid_predicate()
     return (
-        events.select(
-            bucket_col(n_buckets).alias("bucket"),
-            "repo",
-            is_valid.alias("_ok"),
-            F.col("lsn"),
-            # distinct (repo, path, lsn) triples per bucket: a real binlog can
-            # redeliver the same event inside one batch window; n_valid minus
-            # the distinct total flags it so the merge engages its (rare)
-            # dedup path only when duplicates actually exist. Distinct runs
-            # over the HASHED triple (8-byte shuffle rows, map-side partial
-            # distinct) — a hash collision can only under-count, i.e. engage
-            # the dedup unnecessarily; identical triples always collide, so a
-            # real duplicate is never missed.
-            F.xxhash64("repo", "path", "lsn").alias("_kh"),
-        )
-        .groupingSets([["bucket"], ["repo"]], "bucket", "repo")
+        slim.groupingSets([["bucket"], ["repo"]], "bucket", "repo")
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n"),
@@ -136,6 +152,13 @@ def epoch_probe(events: DataFrame, n_buckets: int) -> DataFrame:
             F.max(F.when(F.col("_ok"), F.col("lsn"))).alias("hi"),
         )
     )
+
+
+def epoch_probe(events: DataFrame, n_buckets: int) -> DataFrame:
+    """Back-compat single-shot probe: slim pass + aggregation in one plan
+    (no shared persist). The replay loop uses slim_events + probe_aggregate
+    so the slim pass can be cached and reused by the winner reduce."""
+    return probe_aggregate(slim_events(events, n_buckets))
 
 
 def events_to_lake_shape(
@@ -208,6 +231,7 @@ def delta_winners(
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     hint_broadcast: bool = True,
     dedupe_delta: bool = False,
+    winner_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Merge-on-read write path: LWW-compact the DELTA ALONE to one winner
     row per key (tombstones kept) and cluster by bucket — the layer a MOR
@@ -215,20 +239,33 @@ def delta_winners(
     winners), not O(table). Cross-layer resolution happens at read
     (LakeTable.read_state) or at compaction (LakeTable.compact), both of
     which take max-lsn per key — LWW associativity makes layer-local
-    compaction + cross-layer resolution equal to the full COW merge."""
+    compaction + cross-layer resolution equal to the full COW merge.
+
+    ``winner_keys``: the salted winner reduce's (repo, path, lsn[, bucket])
+    frame, precomputed over the epoch's cached slim pass (slim_events) so
+    winner selection does not re-scan the raw log. Duplicate-delivery dedup
+    then moves AFTER the semi-join — it only ever has to shuffle the
+    winners' payload rows, not the whole delta. Without it, winners are
+    derived here from the (deduped) delta as before."""
     template = reg.lake_schema(target_version)
     delta_c = reg.cast_to_version(delta, target_version, template)
-    if dedupe_delta:
-        delta_c = delta_c.dropDuplicates(["repo", "path", "lsn"])
-    dwin = salted_winner_keys(delta_c, salt_buckets).select("repo", "path", "lsn")
+    if winner_keys is None:
+        if dedupe_delta:
+            delta_c = delta_c.dropDuplicates(["repo", "path", "lsn"])
+        dwin = salted_winner_keys(delta_c, salt_buckets).select("repo", "path", "lsn")
+    else:
+        dwin = winner_keys.select("repo", "path", "lsn")
     # over-gate epochs must NOT fall back to Catalyst's default sort-merge
     # join: that sorts every full content row (~2 KB each) by key — the
     # payload-sort trap. SHUFFLE_HASH builds a hash table from the slim
     # winner keys and streams the payload side unsorted.
     keys = F.broadcast(dwin) if hint_broadcast else dwin.hint("shuffle_hash")
-    return delta_c.join(keys, ["repo", "path", "lsn"], "left_semi").repartition(
-        "bucket"
-    )
+    out = delta_c.join(keys, ["repo", "path", "lsn"], "left_semi")
+    if winner_keys is not None and dedupe_delta:
+        # redelivered copies of a winning (repo, path, lsn) are byte-identical
+        # by the log contract — keep one of each, over the winners only
+        out = out.dropDuplicates(["repo", "path", "lsn"])
+    return out.repartition("bucket")
 
 
 def merge_into_base(
@@ -238,6 +275,7 @@ def merge_into_base(
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     hint_broadcast: bool = True,
     dedupe_delta: bool = False,
+    winner_keys: DataFrame | None = None,
 ) -> DataFrame:
     """MERGE delta events into current base rows (both lake-shaped,
     tombstones included). Returns the new content of the touched buckets,
@@ -275,8 +313,15 @@ def merge_into_base(
     def hinted(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if hint_broadcast else df.hint("shuffle_hash")
 
-    # 1. slim delta winners (salted skew-split reduce; 1 row/key)
-    dwin = salted_winner_keys(delta_c, salt_buckets)
+    # 1. slim delta winners (salted skew-split reduce; 1 row/key). When the
+    # caller precomputed them over the epoch's cached slim pass
+    # (slim_events), reuse that — winner selection then never re-scans the
+    # raw log. (Winners from the non-deduped slim are identical: max(lsn)
+    # is idempotent and bucket is a function of the key.)
+    dwin = (
+        winner_keys if winner_keys is not None
+        else salted_winner_keys(delta_c, salt_buckets)
+    )
 
     # 2. split base on the delta key set: contested vs untouched
     dkeys = dwin.select("repo", "path")

@@ -238,8 +238,9 @@ def apply_epoch(
         return EpochResult(
             epoch, seq_lo, seq_hi, skipped=True, schema_version=m["schema_version"]
         )
-    ver = max(active_version, log.max_schema_version(seq_lo, seq_hi))
-    events = log.read_range(spark, seq_lo, seq_hi, ver)
+    with _timed(f"e{epoch} plan-read-range"):
+        ver = max(active_version, log.max_schema_version(seq_lo, seq_hi))
+        events = log.read_range(spark, seq_lo, seq_hi, ver)
     return apply_events(
         spark, lake, epoch, events, ver, seq_lo, seq_hi, salt_buckets, mode=mode
     )
@@ -286,12 +287,18 @@ def apply_events(
     """
     t0 = time.perf_counter()
 
-    # ---- 1. stats probe: ONE narrow aggregation job. The hot-repo filter
-    # runs BEFORE collect with a threshold derived from the epoch's offset
-    # range (known upfront) — scale-safe: only repos above the cut reach the
-    # driver, never the full repo census.
+    # ---- 1. stats probe over the epoch's ONE narrow pass (slim_events):
+    # the slim frame is persisted so the probe job materializes it and the
+    # winner reduce below reads the cache instead of re-scanning the raw
+    # log (whose `content` column is ~90% of the bytes; validity must touch
+    # it once for the NULL-on-upsert rule, and exactly once is what this
+    # cache guarantees). The hot-repo filter runs BEFORE collect with a
+    # threshold derived from the epoch's offset range (known upfront) —
+    # scale-safe: only repos above the cut reach the driver, never the full
+    # repo census.
+    slim = M.slim_events(events, lake.n_buckets).persist()
     hot_cut = max(1, int((seq_hi - seq_lo) * M.HOT_REPO_SHARE))
-    probe = M.epoch_probe(events, lake.n_buckets).where(
+    probe = M.probe_aggregate(slim).where(
         (F.col("gid") == 1) | (F.col("n_valid") > hot_cut)
     )
     with _timed(f"e{epoch} stats-probe"):
@@ -314,16 +321,22 @@ def apply_events(
     epoch_dir = lake.epoch_data_dir(epoch)
 
     if touched:
-        # ---- 2. merge + write: the one content-bearing shuffle. Broadcast
-        # the slim delta-key/winner frames only when the epoch is small
-        # enough (backpressure via events_per_epoch keeps it so); huge
-        # epochs fall back to Catalyst-planned shuffle joins.
-        delta = M.events_to_lake_shape(valid, ver, lake.n_buckets)
+        # ---- 2. merge + write: the one content-bearing shuffle. Winner
+        # keys come from the CACHED slim pass (no raw-log re-scan); only the
+        # payload branch below re-reads the log, because it must carry
+        # `content` into the written files. Broadcast the slim
+        # delta-key/winner frames only when the epoch is small enough
+        # (backpressure via events_per_epoch keeps it so); huge epochs fall
+        # back to shuffle-hash joins.
+        with _timed(f"e{epoch} build-delta-dag"):
+            dwin = M.salted_winner_keys(slim.where(F.col("_ok")), salt_buckets)
+            delta = M.events_to_lake_shape(valid, ver, lake.n_buckets)
         if mode == "mor":
             merged = M.delta_winners(
                 delta, ver, salt_buckets,
                 hint_broadcast=n_valid <= BROADCAST_KEYS_MAX,
                 dedupe_delta=n_distinct < n_valid,
+                winner_keys=dwin,
             )
         else:
             # COW epoch on a (possibly) layered base: read_resolved collapses
@@ -336,6 +349,7 @@ def apply_events(
                 delta, base, ver, salt_buckets,
                 hint_broadcast=n_valid <= BROADCAST_KEYS_MAX,
                 dedupe_delta=n_distinct < n_valid,
+                winner_keys=dwin,
             )
         with _timed(f"e{epoch} merge+write"):
             # sortWithinPartitions = key-clustered files at zero shuffle
@@ -382,27 +396,36 @@ def apply_events(
             )
         digests = {r["b"]: r["digest"] for r in digest_rows}
         live = [r for r in bucket_rows if r["n_valid"] > 0]
-        _write_sidecar(
-            lake.sidecar_dir("_lineage", epoch),
-            {
-                "epoch": [epoch] * len(live),
-                "partition_id": [int(r["bucket"]) for r in live],
-                "salt": [salt_buckets] * len(live),
-                "lsn_lo": [r["lo"] for r in live],
-                "lsn_hi": [r["hi"] for r in live],
-                "n_events": [int(r["n_valid"]) for r in live],
-                "digest": [digests.get(r["bucket"]) for r in live],
-                "duration_ms": [merge_ms] * len(live),
-            },
-            LINEAGE_SCHEMA,
-        )
+        with _timed(f"e{epoch} lineage-sidecar"):
+            _write_sidecar(
+                lake.sidecar_dir("_lineage", epoch),
+                {
+                    "epoch": [epoch] * len(live),
+                    "partition_id": [int(r["bucket"]) for r in live],
+                    "salt": [salt_buckets] * len(live),
+                    "lsn_lo": [r["lo"] for r in live],
+                    "lsn_hi": [r["hi"] for r in live],
+                    "n_events": [int(r["n_valid"]) for r in live],
+                    "digest": [digests.get(r["bucket"]) for r in live],
+                    "duration_ms": [merge_ms] * len(live),
+                },
+                LINEAGE_SCHEMA,
+            )
+
+    # the slim pass has no consumers past this point (quarantine derives
+    # from the raw events; lineage reads the files just written). On an
+    # exception above the cache block dies with the session — the crash
+    # model restarts the process, so no cross-epoch accumulation is
+    # possible either way.
+    slim.unpersist()
 
     if n_quar > 0:
-        quarantine.select(
-            F.lit(epoch).cast("long").alias("epoch"), "event_json", "error"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            lake.sidecar_dir("_quarantine", epoch)
-        )
+        with _timed(f"e{epoch} quarantine-write"):
+            quarantine.select(
+                F.lit(epoch).cast("long").alias("epoch"), "event_json", "error"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                lake.sidecar_dir("_quarantine", epoch)
+            )
 
     wall = time.perf_counter() - t0
     _write_sidecar(
@@ -420,7 +443,8 @@ def apply_events(
 
     # ---- 4. manifest: carry untouched buckets forward; COW swaps touched
     # buckets' file lists, MOR appends the new layer to them
-    new_files = lake.list_epoch_files(epoch) if touched else {}
+    with _timed(f"e{epoch} list-epoch-files"):
+        new_files = lake.list_epoch_files(epoch) if touched else {}
     buckets: dict[str, list[dict]] = {}
     if prev_manifest:
         for b, entries in prev_manifest["buckets"].items():
@@ -461,7 +485,8 @@ def apply_events(
         },
         "buckets": buckets,
     }
-    committed = lake.commit(manifest)
+    with _timed(f"e{epoch} manifest-commit"):
+        committed = lake.commit(manifest)
     wall = time.perf_counter() - t0
     RUN_LOGGER.event(
         "epoch_committed" if committed else "epoch_fence_skip",
