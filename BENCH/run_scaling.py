@@ -184,6 +184,26 @@ def main() -> None:
         for rd in rounds
         if lo_c in rd and hi_c in rd
     ]
+    # per-round detail incl. executor-CPU: identical work should cost identical
+    # CPU at every level; a round whose large level burned substantially more
+    # CPU than its small level was taxed by a host phase (cache/bandwidth
+    # contention from co-tenants), not by the engine — the cpu ratio makes
+    # that legible next to each pair efficiency
+    round_detail = [
+        {
+            "round": i + 1,
+            "eps": {c: rd[c]["events_per_sec"] for c in (lo_c, hi_c)},
+            "pair_eff": pair_effs[i],
+            "executor_cpu_s": {c: rd[c].get("executor_cpu_s") for c in (lo_c, hi_c)},
+            "cpu_ratio_hi_over_lo": (
+                round(rd[hi_c]["executor_cpu_s"] / rd[lo_c]["executor_cpu_s"], 3)
+                if rd[lo_c].get("executor_cpu_s") and rd[hi_c].get("executor_cpu_s")
+                else None
+            ),
+        }
+        for i, rd in enumerate(rounds)
+        if lo_c in rd and hi_c in rd
+    ]
     digests = {c: results[c]["state_digest"] for c in args.levels}
     digests_match = len(set(digests.values())) == 1
     # record the engine knobs the campaign ran under (codec, shuffle pin, ...)
@@ -209,6 +229,7 @@ def main() -> None:
         "live_rows": hi["live_rows"],
         "membw_GBps_by_workers": dict(bw),
         "engine_knobs": knobs,
+        "rounds": round_detail,
     }
     print(json.dumps(summary))
 
@@ -266,6 +287,15 @@ one phase against an unlucky large-level run from another):
 per-round efficiencies {pair_effs}, median
 **{(statistics.median(pair_effs) if pair_effs else 0):.3f}**, best
 **{(max(pair_effs) if pair_effs else 0):.3f}**.
+
+Per-round detail — identical work should cost identical executor CPU at
+every level, so a round whose large level burned substantially more CPU
+than its small level (ratio >> 1.0) was taxed by a contended host phase,
+not by the engine:
+
+| round | local[{lo_c}] events/sec | local[{hi_c}] events/sec | pair eff. | CPU local[{lo_c}] (s) | CPU local[{hi_c}] (s) | CPU ratio |
+|---|---|---|---|---|---|---|
+{chr(10).join(f"| {d['round']} | {d['eps'][lo_c]:,} | {d['eps'][hi_c]:,} | {d['pair_eff']} | {d['executor_cpu_s'][lo_c]} | {d['executor_cpu_s'][hi_c]} | {d['cpu_ratio_hi_over_lo']} |" for d in round_detail)}
 
 Total executor CPU seconds are reported per level because wall-clock on
 this shared host fluctuates 2-4x between identical runs: near-constant CPU
