@@ -71,6 +71,48 @@ def valid_predicate() -> Column:
     )
 
 
+def valid_predicate_narrow() -> Column:
+    """`valid_predicate` with the content rule evaluated against the
+    envelope's `size_bytes` mirror instead of `content` itself.
+
+    The collector envelope invariant (FIXTURES.md section 2, enforced by
+    fixtures/generator.py: ``size_bytes = len(content)``, NULL iff content
+    is NULL) lets planning scans decide content-presence from an 8-byte
+    column — the wide `content` column (~90% of raw bytes) stays out of
+    their ReadSchema entirely. At the 100 TB design point that is the
+    difference between a planning pass over ~3% of the table's bytes and
+    one over all of them.
+
+    NOT trusted blindly: the payload branch — which must decode `content`
+    anyway to write it — carries an Observation counting rows where the
+    mirror diverges from the truth, and the epoch redoes itself with
+    `valid_predicate` before committing if the count is nonzero (see
+    streaming/replay.py). Exactness is therefore unconditional; the narrow
+    path is just the fast path for spec-compliant collectors.
+    """
+    return (
+        F.col("op").isin(*VALID_OPS)
+        & F.col("repo").isNotNull()
+        & F.col("path").isNotNull()
+        & F.col("lsn").isNotNull()
+        & ((F.col("op") == "delete") | F.col("size_bytes").isNotNull())
+        & F.col("schema_version").between(1, reg.LATEST_VERSION)
+    )
+
+
+def proxy_divergence_count() -> Column:
+    """Aggregate expression for the payload branch's Observation: rows
+    where content-nullness and size_bytes-nullness disagree on a non-delete
+    op — exactly the rows on which `valid_predicate_narrow` could disagree
+    with `valid_predicate`. (Deliberately conservative: it also counts rows
+    some OTHER clause already invalidates, where the disagreement is moot —
+    a false positive only costs one exact-mode redo.)"""
+    return F.count_if(
+        (F.isnull(F.col("content")) != F.isnull(F.col("size_bytes")))
+        & (F.col("op") != F.lit("delete"))
+    ).alias("proxy_divergences")
+
+
 def bucket_col(n_buckets: int) -> Column:
     """Iceberg-style hidden partitioning: bucket(P, repo||path)."""
     return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(n_buckets)).cast("int")
@@ -98,26 +140,34 @@ def split_valid_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, quarantine
 
 
-def slim_events(events: DataFrame, n_buckets: int) -> DataFrame:
+def slim_events(
+    events: DataFrame, n_buckets: int, narrow_validity: bool = False
+) -> DataFrame:
     """The epoch's ONE narrow pass over the raw events: key columns, bucket,
     the fully-evaluated validity flag, and the hashed key triple. ~120 bytes
     per row vs ~2 KB raw. The caller persists this frame so the epoch probe
-    AND the salted winner reduce both read it — the raw log (and in
-    particular the wide `content` column, which validity must touch for its
-    NULL-on-upsert rule) is decoded exactly once for all planning/slim work;
-    only the payload branch that actually writes `content` reads it again.
+    AND the salted winner reduce both read it — the raw log is scanned once
+    for all planning/slim work; only the payload branch that actually
+    writes `content` reads it again.
 
-    (Before this existed the probe, the winner reduce's validity filter, and
-    the payload branch each re-scanned the log = 3 full decodes of a column
-    that is ~90% of the raw bytes per epoch — measured at ~25% of epoch wall
-    at local[8] on the 12M-event stream.)
+    ``narrow_validity=True`` evaluates the content rule via
+    `valid_predicate_narrow` (the size_bytes mirror), dropping `content`
+    from this scan's ReadSchema entirely; the caller MUST then verify the
+    mirror over the payload branch's Observation and redo in exact mode on
+    divergence (streaming/replay.py does).
+
+    (Before this pass existed the probe, the winner reduce's validity
+    filter, and the payload branch each re-scanned the log = 3 full decodes
+    of a column that is ~90% of the raw bytes per epoch — measured at ~25%
+    of epoch wall at local[8] on the 12M-event stream.)
     """
+    ok = valid_predicate_narrow() if narrow_validity else valid_predicate()
     return events.select(
         bucket_col(n_buckets).alias("bucket"),
         "repo",
         "path",
         "lsn",
-        valid_predicate().alias("_ok"),
+        ok.alias("_ok"),
         # distinct (repo, path, lsn) triples per bucket: a real binlog can
         # redeliver the same event inside one batch window; n_valid minus
         # the distinct total flags it so the merge engages its (rare)

@@ -27,7 +27,7 @@ import time
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -257,9 +257,21 @@ def apply_events(
     salt_buckets: int = M.DEFAULT_SALT_BUCKETS,
     counts_extra: dict | None = None,
     mode: str = "cow",
+    narrow_validity: bool = True,
 ) -> EpochResult:
     """The epoch pipeline over an arbitrary event frame (already cast to
     schema version `ver`). Caller is responsible for the fence check.
+
+    ``narrow_validity`` (default on): the planning pass evaluates the
+    content-presence rule against the envelope's `size_bytes` mirror
+    (merge.valid_predicate_narrow) so the slim scan never reads the wide
+    `content` column at all. Exactness is unconditional: the payload scan —
+    which must decode `content` to write it — carries an Observation
+    counting rows where the mirror disagrees with the truth, and on any
+    divergence the epoch redoes itself in exact mode BEFORE the manifest
+    commit (all epoch artifacts are overwrite-idempotent, so the redo is
+    clean). Spec-compliant collectors (size_bytes = len(content), NULL iff
+    content NULL — FIXTURES.md §2) never pay the redo.
 
     ``mode``: 'cow' (default) rewrites touched buckets to one row per key
     (read-optimized); 'mor' appends the LWW-compacted delta as a new LAYER
@@ -296,7 +308,7 @@ def apply_events(
     # threshold derived from the epoch's offset range (known upfront) —
     # scale-safe: only repos above the cut reach the driver, never the full
     # repo census.
-    slim = M.slim_events(events, lake.n_buckets).persist()
+    slim = M.slim_events(events, lake.n_buckets, narrow_validity=narrow_validity).persist()
     hot_cut = max(1, int((seq_hi - seq_lo) * M.HOT_REPO_SHARE))
     probe = M.probe_aggregate(slim).where(
         (F.col("gid") == 1) | (F.col("n_valid") > hot_cut)
@@ -316,9 +328,39 @@ def apply_events(
     touched = sorted(r["bucket"] for r in bucket_rows if r["n_valid"] > 0)
     n_hot = len(hot_repos)
 
+    def _redo_exact() -> EpochResult:
+        # mirror divergence detected: the narrow planning pass may disagree
+        # with the truth, so nothing computed above can be trusted. Redo the
+        # whole epoch with the exact predicate — every epoch artifact is
+        # overwrite-mode and the manifest has not been renamed yet, so the
+        # redo is clean. One redo max (narrow_validity=False terminates).
+        slim.unpersist()
+        RUN_LOGGER.event(
+            "narrow_validity_redo", job_id=f"epoch-{epoch}", seq_lo=seq_lo, seq_hi=seq_hi
+        )
+        return apply_events(
+            spark, lake, epoch, events, ver, seq_lo, seq_hi, salt_buckets,
+            counts_extra, mode, narrow_validity=False,
+        )
+
+    if narrow_validity:
+        # CollectMetrics sits below the validity filter, so the payload
+        # write action folds the divergence count over EVERY event row at
+        # zero extra scans (the payload branch decodes `content` anyway).
+        _obs = Observation(f"proxy-e{epoch}")
+        events = events.observe(_obs, M.proxy_divergence_count())
+    else:
+        _obs = None
     valid, quarantine = M.split_valid_quarantine(events)
     prev_manifest = lake.current_manifest()
     epoch_dir = lake.epoch_data_dir(epoch)
+
+    if _obs is not None and not touched and n_total > 0:
+        # all-invalid epoch under the narrow counts: no payload scan will
+        # run, so fold the divergence count explicitly before trusting the
+        # "nothing to apply" conclusion (rare path; one cheap aggregate).
+        if events.agg(M.proxy_divergence_count()).first()[0] > 0:
+            return _redo_exact()
 
     if touched:
         # ---- 2. merge + write: the one content-bearing shuffle. Winner
@@ -367,6 +409,13 @@ def apply_events(
                 .parquet(epoch_dir)
             )
         merge_ms = round((time.perf_counter() - t0) * 1000.0, 3)
+
+        # the write action above folded the mirror-divergence Observation
+        # over every event row; a nonzero count means the narrow planning
+        # pass can't be trusted for this epoch — redo exact before any
+        # sidecar/manifest is visible.
+        if _obs is not None and _obs.get["proxy_divergences"] > 0:
+            return _redo_exact()
 
         # ---- 3. lineage from the committed files (column-pruned re-read;
         # content is never decoded). Digest is ORDER-INSENSITIVE (bit_xor of
@@ -481,6 +530,7 @@ def apply_events(
             "events_duplicate": n_valid - n_distinct,
             "buckets_touched": len(touched),
             "hot_repos_split": n_hot,
+            "validity_mode": "narrow" if narrow_validity else "exact",
             **(counts_extra or {}),
         },
         "buckets": buckets,

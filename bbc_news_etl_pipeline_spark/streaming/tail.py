@@ -101,6 +101,13 @@ def _apply_stream_batch(
         seq_hi=int(bounds["hi"]),
         counts_extra={"mode": "tail"},
         mode=mode,
+        # exact validity here: the narrow fast path's divergence check rides
+        # a DataFrame Observation, and observation listener events never
+        # fire for actions inside foreachBatch (the get() blocks until the
+        # stream thread dies). Tail epochs are backpressure-bounded small,
+        # so the extra content decode in the slim pass is cheap; the bulk
+        # batch-replay surface keeps the narrow path.
+        narrow_validity=False,
     )
     return res.n_events
 

@@ -1,0 +1,151 @@
+"""Narrow-validity planning pass (the size_bytes mirror).
+
+The epoch's slim scan decides content-presence from the envelope's
+`size_bytes` mirror so the wide `content` column never enters planning
+ReadSchema; exactness is guaranteed by an Observation on the payload scan
+that triggers an exact-mode redo on any mirror divergence
+(streaming/replay.py `apply_events`). These tests pin all three legs:
+
+1. spec-compliant stream -> fast path taken (manifest says 'narrow'),
+   result identical to the sequential oracle (test_replay covers values);
+2. divergent stream (mirror disagrees with content) -> epoch redoes exact
+   BEFORE commit; final state follows the TRUE content, not the mirror;
+3. the slim scan's ReadSchema really excludes `content` in narrow mode.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.operators import merge as M
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_live_pdf
+
+
+def _mk_events(rows):
+    cols = ["arrival_seq", "epoch", "lsn", "event_id", "op", "repo", "path",
+            "commit", "lang", "content", "size_bytes", "license", "ts",
+            "schema_version"]
+    out = []
+    for i, r in enumerate(rows):
+        content = r.get("content")
+        out.append({
+            "arrival_seq": i, "epoch": r.get("epoch", 0), "lsn": r["lsn"],
+            "event_id": f"e{r['lsn']}", "op": r["op"], "repo": r.get("repo", "r/a"),
+            "path": r.get("path", "f.py"),
+            "commit": None if r["op"] == "delete" else f"c{r['lsn']}",
+            "lang": None if r["op"] == "delete" else "py",
+            "content": content,
+            # size_bytes honors the envelope invariant UNLESS the row
+            # explicitly overrides it (the divergence cases below)
+            "size_bytes": r["size_bytes"] if "size_bytes" in r
+            else (None if content is None else len(content)),
+            "license": None,
+            "ts": pd.Timestamp("2026-01-01T00:00:00Z"), "schema_version": 3,
+        })
+    df = pd.DataFrame(out, columns=cols)
+    df["size_bytes"] = df["size_bytes"].astype("Int64")
+    return df
+
+
+def _manifest_validity_modes(root: str) -> list[str]:
+    lake = LakeTable(root)
+    return [
+        lake.manifest(e)["counts"].get("validity_mode")
+        for e in lake.committed_epochs()
+    ]
+
+
+def test_compliant_stream_takes_narrow_path(spark, tmp_path):
+    ev = _mk_events([
+        {"lsn": 1, "op": "insert", "content": "v1"},
+        {"lsn": 2, "op": "update", "content": "v2", "path": "g.py"},
+        {"lsn": 3, "op": "delete", "path": "h.py"},
+        {"lsn": 4, "op": "insert", "content": None},  # invalid both ways
+    ])
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    res = R.replay(spark, d, root, n_buckets=4)
+    assert res.events_applied == 3
+    assert _manifest_validity_modes(root) == ["narrow"]
+    got = engine_live_pdf(spark, root)
+    assert sorted(got["path"]) == ["f.py", "g.py"]
+
+
+def test_divergent_mirror_redoes_exact_truth_wins(spark, tmp_path):
+    """Two divergences in one epoch, one per direction:
+
+    - lsn 2: content present, size_bytes NULL -> narrow would quarantine a
+      genuinely valid update; exact applies it.
+    - lsn 3 (other key): content NULL, size_bytes set -> narrow would
+      apply a genuinely invalid upsert; exact quarantines it.
+
+    After the observe-triggered redo the TRUE content rules the state.
+    """
+    ev = _mk_events([
+        {"lsn": 1, "op": "insert", "content": "v1"},
+        {"lsn": 2, "op": "update", "content": "v2", "size_bytes": None},
+        {"lsn": 3, "op": "insert", "content": None, "size_bytes": 99,
+         "path": "ghost.py"},
+    ])
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    res = R.replay(spark, d, root, n_buckets=4)
+    assert _manifest_validity_modes(root) == ["exact"], "divergence must force the exact redo"
+    assert res.events_applied == 2
+    got = engine_live_pdf(spark, root)
+    assert list(got["path"]) == ["f.py"], "mirror-only upsert must not materialize"
+    assert list(got["lsn"]) == [2], "true-content update must win despite NULL mirror"
+    lake = LakeTable(root)
+    q = lake.read_sidecar(spark, "_quarantine").toPandas()
+    assert list(q["error"]) == ["null content for upsert"]
+
+
+def test_all_rows_divergent_no_touched_path_redoes(spark, tmp_path):
+    """Every event looks invalid to the mirror (size_bytes NULL on upserts)
+    but is truly valid: the narrow probe sees zero touched buckets, and the
+    pre-commit explicit divergence fold must still trigger the exact redo
+    instead of committing an empty epoch."""
+    ev = _mk_events([
+        {"lsn": 1, "op": "insert", "content": "v1", "size_bytes": None},
+        {"lsn": 2, "op": "insert", "content": "v2", "size_bytes": None,
+         "path": "g.py"},
+    ])
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    res = R.replay(spark, d, root, n_buckets=4)
+    assert _manifest_validity_modes(root) == ["exact"]
+    assert res.events_applied == 2
+    got = engine_live_pdf(spark, root)
+    assert sorted(got["path"]) == ["f.py", "g.py"]
+
+
+def test_narrow_slim_scan_never_reads_content(spark, tmp_path):
+    """Plan contract: in narrow mode the slim pass's parquet ReadSchema
+    must not contain `content` — that column is ~90% of the raw bytes and
+    keeping it out of planning scans is the entire point."""
+    ev = _mk_events([{"lsn": 1, "op": "insert", "content": "v1"}])
+    import os
+
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    events = spark.read.parquet(os.path.join(d, "segment-00000.parquet"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    narrow = M.slim_events(events, 4, narrow_validity=True)
+    plan = narrow._jdf.queryExecution().explainString(mode)
+    scan = [seg for seg in plan.split("\n\n") if "ReadSchema" in seg]
+    assert scan and all("content:" not in s for s in scan), plan
+
+    exact = M.slim_events(events, 4, narrow_validity=False)
+    plan_exact = exact._jdf.queryExecution().explainString(mode)
+    assert "content" in plan_exact  # sanity: exact mode does read it
