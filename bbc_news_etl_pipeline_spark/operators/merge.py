@@ -118,10 +118,26 @@ def bucket_col(n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(n_buckets)).cast("int")
 
 
+def unknown_column_clause(events: DataFrame) -> Column:
+    """TRUE when the row carries no data in unregistered columns.
+
+    `EventLog.read_range` attaches `_unknown_json` (a JSON fold of physical
+    columns the registry doesn't know at the segment's version — the
+    drop+add half of a collector-side rename) only when some segment in the
+    range actually has such columns; spec-compliant logs never see the
+    column and this clause constant-folds to TRUE. Rows that DO carry
+    unknown data quarantine rather than silently losing it, with the
+    payload preserved inside the DLQ record's event_json for re-drive after
+    the registry registers the column."""
+    if "_unknown_json" not in events.columns:
+        return F.lit(True)
+    return F.col("_unknown_json").isNull()
+
+
 def split_valid_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Validation filter: diverts malformed events instead of failing the
     batch (reference DLQ semantics). Returns (valid, quarantine)."""
-    is_valid = valid_predicate()
+    is_valid = valid_predicate() & unknown_column_clause(events)
     valid = events.where(is_valid)
     quarantine = events.where(~F.coalesce(is_valid, F.lit(False))).select(
         F.to_json(F.struct(*events.columns)).alias("event_json"),
@@ -130,6 +146,10 @@ def split_valid_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
                 F.col("schema_version").between(1, reg.LATEST_VERSION), F.lit(False)
             ),
             F.lit("unknown schema_version"),
+        )
+        .when(
+            ~unknown_column_clause(events),
+            F.lit("unregistered column carries data"),
         )
         .when(~F.col("op").isin(*VALID_OPS), F.lit("invalid op"))
         .when(F.col("repo").isNull() | F.col("path").isNull(), F.lit("null key"))
@@ -162,6 +182,7 @@ def slim_events(
     of epoch wall at local[8] on the 12M-event stream.)
     """
     ok = valid_predicate_narrow() if narrow_validity else valid_predicate()
+    ok = ok & unknown_column_clause(events)
     return events.select(
         bucket_col(n_buckets).alias("bucket"),
         "repo",

@@ -11,6 +11,23 @@ Versions (FIXTURES.md section 2):
   v1: base columns, size_bytes int
   v2: size_bytes widened int -> long
   v3: + license string
+
+Evolution policy (what each shape of change does):
+  column add    -> register a new version; older files NULL-backfill on read.
+  type widen    -> register a new version; older files cast up on read.
+  column drop   -> stop writing it; the registered column NULL-backfills
+                   (reads never break; a later version may remove it).
+  rename        -> physically drop+add. The drop half is safe (above); the
+                   ADD half surfaces as an UNREGISTERED column, which is
+                   never silently discarded: EventLog.read_range folds
+                   unknown physical columns into an `_unknown_json` marker,
+                   rows carrying data there quarantine with error
+                   "unregistered column carries data" (payload preserved in
+                   the DLQ record), and a post-registration redrive fix_fn
+                   lifts the data into the newly registered column. Rows
+                   where the unknown column is NULL apply normally.
+  version skew  -> events claiming a version the registry doesn't know
+                   quarantine with "unknown schema_version" (merge.py).
 """
 
 from __future__ import annotations

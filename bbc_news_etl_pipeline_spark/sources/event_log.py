@@ -21,6 +21,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..plans import schema_registry as reg
 
@@ -58,6 +59,28 @@ class EventLog:
     def __init__(self, log_dir: str):
         self.log_dir = log_dir
 
+    @staticmethod
+    def _segment_extra_columns(files: list[str], known: set[str]) -> list[str]:
+        """Physical parquet columns a segment carries that the registry does
+        NOT know at the segment's schema version — the drop+add half of a
+        collector-side rename, or a column added without registration.
+
+        Driver-side footer sniff, one part file per segment directory (a
+        parquet footer read is a few KB; in production this is a catalog /
+        manifest metadata lookup, not a data read). jsonl segments are not
+        sniffed: their explicit-schema reader ignores extra JSON fields, and
+        the columnarization step that produces parquet is where the physical
+        schema becomes load-bearing."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        extras: set[str] = set()
+        for f in files:
+            parts = sorted(_glob.glob(os.path.join(f, "*.parquet"))) or [f]
+            extras |= {c for c in _pq.read_schema(parts[0]).names if c not in known}
+        return sorted(extras)
+
     def segments(self) -> list[dict]:
         with open(os.path.join(self.log_dir, "_segments.json")) as f:
             return json.load(f)
@@ -85,6 +108,33 @@ class EventLog:
         for s in segs:
             k = (s["schema_version"], s.get("format", "parquet"))
             by_kind.setdefault(k, []).append(os.path.join(self.log_dir, s["file"]))
+        # UNREGISTERED columns (the drop+add half of a collector rename): a
+        # KNOWN-version segment carrying physical columns the registry
+        # doesn't list must not silently lose their data to the explicit
+        # read schema. Such groups are read with footer-inferred schema and
+        # the extra columns fold into one `_unknown_json` marker (NULL when
+        # the row carries no unknown data); the validity filter quarantines
+        # marker-carrying rows ("unregistered column carries data") with the
+        # payload preserved in the DLQ's event_json for post-registration
+        # re-drive. Rows where the unknown column is NULL are layout noise
+        # and apply normally. Spec-compliant logs skip all of this — the
+        # marker column is only attached when some group actually has
+        # extras, so the common-path schema is unchanged.
+        group_extras = {
+            k: (
+                self._segment_extra_columns(
+                    files,
+                    {f.name for f in reg.event_schema(min(k[0], reg.LATEST_VERSION)).fields},
+                )
+                if k[1] == "parquet"
+                else []
+            )
+            for k, files in by_kind.items()
+        }
+        any_extras = any(group_extras.values())
+        template_u = T.StructType(
+            template.fields + [T.StructField("_unknown_json", T.StringType(), True)]
+        )
         parts = []
         for (ver, fmt), files in sorted(by_kind.items()):
             # a segment stamped with a FUTURE schema version is read with
@@ -100,8 +150,20 @@ class EventLog:
             # from ISO-8601), no inference. Parquet remains the fast path —
             # a production collector compacts jsonl -> parquet, and this
             # reader accepts logs mid-compaction (mixed formats per range).
-            df = reader.json(*files) if fmt == "jsonl" else reader.parquet(*files)
-            parts.append(reg.cast_to_version(df, target_version, template))
+            extras = group_extras[(ver, fmt)]
+            if extras:
+                # footer-inferred read so the unknown columns are visible;
+                # to_json omits NULL struct fields, so "{}" == no data
+                raw = spark.read.parquet(*files)
+                unk = F.to_json(F.struct(*[F.col(c) for c in extras]))
+                df = raw.withColumn(
+                    "_unknown_json",
+                    F.when(unk != F.lit("{}"), unk).otherwise(F.lit(None).cast("string")),
+                )
+            else:
+                df = reader.json(*files) if fmt == "jsonl" else reader.parquet(*files)
+            tmpl = template_u if any_extras else template
+            parts.append(reg.cast_to_version(df, target_version, tmpl))
         out = reduce(lambda a, b: a.unionByName(b), parts)
         return out.where(
             (F.col("arrival_seq") > F.lit(seq_lo)) & (F.col("arrival_seq") <= F.lit(seq_hi))

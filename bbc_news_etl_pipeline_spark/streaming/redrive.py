@@ -38,6 +38,7 @@ import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators import merge as M
 from ..plans import schema_registry as reg
@@ -123,7 +124,15 @@ def _redrive_locked(
     pend: list[int],
 ) -> R.EpochResult:
     qdirs = [lake.sidecar_dir("_quarantine", ep) for ep in pend]
-    template = reg.event_schema(reg.LATEST_VERSION)
+    # parse WITH the `_unknown_json` marker: an "unregistered column carries
+    # data" quarantine row must not re-apply stripped of that payload — it
+    # stays invalid until a fix_fn lifts the data into registered columns
+    # (post-registration) and NULLs the marker. Ordinary quarantine rows
+    # parse a NULL marker and are unaffected.
+    template = T.StructType(
+        reg.event_schema(reg.LATEST_VERSION).fields
+        + [T.StructField("_unknown_json", T.StringType(), True)]
+    )
     events = (
         spark.read.parquet(*qdirs)
         .select(F.from_json("event_json", template).alias("e"))
@@ -132,7 +141,9 @@ def _redrive_locked(
     if fix_fn is not None:
         events = fix_fn(events)
 
-    if not events.where(M.valid_predicate()).head(1):
+    if not events.where(
+        M.valid_predicate() & M.unknown_column_clause(events)
+    ).head(1):
         # nothing became valid: committing would start an unbounded chain of
         # epochs re-quarantining the same events. Mark attempted instead;
         # these epochs re-enter pending only alongside a fix_fn.
@@ -144,7 +155,14 @@ def _redrive_locked(
     ver_row = events.agg(F.max("schema_version").alias("v")).first()
     ver = max(active_ver, int(ver_row["v"]) if ver_row["v"] is not None else active_ver)
     ver = min(ver, reg.LATEST_VERSION)  # future-versioned events re-quarantine
-    events = reg.cast_to_version(events, ver, reg.event_schema(ver))
+    events = reg.cast_to_version(
+        events,
+        ver,
+        T.StructType(
+            reg.event_schema(ver).fields
+            + [T.StructField("_unknown_json", T.StringType(), True)]
+        ),
+    )
     res = R.apply_events(
         spark,
         lake,

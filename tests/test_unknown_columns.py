@@ -1,0 +1,130 @@
+"""Unregistered-column story (the rename/drop half of schema evolution).
+
+A collector-side rename is physically drop+add; the add half is a column
+the registry doesn't know. Policy (plans/schema_registry.py docstring):
+rows carrying DATA in an unregistered column quarantine with a distinct
+error and the payload preserved for post-registration re-drive; rows where
+the unknown column is NULL are layout noise and apply normally; logs with
+no unknown columns never see the marker column at all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import redrive as RD
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_live_pdf
+
+
+def _write_log_with_extra_column(tmp_path) -> str:
+    """A 3-event segment whose physical schema carries an unregistered
+    `branch` column: NULL on two rows (layout noise), data on one."""
+    rows = []
+    for i, (lsn, path, content) in enumerate(
+        [(1, "a.py", "v1"), (2, "b.py", "v2"), (3, "c.py", "v3")]
+    ):
+        rows.append({
+            "arrival_seq": i, "epoch": 0, "lsn": lsn, "event_id": f"e{lsn}",
+            "op": "insert", "repo": "r/x", "path": path, "commit": f"c{lsn}",
+            "lang": "py", "content": content, "size_bytes": len(content),
+            "license": None, "ts": pd.Timestamp("2026-01-01T00:00:00Z"),
+            "schema_version": 3,
+        })
+    df = pd.DataFrame(rows)
+    df["size_bytes"] = df["size_bytes"].astype("Int64")
+    d = str(tmp_path / "log")
+    gen.write_event_log(df, d)
+    # retrofit the unregistered column into the written part file
+    part = os.path.join(d, "segment-00000.parquet", "part-00000.parquet")
+    pdf = pd.read_parquet(part)
+    pdf["branch"] = [None, "feature/x", None]
+    pdf.to_parquet(part, index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    return d
+
+
+def test_unknown_column_data_quarantines_null_applies(spark, tmp_path):
+    d = _write_log_with_extra_column(tmp_path)
+    root = str(tmp_path / "lake")
+    res = R.replay(spark, d, root, n_buckets=4)
+    assert res.events_applied == 2, "NULL-marker rows must apply normally"
+
+    got = engine_live_pdf(spark, root)
+    assert sorted(got["path"]) == ["a.py", "c.py"]
+
+    lake = LakeTable(root)
+    q = lake.read_sidecar(spark, "_quarantine").toPandas()
+    assert list(q["error"]) == ["unregistered column carries data"]
+    ev = json.loads(q["event_json"].iloc[0])
+    assert json.loads(ev["_unknown_json"]) == {"branch": "feature/x"}, (
+        "the unknown payload must be preserved in the DLQ record"
+    )
+
+
+def test_spec_log_never_sees_marker_column(spark, tmp_path):
+    """No unknown columns anywhere in the range -> read_range's schema is
+    unchanged (no `_unknown_json`); the validity clause constant-folds."""
+    rows = [{
+        "arrival_seq": 0, "epoch": 0, "lsn": 1, "event_id": "e1",
+        "op": "insert", "repo": "r/x", "path": "a.py", "commit": "c1",
+        "lang": "py", "content": "v1", "size_bytes": 2, "license": None,
+        "ts": pd.Timestamp("2026-01-01T00:00:00Z"), "schema_version": 3,
+    }]
+    df = pd.DataFrame(rows)
+    df["size_bytes"] = df["size_bytes"].astype("Int64")
+    d = str(tmp_path / "log")
+    gen.write_event_log(df, d)
+    out = EventLog(d).read_range(spark, -1, 10, 3)
+    assert "_unknown_json" not in out.columns
+
+
+def test_redrive_without_fix_parks_unknown_column_rows(spark, tmp_path):
+    """A fix-less redrive must NOT re-apply the event stripped of its
+    unknown payload — nothing becomes valid, sources park as attempted."""
+    d = _write_log_with_extra_column(tmp_path)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4)
+    lake = LakeTable(root, n_buckets=4)
+    assert RD.redrive(spark, lake) is None
+    led = RD.read_ledger(lake)
+    assert led["attempted"], "sources must park as attempted"
+    got = engine_live_pdf(spark, root)
+    assert sorted(got["path"]) == ["a.py", "c.py"], "b.py must not resurface"
+
+
+def test_redrive_with_fix_lifts_unknown_payload(spark, tmp_path):
+    """Post-registration story: the operator's fix_fn lifts the unknown
+    payload into registered columns and NULLs the marker; the event then
+    re-drives exactly once."""
+    from pyspark.sql import functions as F
+
+    d = _write_log_with_extra_column(tmp_path)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4)
+    lake = LakeTable(root, n_buckets=4)
+
+    def fix(df):
+        # simulate "branch was registered (folded into commit) in v_next":
+        # lift the payload out of the marker, then clear the marker
+        b = F.get_json_object("_unknown_json", "$.branch")
+        return df.withColumn(
+            "commit", F.when(b.isNotNull(), F.concat_ws("@", "commit", b))
+            .otherwise(F.col("commit"))
+        ).withColumn("_unknown_json", F.lit(None).cast("string"))
+
+    res = RD.redrive(spark, lake, fix_fn=fix)
+    assert res is not None and res.n_events == 1
+    got = engine_live_pdf(spark, root)
+    assert sorted(got["path"]) == ["a.py", "b.py", "c.py"]
+    assert got.loc[got["path"] == "b.py", "commit"].iloc[0] == "c2@feature/x"
+    # stable no-op afterwards
+    assert RD.redrive(spark, lake) is None
