@@ -1,0 +1,104 @@
+"""Property: narrow-validity planning is observationally equivalent to the
+exact predicate for ANY stream, including streams whose size_bytes mirror
+randomly diverges from the truth (broken collectors).
+
+For every generated schedule the engine replays twice — narrow fast path
+(the default) and exact mode forced — into separate lakes; final live
+state AND the quarantine error multiset must be identical. Divergent rows
+exercise the Observation-triggered exact redo; compliant rows exercise the
+fast path. Hypothesis shrinks any inequivalence to a minimal stream.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .test_skew_quarantine_lww import _mk_events
+from .util import engine_live_pdf
+
+# (key_id, op, content?, mirror_mode)
+#   mirror_mode: "spec" = size_bytes honors the envelope invariant;
+#   "null" = size_bytes NULL regardless; "ghost" = size_bytes set even
+#   when content is NULL. The last two are the divergence directions.
+_event = st.tuples(
+    st.integers(min_value=0, max_value=2),
+    st.sampled_from(["insert", "update", "delete"]),
+    st.booleans(),  # content present?
+    st.sampled_from(["spec", "spec", "null", "ghost"]),
+)
+
+
+def _replay(spark, tmp, ev: pd.DataFrame, narrow: bool) -> tuple:
+    d = str(tmp / f"log_{narrow}")
+    gen.write_event_log(ev, d)
+    root = str(tmp / f"lake_{narrow}")
+    lake = LakeTable(root, n_buckets=4)
+    log = EventLog(d)
+    seq_hi = log.max_seq()
+    ver = log.max_schema_version(-1, seq_hi)
+    events = log.read_range(spark, -1, seq_hi, ver)
+    R.apply_events(
+        spark, lake, 0, events, ver, -1, seq_hi, narrow_validity=narrow
+    )
+    got = engine_live_pdf(spark, root)
+    state = sorted(
+        zip(got["path"], got["lsn"], got["content_sha256"].fillna("∅"))
+    )
+    try:
+        q = lake.read_sidecar(spark, "_quarantine").toPandas()
+        errors = sorted(q["error"])
+    except Exception:
+        errors = []
+    mode = lake.manifest(0)["counts"]["validity_mode"]
+    return state, errors, mode
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_event, min_size=1, max_size=10))
+def test_narrow_equals_exact_for_any_mirror(spark, tmp_path_factory, schedule):
+    rows = []
+    mirrors = []
+    for i, (key, op, has_content, mirror) in enumerate(schedule):
+        content = f"v{i + 1}" if (has_content and op != "delete") else None
+        rows.append({
+            "lsn": i + 1, "op": op, "path": f"k{key}.py",
+            "content": content, "epoch": 0,
+        })
+        mirrors.append(mirror)
+    ev = _mk_events(rows)
+    # override the spec mirror per the generated mode
+    sb = ev["size_bytes"].tolist()
+    for i, m in enumerate(mirrors):
+        if m == "null":
+            sb[i] = None
+        elif m == "ghost" and sb[i] is None and ev.loc[i, "op"] != "delete":
+            sb[i] = 7
+    ev["size_bytes"] = pd.array(sb, dtype="Int64")
+
+    tmp = tmp_path_factory.mktemp("propnv")
+    state_n, errors_n, mode_n = _replay(spark, tmp, ev, narrow=True)
+    state_e, errors_e, mode_e = _replay(spark, tmp, ev, narrow=False)
+
+    assert state_n == state_e, "final state must not depend on the planning path"
+    assert errors_n == errors_e, "quarantine outcomes must not depend on the planning path"
+    assert mode_e == "exact"
+    diverged = any(
+        (m == "null" and r["content"] is not None and r["op"] != "delete")
+        or (m == "ghost" and r["content"] is None and r["op"] != "delete")
+        for m, r in zip(mirrors, rows)
+    )
+    if diverged:
+        assert mode_n == "exact", "a divergent mirror must force the exact redo"
+    else:
+        assert mode_n == "narrow", "a compliant stream must take the fast path"
