@@ -163,12 +163,13 @@ def split_valid_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
 def slim_events(
     events: DataFrame, n_buckets: int, narrow_validity: bool = False
 ) -> DataFrame:
-    """The epoch's ONE narrow pass over the raw events: key columns, bucket,
+    """The epoch's narrow pass over the raw events: key columns, bucket,
     the fully-evaluated validity flag, and the hashed key triple. ~120 bytes
-    per row vs ~2 KB raw. The caller persists this frame so the epoch probe
-    AND the salted winner reduce both read it — the raw log is scanned once
-    for all planning/slim work; only the payload branch that actually
-    writes `content` reads it again.
+    per row vs ~2 KB raw. In exact mode the caller persists this frame so
+    the epoch probe AND the salted winner reduce share one decode of the
+    wide `content` column (which exact validity must touch); in narrow mode
+    the scan is content-free, so re-scanning the narrow parquet is cheaper
+    than materializing a cache and the caller skips the persist.
 
     ``narrow_validity=True`` evaluates the content rule via
     `valid_predicate_narrow` (the size_bytes mirror), dropping `content`

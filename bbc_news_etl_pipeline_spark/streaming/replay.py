@@ -299,16 +299,17 @@ def apply_events(
     """
     t0 = time.perf_counter()
 
-    # ---- 1. stats probe over the epoch's ONE narrow pass (slim_events):
-    # the slim frame is persisted so the probe job materializes it and the
-    # winner reduce below reads the cache instead of re-scanning the raw
-    # log (whose `content` column is ~90% of the bytes; validity must touch
-    # it once for the NULL-on-upsert rule, and exactly once is what this
-    # cache guarantees). The hot-repo filter runs BEFORE collect with a
-    # threshold derived from the epoch's offset range (known upfront) —
-    # scale-safe: only repos above the cut reach the driver, never the full
-    # repo census.
-    slim = M.slim_events(events, lake.n_buckets, narrow_validity=narrow_validity).persist()
+    # ---- 1. stats probe over the epoch's narrow pass (slim_events). The
+    # hot-repo filter runs BEFORE collect with a threshold derived from the
+    # epoch's offset range (known upfront) — scale-safe: only repos above
+    # the cut reach the driver, never the full repo census.
+    # narrow mode: the slim scan no longer touches `content`, so a second
+    # narrow parquet scan (winner reduce) is cheaper than materializing a
+    # ~120 B/row cache — persist only in exact mode, where the scan decodes
+    # the wide column and a re-scan would double that cost.
+    slim = M.slim_events(events, lake.n_buckets, narrow_validity=narrow_validity)
+    if not narrow_validity:
+        slim = slim.persist()
     hot_cut = max(1, int((seq_hi - seq_lo) * M.HOT_REPO_SHARE))
     probe = M.probe_aggregate(slim).where(
         (F.col("gid") == 1) | (F.col("n_valid") > hot_cut)
@@ -347,8 +348,17 @@ def apply_events(
         # CollectMetrics sits below the validity filter, so the payload
         # write action folds the divergence count over EVERY event row at
         # zero extra scans (the payload branch decodes `content` anyway).
-        _obs = Observation(f"proxy-e{epoch}")
-        events = events.observe(_obs, M.proxy_divergence_count())
+        # UNIQUE name per invocation: the JVM Observation matches listener-bus
+        # events by metric NAME, and those events are delivered async — a
+        # lagging event from a PREVIOUS same-named query (same epoch number
+        # in another lake/test/retry) can satisfy a fresh observation with
+        # stale metrics. uuid makes the match unambiguous.
+        import uuid as _uuid
+
+        _obs = Observation(f"proxy-e{epoch}-{_uuid.uuid4().hex}")
+        events = events.observe(
+            _obs, M.proxy_divergence_count(), F.count(F.lit(1)).alias("rows_seen")
+        )
     else:
         _obs = None
     valid, quarantine = M.split_valid_quarantine(events)
@@ -413,9 +423,29 @@ def apply_events(
         # the write action above folded the mirror-divergence Observation
         # over every event row; a nonzero count means the narrow planning
         # pass can't be trusted for this epoch — redo exact before any
-        # sidecar/manifest is visible.
-        if _obs is not None and _obs.get["proxy_divergences"] > 0:
-            return _redo_exact()
+        # sidecar/manifest is visible. The observation is unreliable when
+        # the exact-valid payload set came out EMPTY (AQE empty-relation
+        # propagation replaces the subtree and drops the CollectMetrics
+        # node from the final plan — Observation.get then has no row and
+        # throws) — and an empty result under nonzero narrow counts is
+        # itself divergence-shaped, so fall back to the explicit fold.
+        if _obs is not None:
+            # Trust the observation ONLY when its rows_seen count proves the
+            # CollectMetrics node saw every event: AQE empty-relation
+            # propagation can replace the observed subtree when the
+            # exact-valid payload set comes out empty, leaving the metrics
+            # row absent (Observation.get throws) or zeroed (silently wrong
+            # — observed in practice). rows_seen == n_total is the proof;
+            # anything else falls back to one explicit fold.
+            try:
+                row = _obs.get
+                div = row["proxy_divergences"] if row["rows_seen"] == n_total else None
+            except Exception:
+                div = None
+            if div is None:
+                div = events.agg(M.proxy_divergence_count()).first()[0]
+            if div > 0:
+                return _redo_exact()
 
         # ---- 3. lineage from the committed files (column-pruned re-read;
         # content is never decoded). Digest is ORDER-INSENSITIVE (bit_xor of
@@ -462,10 +492,11 @@ def apply_events(
             )
 
     # the slim pass has no consumers past this point (quarantine derives
-    # from the raw events; lineage reads the files just written). On an
-    # exception above the cache block dies with the session — the crash
-    # model restarts the process, so no cross-epoch accumulation is
-    # possible either way.
+    # from the raw events; lineage reads the files just written). In narrow
+    # mode nothing was persisted and this is a no-op; in exact mode it
+    # releases the cache. On an exception above the cache block dies with
+    # the session — the crash model restarts the process, so no cross-epoch
+    # accumulation is possible either way.
     slim.unpersist()
 
     if n_quar > 0:

@@ -129,6 +129,30 @@ def test_all_rows_divergent_no_touched_path_redoes(spark, tmp_path):
     assert sorted(got["path"]) == ["f.py", "g.py"]
 
 
+def test_ghost_only_epoch_empty_exact_write_still_redoes(spark, tmp_path):
+    """Regression (hypothesis-found): every event is narrow-valid but
+    exact-INVALID (ghost mirror: size_bytes set, content NULL), so narrow
+    sees touched buckets while the exact-filtered payload is EMPTY. AQE's
+    empty-relation propagation then drops the CollectMetrics node from the
+    write plan and Observation.get has no row — the fallback fold must
+    still detect the divergence and redo exact (quarantining the rows)
+    instead of committing a narrow epoch with no quarantine sidecar."""
+    ev = _mk_events([
+        {"lsn": 1, "op": "insert", "content": None, "size_bytes": 7},
+    ])
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    res = R.replay(spark, d, root, n_buckets=4)
+    assert _manifest_validity_modes(root) == ["exact"]
+    assert res.events_applied == 0
+    got = engine_live_pdf(spark, root)
+    assert len(got) == 0
+    lake = LakeTable(root)
+    q = lake.read_sidecar(spark, "_quarantine").toPandas()
+    assert list(q["error"]) == ["null content for upsert"]
+
+
 def test_narrow_slim_scan_never_reads_content(spark, tmp_path):
     """Plan contract: in narrow mode the slim pass's parquet ReadSchema
     must not contain `content` — that column is ~90% of the raw bytes and

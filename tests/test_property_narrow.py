@@ -82,9 +82,11 @@ def test_narrow_equals_exact_for_any_mirror(spark, tmp_path_factory, schedule):
     for i, m in enumerate(mirrors):
         if m == "null":
             sb[i] = None
-        elif m == "ghost" and sb[i] is None and ev.loc[i, "op"] != "delete":
+        elif m == "ghost" and pd.isna(sb[i]) and ev.loc[i, "op"] != "delete":
             sb[i] = 7
-    ev["size_bytes"] = pd.array(sb, dtype="Int64")
+    ev["size_bytes"] = pd.array(
+        [None if pd.isna(x) else x for x in sb], dtype="Int64"
+    )
 
     tmp = tmp_path_factory.mktemp("propnv")
     state_n, errors_n, mode_n = _replay(spark, tmp, ev, narrow=True)
