@@ -67,10 +67,7 @@ class EventLog:
 
         Driver-side footer sniff, one part file per segment directory (a
         parquet footer read is a few KB; in production this is a catalog /
-        manifest metadata lookup, not a data read). jsonl segments are not
-        sniffed: their explicit-schema reader ignores extra JSON fields, and
-        the columnarization step that produces parquet is where the physical
-        schema becomes load-bearing."""
+        manifest metadata lookup, not a data read)."""
         import glob as _glob
 
         import pyarrow.parquet as _pq
@@ -79,6 +76,38 @@ class EventLog:
         for f in files:
             parts = sorted(_glob.glob(os.path.join(f, "*.parquet"))) or [f]
             extras |= {c for c in _pq.read_schema(parts[0]).names if c not in known}
+        return sorted(extras)
+
+    @staticmethod
+    def _jsonl_extra_keys(files: list[str], known: set[str]) -> list[str]:
+        """Unregistered keys in jsonl segments — the pre-columnarization
+        analog of the parquet footer sniff, so a collector writing data into
+        a renamed/unregistered field gets the SAME quarantine treatment in
+        both formats instead of silent loss from the explicit-schema reader.
+
+        One record per part file (jsonl has no footer; the collector
+        contract is a consistent key set per part — the columnarization
+        step is where the physical schema becomes authoritative and the
+        parquet sniff above sees every column unconditionally)."""
+        import glob as _glob
+
+        extras: set[str] = set()
+        for f in files:
+            parts = sorted(_glob.glob(os.path.join(f, "*.jsonl"))) or [f]
+            for p in parts:
+                try:
+                    with open(p) as fh:
+                        line = fh.readline()
+                except OSError:
+                    continue
+                if not line.strip():
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(rec, dict):
+                    extras |= {k for k in rec if k not in known}
         return sorted(extras)
 
     def segments(self) -> list[dict]:
@@ -127,7 +156,10 @@ class EventLog:
                     {f.name for f in reg.event_schema(min(k[0], reg.LATEST_VERSION)).fields},
                 )
                 if k[1] == "parquet"
-                else []
+                else self._jsonl_extra_keys(
+                    files,
+                    {f.name for f in reg.event_schema(min(k[0], reg.LATEST_VERSION)).fields},
+                )
             )
             for k, files in by_kind.items()
         }
@@ -152,9 +184,30 @@ class EventLog:
             # reader accepts logs mid-compaction (mixed formats per range).
             extras = group_extras[(ver, fmt)]
             if extras:
-                # footer-inferred read so the unknown columns are visible;
-                # to_json omits NULL struct fields, so "{}" == no data
-                raw = spark.read.parquet(*files)
+                # read WITH the unknown columns visible, then fold them into
+                # one `_unknown_json` marker; to_json omits NULL struct
+                # fields, so "{}" == row carries no unknown data.
+                if fmt == "parquet":
+                    # mergeSchema is REQUIRED here: a (version, parquet)
+                    # group can mix segments with and without the extra
+                    # column (the normal rename-boundary range). A plain
+                    # footer-inferred read takes the schema from ONE file —
+                    # if that file lacks the extra, F.col(extra) throws
+                    # UNRESOLVED_COLUMN on every retry and the epoch stalls
+                    # permanently. mergeSchema unions the footers so the
+                    # extra column exists (NULL-filled) for every segment.
+                    raw = spark.read.option("mergeSchema", "true").parquet(*files)
+                else:
+                    # jsonl: explicit schema = registry columns + sniffed
+                    # extras as strings (Spark's JSON parser renders any
+                    # token — number, object, array — as its raw text when
+                    # the target field is StringType, so no data shape is
+                    # lost; the quarantine payload keeps the value verbatim)
+                    ext_schema = T.StructType(
+                        reg.event_schema(min(ver, reg.LATEST_VERSION)).fields
+                        + [T.StructField(c, T.StringType(), True) for c in extras]
+                    )
+                    raw = spark.read.schema(ext_schema).json(*files)
                 unk = F.to_json(F.struct(*[F.col(c) for c in extras]))
                 df = raw.withColumn(
                     "_unknown_json",

@@ -237,8 +237,22 @@ class LakeTable:
                         os.unlink(claim)  # confirmed stale: proceed to create
                         continue
                     # the lease changed hands between read and rename — it is
-                    # a live rival's; restore it and report busy
-                    os.rename(claim, self._lease_path)
+                    # a live rival's; restore it and report busy. Restore via
+                    # CREATE-IF-ABSENT (os.link), never an unconditional
+                    # rename-back: while we held the rival's lease in the
+                    # claim file the lease path was briefly vacant, and a
+                    # THIRD contender may have created a fresh lease there —
+                    # a blind rename would silently clobber it and yield two
+                    # writers that both believe they hold the lease.
+                    try:
+                        os.link(claim, self._lease_path)
+                        os.unlink(claim)
+                    except FileExistsError:
+                        # a third contender took the vacancy: its lease is
+                        # authoritative; drop our copy of the rival's lease
+                        # (the rival's own release is token-guarded, so it
+                        # becomes a no-op) and report busy
+                        os.unlink(claim)
                     raise RuntimeError(
                         f"lake {self.root} lease was re-acquired by writer "
                         f"{got.get('owner')!r} during a stale-steal attempt "

@@ -68,6 +68,26 @@ def _record(lake: LakeTable, key: str, epochs: list[int]) -> None:
     os.replace(tmp, _ledger_path(lake))
 
 
+def fold_manifest_sources_into_ledger(lake: LakeTable) -> None:
+    """Make ledger recording idempotent (ADVICE r03): a crash between the
+    fenced redrive commit and the ledger write leaves the redriven set
+    recorded ONLY in the committed manifest's ``counts.redrive_sources`` —
+    and on re-run the fence skips the epoch, ``pending`` comes back empty,
+    and the ledger entry would never be written. If ``expire_snapshots``
+    later drops that manifest, the sources re-drive (state stays correct
+    via LWW, but the expiration hole the ledger exists to close reopens).
+    Folding the manifests' redrive_sources into the ledger on EVERY redrive
+    run closes it: the record becomes durable the first time any redrive
+    runs while the manifest still exists."""
+    srcs: set[int] = set()
+    for ep in lake.committed_epochs():
+        s = lake.manifest(ep).get("counts", {}).get("redrive_sources")
+        if s:
+            srcs.update(int(x) for x in s)
+    if srcs - set(read_ledger(lake)["redriven"]):
+        _record(lake, "redriven", sorted(srcs))
+
+
 def pending_quarantine_epochs(
     lake: LakeTable, include_attempted: bool = False
 ) -> list[int]:
@@ -104,6 +124,7 @@ def redrive(
     The epoch's seq range is empty (last_seq, last_seq]: a redrive consumes
     no log offsets, so the offset planner's resume point is unaffected.
     """
+    fold_manifest_sources_into_ledger(lake)
     pend = pending_quarantine_epochs(lake, include_attempted=fix_fn is not None)
     R.RUN_LOGGER.new_context("redrive")
     if not pend:

@@ -127,6 +127,40 @@ def test_redrive_without_fix_does_not_chain(spark, tmp_path):
     assert len(engine_live_pdf(spark, root)) == len(before_state) + 3
 
 
+def test_ledger_survives_crash_between_commit_and_ledger_write(spark, tmp_path):
+    """ADVICE r03: a crash between the fenced redrive commit and the ledger
+    write must not leave the record only in the (expirable) manifest. On the
+    next redrive run the manifests' redrive_sources fold into the ledger, so
+    expire_snapshots dropping the redrive manifest can no longer resurrect
+    the sources."""
+    import os
+
+    from bbc_news_etl_pipeline_spark.streaming.redrive import read_ledger
+
+    lake, root = _build_lake_with_quarantine(spark, tmp_path)
+    res = redrive(spark, lake, fix_fn=_fix)
+    assert res is not None and res.n_events == 3
+
+    # simulate the crash: the commit happened, the ledger write did not
+    os.unlink(os.path.join(lake.root, "_redrive_ledger.json"))
+    assert read_ledger(lake)["redriven"] == []
+
+    # next scheduled run: fence skips the epoch, fold repairs the ledger
+    assert redrive(spark, lake) is None
+    assert read_ledger(lake)["redriven"] == [0]
+
+    # with the ledger repaired, losing the redrive manifest (any future
+    # expiration combination) can no longer resurrect the sources: pending
+    # is decided by the ledger, not by the expirable manifest record
+    os.unlink(
+        os.path.join(lake.manifests_dir, f"manifest-{res.epoch:06d}.json")
+    )
+    assert pending_quarantine_epochs(lake) == []
+    before = engine_live_pdf(spark, root)
+    assert redrive(spark, lake, fix_fn=_fix) is None, "sources must not re-drive"
+    assert engine_live_pdf(spark, root).equals(before)
+
+
 def test_redrive_lower_lsn_than_applied_is_noop(spark, tmp_path):
     """A quarantined event whose key was meanwhile overwritten by a
     higher-lsn event must not clobber current state when re-driven."""

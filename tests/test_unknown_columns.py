@@ -70,6 +70,84 @@ def test_unknown_column_data_quarantines_null_applies(spark, tmp_path):
     )
 
 
+def _base_row(i: int, lsn: int, path: str, content: str, epoch: int = 0) -> dict:
+    return {
+        "arrival_seq": i, "epoch": epoch, "lsn": lsn, "event_id": f"e{lsn}",
+        "op": "insert", "repo": "r/x", "path": path, "commit": f"c{lsn}",
+        "lang": "py", "content": content, "size_bytes": len(content),
+        "license": None, "ts": pd.Timestamp("2026-01-01T00:00:00Z"),
+        "schema_version": 3,
+    }
+
+
+def test_mixed_group_with_and_without_extra_column(spark, tmp_path):
+    """ADVICE r03 (high): a (schema_version, parquet) group mixing segments
+    WITH and WITHOUT the extra column — the normal rename-boundary range —
+    must read via mergeSchema instead of throwing UNRESOLVED_COLUMN from a
+    footer inferred off the extras-free segment (which would permanently
+    stall replay on every retry)."""
+    rows = [
+        _base_row(0, 1, "a.py", "v1", epoch=0),
+        _base_row(1, 2, "b.py", "v2", epoch=0),
+        _base_row(2, 3, "c.py", "v3", epoch=1),
+        _base_row(3, 4, "d.py", "v4", epoch=1),
+    ]
+    df = pd.DataFrame(rows)
+    df["size_bytes"] = df["size_bytes"].astype("Int64")
+    d = str(tmp_path / "log")
+    gen.write_event_log(df, d)
+    # retrofit `branch` into SEGMENT 1 ONLY; segment 0 keeps the clean schema
+    part = os.path.join(d, "segment-00001.parquet", "part-00000.parquet")
+    pdf = pd.read_parquet(part)
+    pdf["branch"] = ["feature/y", None]
+    pdf.to_parquet(part, index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+
+    root = str(tmp_path / "lake")
+    # ONE epoch spanning both segments = one mixed read group
+    res = R.replay(spark, d, root, n_buckets=4, events_per_epoch=100)
+    assert res.events_applied == 3
+    got = engine_live_pdf(spark, root)
+    assert sorted(got["path"]) == ["a.py", "b.py", "d.py"]
+    q = LakeTable(root).read_sidecar(spark, "_quarantine").toPandas()
+    assert list(q["error"]) == ["unregistered column carries data"]
+    ev = json.loads(q["event_json"].iloc[0])
+    assert json.loads(ev["_unknown_json"]) == {"branch": "feature/y"}
+
+
+def test_jsonl_unknown_key_quarantines_not_silently_dropped(spark, tmp_path):
+    """ADVICE r03: data a collector writes into an unregistered key in a
+    JSONL segment must route through the same `_unknown_json` quarantine as
+    parquet — never be silently dropped by the explicit-schema reader."""
+    rows = [
+        _base_row(0, 1, "a.py", "v1"),
+        _base_row(1, 2, "b.py", "v2"),
+    ]
+    df = pd.DataFrame(rows)
+    df["size_bytes"] = df["size_bytes"].astype("Int64")
+    d = str(tmp_path / "log")
+    gen.write_event_log(df, d, fmt="jsonl")
+    # retrofit an unregistered key into the jsonl lines (data on row 1 only)
+    part = os.path.join(d, "segment-00000.jsonl", "part-00000.jsonl")
+    with open(part) as f:
+        lines = [json.loads(ln) for ln in f if ln.strip()]
+    lines[0]["branch"] = None
+    lines[1]["branch"] = "feature/z"
+    with open(part, "w") as f:
+        for ln in lines:
+            f.write(json.dumps(ln) + "\n")
+
+    root = str(tmp_path / "lake")
+    res = R.replay(spark, d, root, n_buckets=4)
+    assert res.events_applied == 1, "NULL-key row applies; data-key row quarantines"
+    got = engine_live_pdf(spark, root)
+    assert sorted(got["path"]) == ["a.py"]
+    q = LakeTable(root).read_sidecar(spark, "_quarantine").toPandas()
+    assert list(q["error"]) == ["unregistered column carries data"]
+    ev = json.loads(q["event_json"].iloc[0])
+    assert json.loads(ev["_unknown_json"]) == {"branch": "feature/z"}
+
+
 def test_spec_log_never_sees_marker_column(spark, tmp_path):
     """No unknown columns anywhere in the range -> read_range's schema is
     unchanged (no `_unknown_json`); the validity clause constant-folds."""
