@@ -448,8 +448,19 @@ class LakeTable:
         """Collapse a layered (merge-on-read) table back to one row per key
         — the Iceberg `rewrite_data_files` analog. Commits as a new epoch
         (same fence; seq range empty like a redrive) whose manifest replaces
-        every bucket's layer list with the single compacted generation;
-        `expire_snapshots` then reclaims the superseded layer files.
+        the compacted buckets' layer lists with the single compacted
+        generation; `expire_snapshots` then reclaims the superseded layers.
+
+        TARGETED: only buckets holding MORE THAN ONE layer are read and
+        rewritten; single-layer buckets (already one row per key) carry
+        their manifest entries forward untouched. At 100 TB with an epoch
+        stream touching 1% of buckets, compaction therefore pays write
+        amplification proportional to the LAYERED fraction of the table,
+        not to the table (the reference analog: re-scraping only
+        under-threshold dates, /root/reference/docs/components/producer.md:17-23,
+        never the whole archive). The exception is ``tombstone_horizon_lsn``:
+        tombstone GC must visit every bucket (a single-layer bucket can
+        still hold expired tombstones), so a horizon forces a full rewrite.
 
         Tombstones are KEPT by default so late lower-lsn events remain
         no-ops forever. ``tombstone_horizon_lsn`` is the GC policy for them:
@@ -468,30 +479,66 @@ class LakeTable:
         finally:
             self.release_writer_lease(lease)
 
+    def compact_if_over(
+        self, spark: SparkSession, max_layers: int, locked: bool = False
+    ) -> dict | None:
+        """Auto-compaction policy: targeted-compact iff some bucket exceeds
+        ``max_layers`` layers — the read-amplification bound a long-running
+        tailer wires into its loop (every MOR read pays a winner reduce over
+        all layers of a bucket; without a cap a tailer left running for days
+        makes that reduce unbounded). ``locked=True`` when the caller already
+        holds the writer lease (the tail/replay loops do)."""
+        m = self.current_manifest()
+        if m is None or not m.get("layered"):
+            return None
+        worst = max((len(e) for e in m["buckets"].values()), default=0)
+        if worst <= max_layers:
+            return None
+        if locked:
+            return self._compact_locked(spark, m, None)
+        lease = self.acquire_writer_lease("auto-compact")
+        try:
+            return self._compact_locked(spark, m, None)
+        finally:
+            self.release_writer_lease(lease)
+
     def _compact_locked(
         self, spark: SparkSession, m: dict, tombstone_horizon_lsn: int | None
     ) -> dict:
         ver = m["schema_version"]
         epoch = m["epoch"] + 1
-        resolved = self.read_resolved(spark, None, ver, manifest=m)
-        if tombstone_horizon_lsn is not None:
-            resolved = resolved.where(
-                ~F.col("is_deleted") | (F.col("lsn") > F.lit(tombstone_horizon_lsn))
-            )
-        (
-            resolved.repartition("bucket")
-            .withColumn("bucket_p", F.col("bucket"))
-            .sortWithinPartitions("bucket_p", "repo", "path")
-            .write.mode("overwrite")
-            .partitionBy("bucket_p")
-            .parquet(self.epoch_data_dir(epoch))
+        # tombstone GC must visit single-layer buckets too; plain compaction
+        # rewrites ONLY multi-layer buckets and carries the rest forward
+        target = (
+            None
+            if tombstone_horizon_lsn is not None
+            else sorted(int(b) for b, e in m["buckets"].items() if len(e) > 1)
         )
-        new_files = self.list_epoch_files(epoch)
-        buckets = {}
-        for b, entries in new_files.items():
-            for e in entries:
-                e["schema_version"] = ver
-            buckets[str(b)] = entries
+        buckets: dict[str, list[dict]] = {}
+        if target is not None:
+            tset = set(target)
+            for b, entries in m["buckets"].items():
+                if int(b) not in tset:
+                    buckets[b] = list(entries)
+        if target is None or target:
+            resolved = self.read_resolved(spark, target, ver, manifest=m)
+            if tombstone_horizon_lsn is not None:
+                resolved = resolved.where(
+                    ~F.col("is_deleted") | (F.col("lsn") > F.lit(tombstone_horizon_lsn))
+                )
+            (
+                resolved.repartition("bucket")
+                .withColumn("bucket_p", F.col("bucket"))
+                .sortWithinPartitions("bucket_p", "repo", "path")
+                .write.mode("overwrite")
+                .partitionBy("bucket_p")
+                .parquet(self.epoch_data_dir(epoch))
+            )
+            new_files = self.list_epoch_files(epoch)
+            for b, entries in new_files.items():
+                for e in entries:
+                    e["schema_version"] = ver
+                buckets[str(b)] = entries
         from datetime import datetime, timezone
 
         manifest = {
@@ -499,9 +546,17 @@ class LakeTable:
             "epoch": epoch,
             "seq_lo": m["seq_hi"],
             "schema_version": ver,
-            "layered": False,
+            "layered": any(len(e) > 1 for e in buckets.values()),
             "committed_at": datetime.now(timezone.utc).isoformat(),
-            "counts": {"mode": "compact", "compacted_from": m["epoch"]},
+            "counts": {
+                "mode": "compact",
+                "compacted_from": m["epoch"],
+                "buckets_rewritten": (
+                    len(m["buckets"]) if target is None else len(target)
+                ),
+                "buckets_carried": len(m["buckets"])
+                - (len(m["buckets"]) if target is None else len(target)),
+            },
             "buckets": buckets,
         }
         self.commit(manifest)

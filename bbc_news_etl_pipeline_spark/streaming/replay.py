@@ -607,6 +607,7 @@ def replay(
     crash_after_epoch: int | None = None,
     adaptive: AdaptiveEpochSizer | None = None,
     mode: str = "cow",
+    auto_compact_layers: int | None = None,
 ) -> ReplayResult:
     """Tail the log from the current checkpoint to its head.
 
@@ -616,6 +617,12 @@ def replay(
     offset budget derives from the previous epoch's events/sec); crash and
     resume semantics are identical because every epoch still commits through
     the same fence and the loop re-derives its position from the lake.
+
+    ``auto_compact_layers`` (MOR mode): the read-amplification bound — after
+    any epoch leaves some bucket with more than this many layers, a targeted
+    compaction epoch is committed in-loop (under the held lease) before the
+    next event epoch, so a long replay never hands readers an unbounded
+    winner reduce.
     """
     log = EventLog(log_dir)
     lake = LakeTable(lake_root, n_buckets=n_buckets)
@@ -623,7 +630,7 @@ def replay(
     try:
         return _replay_locked(
             spark, log, lake, events_per_epoch, max_epochs, salt_buckets,
-            crash_after_epoch, adaptive, mode,
+            crash_after_epoch, adaptive, mode, auto_compact_layers,
         )
     finally:
         lake.release_writer_lease(lease)
@@ -639,10 +646,28 @@ def _replay_locked(
     crash_after_epoch: int | None,
     adaptive: AdaptiveEpochSizer | None,
     mode: str,
+    auto_compact_layers: int | None = None,
 ) -> ReplayResult:
     result = ReplayResult()
     RUN_LOGGER.new_context("replay")
     _, _, active_version = lake.resume_point()
+
+    def _maybe_compact() -> dict | None:
+        """In-loop auto-compaction (lease already held). Returns the compact
+        manifest when one committed — the caller must then SHIFT its planned
+        epoch numbers past it, or the fence would silently skip the next
+        event epoch (a compaction consumes one epoch number)."""
+        if auto_compact_layers is None or mode != "mor":
+            return None
+        cm = lake.compact_if_over(spark, auto_compact_layers, locked=True)
+        if cm is not None:
+            RUN_LOGGER.event(
+                "auto_compact",
+                job_id=f"epoch-{cm['epoch']}",
+                buckets_rewritten=cm["counts"]["buckets_rewritten"],
+                buckets_carried=cm["counts"]["buckets_carried"],
+            )
+        return cm
 
     if adaptive is not None:
         ep, lo, _ = lake.resume_point()
@@ -660,12 +685,16 @@ def _replay_locked(
             lo, ep = hi, ep + 1
             if crash_after_epoch is not None and res.epoch >= crash_after_epoch:
                 break
+            cm = _maybe_compact()
+            if cm is not None:
+                ep = cm["epoch"] + 1
         return result
 
     plans = plan_epochs(log, lake, events_per_epoch)
     if max_epochs is not None:
         plans = plans[:max_epochs]
-    for epoch, lo, hi in plans:
+    while plans:
+        epoch, lo, hi = plans.pop(0)
         res = apply_epoch(
             spark, log, lake, epoch, lo, hi, active_version, salt_buckets,
             mode=mode,
@@ -674,6 +703,11 @@ def _replay_locked(
         result.epochs.append(res)
         if crash_after_epoch is not None and epoch >= crash_after_epoch:
             break
+        cm = _maybe_compact()
+        if cm is not None:
+            plans = [
+                (cm["epoch"] + 1 + i, l, h) for i, (_, l, h) in enumerate(plans)
+            ]
     return result
 
 

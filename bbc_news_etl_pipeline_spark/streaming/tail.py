@@ -121,19 +121,28 @@ def tail(
     max_files_per_trigger: int = 8,
     timeout_sec: float = 120.0,
     mode: str = "cow",
+    auto_compact_layers: int | None = None,
 ) -> TailResult:
     """Tail `log_dir` with Structured Streaming until the source is drained
     (availableNow), applying each micro-batch through the merge core.
 
     `checkpointLocation` gives restart-safe source offsets; the lake's
     manifest fence gives sink idempotence — together, exactly-once.
+
+    ``auto_compact_layers`` (MOR mode): the read-amplification bound for a
+    long-lived tailer — whenever a batch leaves some bucket with more than
+    this many layers, a targeted compaction epoch commits in-loop before
+    the next batch. The compaction consumes an epoch number, so the next
+    batch's planned `epoch_base + batch_id` hits a foreign manifest and the
+    existing rebase path (durable batch_id->epoch map) re-homes it — the
+    same machinery that already handles batch replays between tail runs.
     """
     lake = LakeTable(lake_root, n_buckets=n_buckets)
     lease = lake.acquire_writer_lease("tail")
     try:
         return _tail_locked(
             spark, log_dir, lake, checkpoint_dir, max_files_per_trigger,
-            timeout_sec, mode,
+            timeout_sec, mode, auto_compact_layers,
         )
     finally:
         lake.release_writer_lease(lease)
@@ -147,6 +156,7 @@ def _tail_locked(
     max_files_per_trigger: int,
     timeout_sec: float,
     mode: str,
+    auto_compact_layers: int | None = None,
 ) -> TailResult:
     result = TailResult()
     R.RUN_LOGGER.new_context("tail")
@@ -212,6 +222,15 @@ def _tail_locked(
                     "foreign commit — another writer is racing this tailer"
                 )
         result.batches.append((int(batch_id), n))
+        if auto_compact_layers is not None and mode == "mor":
+            cm = lake.compact_if_over(spark, auto_compact_layers, locked=True)
+            if cm is not None:
+                R.RUN_LOGGER.event(
+                    "auto_compact",
+                    job_id=f"epoch-{cm['epoch']}",
+                    buckets_rewritten=cm["counts"]["buckets_rewritten"],
+                    buckets_carried=cm["counts"]["buckets_carried"],
+                )
 
     q = (
         stream.writeStream.foreachBatch(on_batch)

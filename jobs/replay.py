@@ -43,6 +43,9 @@ def main() -> None:
                    help="cow: rewrite touched buckets (read-optimized); "
                         "mor: append LWW-compacted delta layers (write cost "
                         "O(epoch), reads resolve until --compact)")
+    p.add_argument("--auto-compact-layers", type=int, default=None,
+                   help="MOR read-amplification bound: targeted-compact "
+                   "in-loop when any bucket exceeds this many layers")
     p.add_argument("--compact", action="store_true",
                    help="run LakeTable.compact() after the replay")
     p.add_argument("--metrics-out", default=None,
@@ -98,6 +101,7 @@ def main() -> None:
         max_epochs=args.max_epochs,
         adaptive=adaptive,
         mode=args.mode,
+        auto_compact_layers=args.auto_compact_layers,
     )
     lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
     if args.compact:

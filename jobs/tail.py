@@ -38,6 +38,9 @@ def main() -> None:
                    help="mor appends LWW-compacted layers per batch (the "
                         "write-optimized shape for a live tailer); compact "
                         "with jobs/replay.py --compact or LakeTable.compact")
+    p.add_argument("--auto-compact-layers", type=int, default=None,
+                   help="MOR read-amplification bound: targeted-compact "
+                   "in-loop when any bucket exceeds this many layers")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -52,6 +55,7 @@ def main() -> None:
         max_files_per_trigger=args.max_files_per_trigger,
         timeout_sec=args.timeout_sec,
         mode=args.mode,
+        auto_compact_layers=args.auto_compact_layers,
     )
     from pyspark.sql import functions as F
 
