@@ -2,16 +2,26 @@
 
 Image/audio/video payloads are treated as binary columns with a `media_type`
 tag. The Spark-side plumbing — schema, partition-friendly batch iteration,
-Arrow-vectorized UDF signatures — is real and tested; the actual codec step
-is STUBBED (this container ships no image/audio libraries): `decode_stub`
-raises NotImplementedError for real codecs and provides a deterministic fake
-for `application/x-fake` so the pipeline shape is exercised end-to-end.
+Arrow-vectorized UDF signatures, per-item quarantine — is real and tested;
+the actual codec step is STUBBED (this container ships no image/audio
+libraries): the codec REGISTRY maps a media type to a decoder, ships one
+deterministic fake (`application/x-fake`) so the pipeline shape is exercised
+end-to-end, and a real deployment plugs decoders in with `register_codec`.
+
+Poison-message contract (the DLQ discipline of the merge tier,
+operators/merge.py:split_valid_quarantine, applied to media): an
+unregistered or failing codec must NEVER fail the Spark task — one bad
+`image/png` row killing a 10^6-row batch is exactly the behavior the
+engine's quarantine tier exists to prevent. `media_metadata` catches per
+item inside the Arrow batch loop, emits a NULL-dims row with the error, and
+`split_media_quarantine` routes those rows into the same
+``(event_json, error)`` sidecar shape the merge pipeline uses.
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -19,8 +29,30 @@ from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, sha256 string, "
-    "width int, height int, n_frames int"
+    "width int, height int, n_frames int, error string"
 )
+
+
+def _decode_fake(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake codec: (width, height, n_frames) from the digest."""
+    h = hashlib.sha256(payload).digest()
+    return h[0] + 1, h[1] + 1, h[2] % 16 + 1
+
+
+#: codec registry — the pluggable seam. Maps media_type -> decoder
+#: ``(payload: bytes) -> (width, height, n_frames)``. Only the deterministic
+#: fake ships in this container; a real deployment registers PIL/ffmpeg/...
+#: wrappers here. Executors see a serialized copy per task, so registration
+#: must happen before the action is triggered (normal Spark closure rules).
+CODECS: dict[str, Callable[[bytes], tuple[int, int, int]]] = {
+    "application/x-fake": _decode_fake,
+}
+
+
+def register_codec(
+    media_type: str, fn: Callable[[bytes], tuple[int, int, int]]
+) -> None:
+    CODECS[media_type] = fn
 
 
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
@@ -34,42 +66,77 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_stub(media_type: str, payload: bytes) -> tuple[int, int, int]:
-    """(width, height, n_frames) for the payload.
+    """Decode via the registry; raises for unregistered codecs.
 
     Real codecs are unavailable in this container — the plumbing is what's
-    under test. Deterministic fake for application/x-fake; everything else
-    raises (and would be quarantined by the caller at scale).
-    """
-    if media_type == "application/x-fake":
-        h = hashlib.sha256(payload).digest()
-        return h[0] + 1, h[1] + 1, h[2] % 16 + 1
-    raise NotImplementedError(
-        f"codec for {media_type!r} not bundled; plug a real decoder here"
-    )
+    under test. Callers inside Spark tasks must go through
+    `media_metadata`, which converts this raise into a quarantine row
+    instead of a task failure."""
+    fn = CODECS.get(media_type)
+    if fn is None:
+        raise NotImplementedError(
+            f"codec for {media_type!r} not registered; plug a real decoder "
+            "in via register_codec"
+        )
+    return fn(payload)
 
 
 def media_metadata(media: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction over binary payloads via
-    mapInPandas: per-batch vectorized hashing + stub decode. This is the
+    mapInPandas: per-batch vectorized hashing + registry decode. This is the
     exact shape a real image-resize/frame-sample operator takes — binary in,
-    struct metadata out, no per-row Python UDF registration."""
+    struct metadata out, no per-row Python UDF registration.
+
+    Rows whose media_type has no registered codec (or whose decoder throws)
+    get NULL dims and a non-NULL `error` — the batch always survives; route
+    the errors with `split_media_quarantine`."""
+    codecs = dict(CODECS)  # snapshot into the task closure
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [decode_stub(m, p) for m, p in zip(pdf["media_type"], pdf["payload"])]
+            dims: list[tuple[int | None, int | None, int | None]] = []
+            errors: list[str | None] = []
+            for m, p in zip(pdf["media_type"], pdf["payload"]):
+                fn = codecs.get(m)
+                if fn is None:
+                    dims.append((None, None, None))
+                    errors.append(f"no codec registered for {m!r}")
+                    continue
+                try:
+                    dims.append(fn(p))
+                    errors.append(None)
+                except Exception as exc:  # noqa: BLE001 — poison-row guard
+                    dims.append((None, None, None))
+                    errors.append(f"codec failed for {m!r}: {exc}")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": [len(p) for p in pdf["payload"]],
                     "sha256": [hashlib.sha256(p).hexdigest() for p in pdf["payload"]],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "n_frames": [d[2] for d in dims],
+                    "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int32"),
+                    "n_frames": pd.array([d[2] for d in dims], dtype="Int32"),
+                    "error": pd.array(errors, dtype="string"),
                 }
             )
 
     return media.mapInPandas(extract, schema=MEDIA_SCHEMA)
+
+
+def split_media_quarantine(meta: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split `media_metadata` output into (good, quarantine); the quarantine
+    frame has the merge tier's DLQ shape ``(event_json, error)`` so a caller
+    appends it to the same `_quarantine` sidecar and the standard re-drive
+    loop (after registering the codec) picks it up."""
+    good = meta.where(F.col("error").isNull()).drop("error")
+    quarantine = meta.where(F.col("error").isNotNull()).select(
+        F.to_json(
+            F.struct("doc_id", "media_type", "n_bytes", "sha256")
+        ).alias("event_json"),
+        F.col("error"),
+    )
+    return good, quarantine
 
 
 def media_metadata_sql_checkable(docs: DataFrame) -> DataFrame:
@@ -77,5 +144,5 @@ def media_metadata_sql_checkable(docs: DataFrame) -> DataFrame:
     sha256 of the payload are computable by the DuckDB oracle, so the Arrow
     plumbing's output can be value-verified (width/height/frames come from
     the stub codec and are covered by unit tests instead)."""
-    meta = media_metadata(attach_binary_payload(docs))
-    return meta.select("doc_id", "media_type", "n_bytes", "sha256")
+    good, _ = split_media_quarantine(media_metadata(attach_binary_payload(docs)))
+    return good.select("doc_id", "media_type", "n_bytes", "sha256")
