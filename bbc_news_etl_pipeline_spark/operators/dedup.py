@@ -253,6 +253,91 @@ def near_dup_pairs_lsh(
     return out
 
 
+def duplicate_clusters(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+    pairs: DataFrame | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Near-dup CLUSTER resolution — the training pipeline's last dedup
+    step: verified pairs -> connected components -> canonical doc per group
+    (min doc_id, matching `exact_groups`' convention; the set-at-a-time
+    analog of the reference's keep-first policy,
+    /root/reference/src/clients/mongo/producer_repository.py:93-135).
+
+    Returns (cluster_id, doc_id): one row per document that belongs to a
+    near-dup cluster (size >= 2); `cluster_id` IS the canonical doc_id
+    (the component's minimum).
+
+    Distributed shape (no driver state, no GraphX dependency): iterative
+    min-label propagation over the edge list PLUS pointer jumping each round
+    (label := label's label), the standard MapReduce connected-components
+    construction — pointer jumping makes convergence O(log diameter) rounds
+    instead of O(diameter), and every round is a pair of slim (long, long)
+    hash joins, payload never touched. Each round localCheckpoints to
+    truncate lineage; convergence is an EXISTENCE probe on the changed-rows
+    frame (`isEmpty` — zero data rows reach the driver, same discipline as
+    the streaming tier's planning probes). Near-dup components are tiny and
+    shallow in practice; `max_iters` bounds adversarial chains.
+    """
+    if pairs is None:
+        pairs = near_dup_pairs_lsh(docs, threshold, num_hashes, band_size, n)
+    und = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    lab = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nb = edges.join(
+            lab.withColumnRenamed("doc_id", "dst"), "dst"
+        ).select(
+            # fresh aliases: `nb` derives from `lab`, so a bare union of the
+            # two would carry duplicate attribute ids into Union's
+            # constraint rewrite (Catalyst throws `key not found` on it)
+            F.col("src").alias("doc_id"),
+            F.col("lbl").alias("lbl"),
+        )
+        new = (
+            lab.select(
+                F.col("doc_id").alias("doc_id"), F.col("lbl").alias("lbl")
+            )
+            .unionByName(nb)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jump: follow the label one hop (labels are doc ids, so the
+        # label table joins against itself); left join keeps roots (lbl
+        # pointing at itself or at a node outside the frame) unchanged
+        a, b = new.alias("a"), new.alias("b")
+        jumped = a.join(b, F.col("a.lbl") == F.col("b.doc_id"), "left").select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.least(
+                F.col("a.lbl"), F.coalesce(F.col("b.lbl"), F.col("a.lbl"))
+            ).alias("lbl"),
+        ).localCheckpoint(eager=True)
+        changed = jumped.join(
+            lab.withColumnRenamed("lbl", "_old"), "doc_id"
+        ).where(F.col("lbl") != F.col("_old"))
+        prev, lab = lab, jumped
+        done = changed.isEmpty()
+        prev.unpersist()
+        if done:
+            break
+    out = lab.select(F.col("lbl").alias("cluster_id"), "doc_id")
+    out = out.localCheckpoint(eager=True)
+    lab.unpersist()
+    edges.unpersist()
+    return out
+
+
 def simhash_bits(docs: DataFrame, bits: int = 16, hash_mode: str = "portable") -> DataFrame:
     """(doc_id, simhash) — SimHash over word frequencies: bit b of the
     seeded word hash votes +count/-count; sign of the tally sets bit b.

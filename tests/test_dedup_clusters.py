@@ -1,0 +1,53 @@
+"""Near-dup cluster resolution (operators/dedup.duplicate_clusters):
+connected components over verified pairs + canonical (min doc_id) per
+group — VERDICT r03 #4."""
+
+from __future__ import annotations
+
+from bbc_news_etl_pipeline_spark.operators import dedup as D
+
+
+def _clusters(spark, pairs):
+    pdf = (
+        D.duplicate_clusters(None, pairs=spark.createDataFrame(
+            pairs, "doc_a long, doc_b long"
+        ))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return {int(r.doc_id): int(r.cluster_id) for r in pdf.itertuples()}
+
+
+def test_chain_and_disjoint_components(spark):
+    # chain 1-2-3 (transitive: 1 and 3 never paired directly) + pair 10-11
+    got = _clusters(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges(spark):
+    # a 40-node path stresses the pointer-jumping acceleration: plain
+    # min-propagation needs 39 rounds; the jump converges much earlier and
+    # max_iters=50 must be nowhere near binding
+    path = [(i, i + 1) for i in range(40)]
+    got = _clusters(spark, path)
+    assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_cycle_and_star(spark):
+    got = _clusters(spark, [(5, 6), (6, 7), (7, 5), (20, 21), (20, 22), (20, 23)])
+    assert got == {5: 5, 6: 5, 7: 5, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_cluster_ids_match_exact_groups_convention(spark, sf_dir):
+    """cluster_id is the component's min doc_id — the same keep-first
+    canonical convention as exact_groups."""
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = D.duplicate_clusters(docs, threshold=0.8).toPandas()
+    if len(out):
+        mins = out.groupby("cluster_id")["doc_id"].min()
+        assert (mins.index == mins.values).all()
+        sizes = out.groupby("cluster_id").size()
+        assert (sizes >= 2).all(), "singletons must not appear"
