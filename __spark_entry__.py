@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), _query_vec(s, d), k=10, exclude_vec_id=0,
         n_planes=4,
     )
+    q["ann_ivf_kmeans_topk"] = _ann_ivf_kmeans_topk
     q["ann_label_centroids"] = lambda s, d: S.label_centroids(_t(s, d, "embeddings"))
     q["ann_centroid_outliers"] = lambda s, d: S.centroid_outliers(_t(s, d, "embeddings"))
 
@@ -237,6 +238,26 @@ def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         LakeTable(lake_root, n_buckets=8)
         .read_state(spark)
         .select("repo", "path", "lsn", "content_sha256")
+    )
+
+
+def _ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed-centroid IVF (VERDICT r03 #5): fit the k-means-lite coarse
+    quantizer on the corpus (distributed, deterministic), collect the tiny
+    (k x dim) centroid frame into literals, then run the map-side
+    assignment-filtered top-k. The DuckDB oracle unrolls the identical
+    iterations (same seeds, same 6-digit mean rounding, same micro-unit
+    fixed-point argmin), so the fitted centroids agree bit-for-bit."""
+    embs = _t(spark, sf_dir, "embeddings")
+    cent_rows = S.kmeans_fit_components(embs).collect()  # k x dim, bounded
+    cents: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        cents.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["c"])
+    centroids = {
+        cid: [comp[p] for p in sorted(comp)] for cid, comp in cents.items()
+    }
+    return S.ivf_kmeans_topk(
+        embs, _query_vec(spark, sf_dir), centroids, k=10, exclude_vec_id=0
     )
 
 
@@ -556,6 +577,47 @@ def oracle_sql() -> dict[str, str]:
         f"AND xor({_rp_sig_sql('CAST(v.embedding AS DOUBLE[])')}::BIGINT, q.sig::BIGINT) IN (0, {_h1}) "
         "ORDER BY cosine DESC, v.vec_id ASC LIMIT 10"
     )
+    # computed-centroid IVF: unroll the k-means-lite fit (seeds = vec_ids
+    # 1..4, 3 Lloyd iterations, means rounded to 6 digits, assignments via
+    # the micro-unit fixed-point packing) and filter the corpus to the
+    # query's fitted cluster — iteration-for-iteration the Spark fit
+    import bbc_news_etl_pipeline_spark.operators.similarity as _SS
+
+    _seeds = ", ".join(str(s) for s in _SS.KMEANS_SEED_IDS)
+    _km_iters = []
+    prev = "cent0"
+    for i in (1, 2, 3, 4):  # 3 mean updates + the final assignment pass
+        _km_iters.append(
+            f"d{i} AS (SELECT comp.vec_id, cid, "
+            f"CAST(round(sum((x - c)*(x - c)) * {_SS._DIST_SCALE}) AS BIGINT) AS dm "
+            f"FROM comp JOIN {prev} USING (pos) GROUP BY 1, 2), "
+            f"a{i} AS (SELECT vec_id, CAST(min(dm * {_SS._CID_PACK} + cid) "
+            f"% {_SS._CID_PACK} AS BIGINT) AS cid FROM d{i} GROUP BY 1)"
+        )
+        if i < 4:
+            _km_iters.append(
+                f"cent{i} AS (SELECT cid, pos, round(avg(x), 6) AS c "
+                f"FROM comp JOIN a{i} USING (vec_id) GROUP BY 1, 2)"
+            )
+        prev = f"cent{i}"
+    o["ann_ivf_kmeans_topk"] = (
+        "WITH comp AS (SELECT vec_id, u.pos, u.x FROM embeddings, "
+        "  LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x, "
+        "           generate_subscripts(embedding, 1) AS pos) u), "
+        f"cent0 AS (SELECT vec_id AS cid, pos, round(x, 6) AS c FROM comp "
+        f"  WHERE vec_id IN ({_seeds})), "
+        + ", ".join(_km_iters)
+        + ", q AS (SELECT CAST(embedding AS DOUBLE[]) AS e, "
+        "  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm "
+        "  FROM embeddings WHERE vec_id = 0), "
+        "qa AS (SELECT cid FROM a4 WHERE vec_id = 0) "
+        "SELECT v.vec_id, round(list_inner_product(CAST(v.embedding AS DOUBLE[]), q.e) / "
+        "  (sqrt(list_inner_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))) * q.nrm), 6) AS cosine "
+        "FROM embeddings v JOIN a4 ON a4.vec_id = v.vec_id, q, qa "
+        "WHERE v.vec_id <> 0 AND a4.cid = qa.cid "
+        "ORDER BY cosine DESC, v.vec_id ASC LIMIT 10"
+    )
+
     o["ann_label_centroids"] = (
         "WITH comp AS (SELECT label, vec_id, u.x, u.pos FROM embeddings, "
         "  LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x, "

@@ -158,6 +158,112 @@ def rp_lsh_multiprobe_topk(
     return cosine_topk(cand, query_vec, k, exclude_vec_id)
 
 
+#: default coarse-quantizer seeds for the k-means-lite fit (vec ids; the
+#: query vector 0 is deliberately not a seed)
+KMEANS_SEED_IDS = [1, 2, 3, 4]
+#: fixed-point grid for cross-engine-deterministic distance comparisons:
+#: squared distances are rounded to micro-units and packed with the cluster
+#: id into ONE long, so the argmin is pure integer arithmetic on both
+#: engines (double summation-order ulps cannot flip an assignment)
+_DIST_SCALE = 1_000_000
+_CID_PACK = 65_536
+
+
+def _dist_packed(dist2: Column, cid: Column) -> Column:
+    return F.round(dist2 * F.lit(float(_DIST_SCALE))).cast("long") * F.lit(
+        _CID_PACK
+    ) + cid.cast("long")
+
+
+def kmeans_fit_components(
+    embs: DataFrame, seed_ids: list[int] | None = None, iters: int = 3
+) -> DataFrame:
+    """Seeded k-means-lite coarse quantizer fit: (cid, pos, c) centroid
+    components after `iters` Lloyd iterations — the self-contained
+    replacement for `ivf_topk`'s pre-existing-label stand-in (real corpora
+    carry no label column).
+
+    Fully distributed, deterministic, and ORACLE-REPRODUCIBLE: centroids
+    start at the seed vectors (cid = seed vec_id), every mean is rounded to
+    6 digits, and every assignment argmin runs on the micro-unit fixed-point
+    packing above — a DuckDB oracle unrolling the same iterations computes
+    bit-identical centroids. Each iteration is one broadcast join against
+    the (k x dim) centroid frame + two partial-agg shuffles; the fit's cost
+    is O(iters) corpus scans, the standard offline-IVF build shape."""
+    seed_ids = KMEANS_SEED_IDS if seed_ids is None else seed_ids
+    comp = embs.select(
+        "vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x")
+    )
+    cent = comp.where(F.col("vec_id").isin(seed_ids)).select(
+        F.col("vec_id").alias("cid"), "pos", F.round(F.col("x"), 6).alias("c")
+    )
+    for _ in range(iters):
+        d2 = (
+            comp.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2"))
+        )
+        assign = (
+            d2.groupBy("vec_id")
+            .agg(F.min(_dist_packed(F.col("d2"), F.col("cid"))).alias("pk"))
+            .select("vec_id", (F.col("pk") % _CID_PACK).alias("cid"))
+        )
+        cent = (
+            comp.join(assign, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+        )
+    return cent
+
+
+def assign_cluster_col(v: Column, centroids: dict[int, list[float]]) -> Column:
+    """Coarse-quantizer assignment as a PURE MAP-SIDE column over literal
+    centroids (the fit's output, collected once — k x dim doubles): argmin
+    of packed micro-unit squared distances. Because it is literal-driven
+    codegen, a corpus MATERIALIZED with this column gets partition/row-group
+    pruning on it — the IVF scale contract (read 1/k of the data)."""
+    packed = []
+    for cid, c in sorted(centroids.items()):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(v, arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        packed.append(_dist_packed(d2, F.lit(cid)))
+    return (F.least(*packed) % _CID_PACK).cast("long")
+
+
+def assign_cluster_py(vec: list[float], centroids: dict[int, list[float]]) -> int:
+    """Query-side assignment (driver Python, same fixed-point math)."""
+    best = None
+    for cid, c in sorted(centroids.items()):
+        d2 = 0.0
+        for a, b in zip(vec, c):
+            d2 += (a - b) * (a - b)
+        pk = int(round(d2 * _DIST_SCALE)) * _CID_PACK + cid
+        best = pk if best is None else min(best, pk)
+    return best % _CID_PACK
+
+
+def ivf_kmeans_topk(
+    embs: DataFrame,
+    query_vec: list[float],
+    centroids: dict[int, list[float]],
+    k: int = 5,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVF ANN over a COMPUTED coarse quantizer: score only the vectors
+    assigned to the query's fitted centroid (kmeans_fit_components ->
+    collect the tiny centroid frame -> literal-driven assignment filter).
+    Unlike `ivf_topk` this needs no pre-existing label column; the
+    assignment filter is map-side codegen and prunable at scale."""
+    qcid = assign_cluster_py([float(x) for x in query_vec], centroids)
+    v = _as_double(F.col("embedding"))
+    cand = embs.where(assign_cluster_col(v, centroids) == F.lit(qcid))
+    return cosine_topk(cand, query_vec, k, exclude_vec_id)
+
+
 def label_centroids(embs: DataFrame) -> DataFrame:
     """Per-label centroid statistics: (label, n_vectors, centroid_norm).
     posexplode -> (label, pos) mean -> norm; two partial-agg shuffles,

@@ -85,6 +85,21 @@ def test_embedding_dedup_single_exchange(spark, qs):
     assert _n_nodes(plan, "Scan parquet") == 1
 
 
+def test_ivf_kmeans_filter_is_map_side(spark, qs):
+    """The computed-centroid IVF top-k: after the fit, the cluster
+    assignment is a literal-driven map-side filter — the final query plans
+    as scan -> filter -> project -> TakeOrderedAndProject with NO join and
+    NO exchange (the 1/k pruning shape; materialized corpora would prune
+    row groups on the same expression)."""
+    plan = _plan(spark, qs["ann_ivf_kmeans_topk"](spark, SF))
+    assert _n_nodes(plan, "TakeOrderedAndProject") == 1
+    assert _n_nodes(plan, "Exchange") == 0, "assignment filter must be map-side"
+    for node in ("Join", "BroadcastHashJoin", "SortMergeJoin", "Window"):
+        assert _n_nodes(plan, node) == 0, f"unexpected {node}"
+    assert _n_nodes(plan, "Scan parquet") == 1
+    assert _n_nodes(plan, "Filter") == 1
+
+
 def test_minhash_partial_aggregation(spark, qs):
     plan = _plan(spark, qs["dedup_minhash_signatures"](spark, SF))
     # two-phase hash agg: partial before the doc_id exchange, final after
