@@ -64,6 +64,9 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("events_per_sec", T.DoubleType()),
         T.StructField("n_partitions", T.IntegerType()),
         T.StructField("n_hot_keys_split", T.IntegerType()),
+        T.StructField("bytes_written", T.LongType()),
+        T.StructField("winners_elided", T.LongType()),
+        T.StructField("buckets_elided", T.IntegerType()),
     ]
 )
 
@@ -227,6 +230,7 @@ def apply_epoch(
     active_version: int,
     salt_buckets: int = M.DEFAULT_SALT_BUCKETS,
     mode: str = "cow",
+    elide_noops: bool = False,
 ) -> EpochResult:
     """Apply one epoch of the log to the lake. Idempotent: a committed epoch
     is skipped before any work (the exactly-once fence). Thin wrapper:
@@ -242,7 +246,8 @@ def apply_epoch(
         ver = max(active_version, log.max_schema_version(seq_lo, seq_hi))
         events = log.read_range(spark, seq_lo, seq_hi, ver)
     return apply_events(
-        spark, lake, epoch, events, ver, seq_lo, seq_hi, salt_buckets, mode=mode
+        spark, lake, epoch, events, ver, seq_lo, seq_hi, salt_buckets,
+        mode=mode, elide_noops=elide_noops,
     )
 
 
@@ -258,9 +263,24 @@ def apply_events(
     counts_extra: dict | None = None,
     mode: str = "cow",
     narrow_validity: bool = True,
+    elide_noops: bool = False,
 ) -> EpochResult:
     """The epoch pipeline over an arbitrary event frame (already cast to
     schema version `ver`). Caller is responsible for the fence check.
+
+    ``elide_noops``: before the merge, drop every delta winner whose key
+    already holds an EQUAL-OR-HIGHER lsn in base — redelivered events
+    (equal lsn: byte-identical by the log contract) and late losers (lower
+    lsn: LWW discards them at read anyway) write nothing, and buckets left
+    with zero effective winners are skipped wholesale (manifest entries
+    carried forward). A restart re-reading an already-applied log window
+    then rewrites NOTHING instead of re-materializing every touched bucket.
+    Costs one SLIM base scan of the touched buckets (keys + lsn; content
+    pruned at the parquet reader) + one bounded driver probe — default OFF:
+    a clean in-order stream gains nothing from it. NOTE the rule is
+    lsn-based, never content-based: a touch event (same content, higher
+    lsn) must still write, because the winning lsn is visible state (the
+    digest/oracle contract hashes it).
 
     ``narrow_validity`` (default on): the planning pass evaluates the
     content-presence rule against the envelope's `size_bytes` mirror
@@ -329,6 +349,10 @@ def apply_events(
     touched = sorted(r["bucket"] for r in bucket_rows if r["n_valid"] > 0)
     n_hot = len(hot_repos)
 
+    #: per-epoch persisted frames beyond `slim` (the elide probe's marked
+    #: winners); released on every exit path, including the exact-mode redo
+    epoch_caches: list = []
+
     def _redo_exact() -> EpochResult:
         # mirror divergence detected: the narrow planning pass may disagree
         # with the truth, so nothing computed above can be trusted. Redo the
@@ -336,12 +360,14 @@ def apply_events(
         # overwrite-mode and the manifest has not been renamed yet, so the
         # redo is clean. One redo max (narrow_validity=False terminates).
         slim.unpersist()
+        for c in epoch_caches:
+            c.unpersist()
         RUN_LOGGER.event(
             "narrow_validity_redo", job_id=f"epoch-{epoch}", seq_lo=seq_lo, seq_hi=seq_hi
         )
         return apply_events(
             spark, lake, epoch, events, ver, seq_lo, seq_hi, salt_buckets,
-            counts_extra, mode, narrow_validity=False,
+            counts_extra, mode, narrow_validity=False, elide_noops=elide_noops,
         )
 
     if narrow_validity:
@@ -372,7 +398,45 @@ def apply_events(
         if events.agg(M.proxy_divergence_count()).first()[0] > 0:
             return _redo_exact()
 
-    if touched:
+    # ---- 1b. no-op elision (optional): compare delta winners against the
+    # base's per-key max lsn (one SLIM scan — keys + lsn only, content
+    # pruned at the parquet reader) and keep only winners that actually
+    # advance their key. Buckets left with no effective winner are skipped
+    # wholesale; a fully-redelivered epoch writes NOTHING. Digest-safe by
+    # LWW: an equal-lsn winner is byte-identical to the base copy (log
+    # contract) and a lower-lsn winner loses at resolution anyway.
+    eff_keys = None
+    write_buckets = touched
+    n_elided = 0
+    if elide_noops and touched and prev_manifest is not None:
+        with _timed(f"e{epoch} elide-probe"):
+            base_max = (
+                lake.read_buckets(spark, touched, ver, manifest=prev_manifest)
+                .select("repo", "path", "lsn")
+                .groupBy("repo", "path")
+                .agg(F.max("lsn").alias("_blsn"))
+            )
+            dwin0 = M.salted_winner_keys(slim.where(F.col("_ok")), salt_buckets)
+            marked = (
+                dwin0.join(base_max, ["repo", "path"], "left")
+                .withColumn(
+                    "_eff",
+                    F.col("_blsn").isNull() | (F.col("_blsn") < F.col("lsn")),
+                )
+                .drop("_blsn")
+                .persist()
+            )
+            epoch_caches.append(marked)
+            eff_rows = (
+                marked.groupBy("bucket", "_eff")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            eff_keys = marked.where(F.col("_eff")).drop("_eff")
+        write_buckets = sorted({r["bucket"] for r in eff_rows if r["_eff"]})
+        n_elided = sum(r["n"] for r in eff_rows if not r["_eff"])
+
+    if write_buckets:
         # ---- 2. merge + write: the one content-bearing shuffle. Winner
         # keys come from the CACHED slim pass (no raw-log re-scan); only the
         # payload branch below re-reads the log, because it must carry
@@ -381,7 +445,11 @@ def apply_events(
         # (backpressure via events_per_epoch keeps it so); huge epochs fall
         # back to shuffle-hash joins.
         with _timed(f"e{epoch} build-delta-dag"):
-            dwin = M.salted_winner_keys(slim.where(F.col("_ok")), salt_buckets)
+            dwin = (
+                eff_keys
+                if eff_keys is not None
+                else M.salted_winner_keys(slim.where(F.col("_ok")), salt_buckets)
+            )
             delta = M.events_to_lake_shape(valid, ver, lake.n_buckets)
         if mode == "mor":
             merged = M.delta_winners(
@@ -396,7 +464,9 @@ def apply_events(
             # so the winner semi-join sees one row per (repo, path, lsn);
             # untouched buckets stay layered (the manifest keeps the flag
             # until compact()).
-            base = lake.read_resolved(spark, touched, ver, manifest=prev_manifest)
+            base = lake.read_resolved(
+                spark, write_buckets, ver, manifest=prev_manifest
+            )
             merged = M.merge_into_base(
                 delta, base, ver, salt_buckets,
                 hint_broadcast=n_valid <= BROADCAST_KEYS_MAX,
@@ -491,6 +561,14 @@ def apply_events(
                 LINEAGE_SCHEMA,
             )
 
+    elif _obs is not None and touched and n_total > 0:
+        # every delta winner elided: the payload scan never ran, so fold the
+        # divergence count explicitly before trusting the narrow plan that
+        # decided "nothing effective to write" (same rare path as the
+        # all-invalid case above).
+        if events.agg(M.proxy_divergence_count()).first()[0] > 0:
+            return _redo_exact()
+
     # the slim pass has no consumers past this point (quarantine derives
     # from the raw events; lineage reads the files just written). In narrow
     # mode nothing was persisted and this is a no-op; in exact mode it
@@ -498,6 +576,8 @@ def apply_events(
     # the session — the crash model restarts the process, so no cross-epoch
     # accumulation is possible either way.
     slim.unpersist()
+    for c in epoch_caches:
+        c.unpersist()
 
     if n_quar > 0:
         with _timed(f"e{epoch} quarantine-write"):
@@ -506,6 +586,14 @@ def apply_events(
             ).coalesce(1).write.mode("overwrite").parquet(
                 lake.sidecar_dir("_quarantine", epoch)
             )
+
+    with _timed(f"e{epoch} list-epoch-files"):
+        new_files = lake.list_epoch_files(epoch) if write_buckets else {}
+    bytes_written = sum(
+        os.path.getsize(os.path.join(lake.root, e["path"]))
+        for entries in new_files.values()
+        for e in entries
+    )
 
     wall = time.perf_counter() - t0
     _write_sidecar(
@@ -517,18 +605,20 @@ def apply_events(
             "events_per_sec": [(n_valid / wall) if wall > 0 else 0.0],
             "n_partitions": [len(touched)],
             "n_hot_keys_split": [n_hot],
+            "bytes_written": [bytes_written],
+            "winners_elided": [n_elided],
+            "buckets_elided": [len(touched) - len(write_buckets)],
         },
         METRICS_SCHEMA,
     )
 
-    # ---- 4. manifest: carry untouched buckets forward; COW swaps touched
-    # buckets' file lists, MOR appends the new layer to them
-    with _timed(f"e{epoch} list-epoch-files"):
-        new_files = lake.list_epoch_files(epoch) if touched else {}
+    # ---- 4. manifest: carry buckets without new files forward; COW swaps
+    # written buckets' file lists, MOR appends the new layer to them
+    written = {int(b) for b in new_files}
     buckets: dict[str, list[dict]] = {}
     if prev_manifest:
         for b, entries in prev_manifest["buckets"].items():
-            if mode == "mor" or int(b) not in touched:
+            if mode == "mor" or int(b) not in written:
                 buckets[b] = list(entries)
     for b, entries in new_files.items():
         for e in entries:
@@ -560,6 +650,9 @@ def apply_events(
             "events_quarantined": n_quar,
             "events_duplicate": n_valid - n_distinct,
             "buckets_touched": len(touched),
+            "buckets_written": len(written),
+            "winners_elided": n_elided,
+            "bytes_written": bytes_written,
             "hot_repos_split": n_hot,
             "validity_mode": "narrow" if narrow_validity else "exact",
             **(counts_extra or {}),
@@ -608,6 +701,7 @@ def replay(
     adaptive: AdaptiveEpochSizer | None = None,
     mode: str = "cow",
     auto_compact_layers: int | None = None,
+    elide_noops: bool = False,
 ) -> ReplayResult:
     """Tail the log from the current checkpoint to its head.
 
@@ -631,6 +725,7 @@ def replay(
         return _replay_locked(
             spark, log, lake, events_per_epoch, max_epochs, salt_buckets,
             crash_after_epoch, adaptive, mode, auto_compact_layers,
+            elide_noops,
         )
     finally:
         lake.release_writer_lease(lease)
@@ -647,6 +742,7 @@ def _replay_locked(
     adaptive: AdaptiveEpochSizer | None,
     mode: str,
     auto_compact_layers: int | None = None,
+    elide_noops: bool = False,
 ) -> ReplayResult:
     result = ReplayResult()
     RUN_LOGGER.new_context("replay")
@@ -677,7 +773,7 @@ def _replay_locked(
             hi = min(lo + size, max_seq)
             res = apply_epoch(
                 spark, log, lake, ep, lo, hi, active_version, salt_buckets,
-                mode=mode,
+                mode=mode, elide_noops=elide_noops,
             )
             active_version = max(active_version, res.schema_version)
             result.epochs.append(res)
@@ -697,7 +793,7 @@ def _replay_locked(
         epoch, lo, hi = plans.pop(0)
         res = apply_epoch(
             spark, log, lake, epoch, lo, hi, active_version, salt_buckets,
-            mode=mode,
+            mode=mode, elide_noops=elide_noops,
         )
         active_version = max(active_version, res.schema_version)
         result.epochs.append(res)

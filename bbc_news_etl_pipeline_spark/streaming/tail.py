@@ -61,6 +61,7 @@ def _apply_stream_batch(
     batch_df: DataFrame,
     epoch: int,
     mode: str = "cow",
+    elide_noops: bool = False,
 ) -> int | None:
     """foreachBatch body: the SAME epoch core as batch replay
     (replay.apply_events) driven by a batch the streaming runtime scoped.
@@ -101,6 +102,7 @@ def _apply_stream_batch(
         seq_hi=int(bounds["hi"]),
         counts_extra={"mode": "tail"},
         mode=mode,
+        elide_noops=elide_noops,
         # exact validity here: the narrow fast path's divergence check rides
         # a DataFrame Observation, and observation listener events never
         # fire for actions inside foreachBatch (the get() blocks until the
@@ -122,6 +124,7 @@ def tail(
     timeout_sec: float = 120.0,
     mode: str = "cow",
     auto_compact_layers: int | None = None,
+    elide_noops: bool = False,
 ) -> TailResult:
     """Tail `log_dir` with Structured Streaming until the source is drained
     (availableNow), applying each micro-batch through the merge core.
@@ -142,7 +145,7 @@ def tail(
     try:
         return _tail_locked(
             spark, log_dir, lake, checkpoint_dir, max_files_per_trigger,
-            timeout_sec, mode, auto_compact_layers,
+            timeout_sec, mode, auto_compact_layers, elide_noops,
         )
     finally:
         lake.release_writer_lease(lease)
@@ -157,6 +160,7 @@ def _tail_locked(
     timeout_sec: float,
     mode: str,
     auto_compact_layers: int | None = None,
+    elide_noops: bool = False,
 ) -> TailResult:
     result = TailResult()
     R.RUN_LOGGER.new_context("tail")
@@ -209,13 +213,17 @@ def _tail_locked(
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         bid = str(int(batch_id))
         epoch = epoch_map.get(bid, epoch_base + int(batch_id))
-        n = _apply_stream_batch(spark, lake, batch_df, epoch, mode=mode)
+        n = _apply_stream_batch(
+            spark, lake, batch_df, epoch, mode=mode, elide_noops=elide_noops
+        )
         if n is None:
             # planned epoch holds a foreign commit: rebase durably, retry
             epoch = lake.resume_point()[0]
             epoch_map[bid] = epoch
             _persist_map()
-            n = _apply_stream_batch(spark, lake, batch_df, epoch, mode=mode)
+            n = _apply_stream_batch(
+                spark, lake, batch_df, epoch, mode=mode, elide_noops=elide_noops
+            )
             if n is None:
                 raise RuntimeError(
                     f"tail batch {bid}: rebased epoch {epoch} also holds a "

@@ -45,7 +45,9 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+def bench_queries(
+    spark, sf_dir: str, exclude: set[str] | None = None, force_single: bool = False
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Time every contract query; the dedup family runs BENCH_DEDUP_TRIALS
     times (default 3) and records the MEDIAN — host wall-clock noise spans
     2-4x between identical runs here, and medians are what the round-over-
@@ -56,7 +58,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    trials_n = int(os.environ.get("BENCH_DEDUP_TRIALS", "3"))
+    trials_n = 1 if force_single else int(os.environ.get("BENCH_DEDUP_TRIALS", "3"))
     # JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").write.mode("overwrite").format(
         "noop"
@@ -64,7 +66,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[
     out: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
     for name, fn in qs.items():
-        if name in SKIP:
+        if name in SKIP or (exclude and name in exclude):
             continue
         n = trials_n if name.startswith("dedup_") else 1
         samples = []
@@ -76,6 +78,37 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[
         if n > 1:
             trials[name] = samples
     return out, trials
+
+
+def bench_sf1(spark) -> dict | None:
+    """The sf1 sweep (VERDICT r03 #7): derive the 10x dataset (cached at
+    .sf1, DuckDB-only) and time the contract queries where broadcast
+    thresholds and AQE actually flip. Excluded: `dedup_ngram_jaccard` (the
+    oracle-tier all-pairs join is quadratic by design — its scale path,
+    dedup_lsh_verified_pairs, IS measured). Single trial per query: the sf1
+    block tracks plan behavior round-over-round, not noise-grade deltas."""
+    sf1_dir = os.path.join(REPO_ROOT, ".sf1")
+    if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "tools", "make_sf1.py")],
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            print(f"sf1 derivation failed: {r.stderr[-500:]}", file=sys.stderr)
+            return None
+    t0 = time.perf_counter()
+    queries, _ = bench_queries(
+        spark, sf1_dir, exclude={"dedup_ngram_jaccard"}, force_single=True
+    )
+    return {
+        "sf": 1.0,
+        "total_sec": round(sum(queries.values()), 3),
+        "wall_sec": round(time.perf_counter() - t0, 3),
+        "queries": queries,
+        "excluded": ["dedup_ngram_jaccard"],
+    }
 
 
 def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
@@ -142,6 +175,10 @@ def main() -> None:
             int(os.environ.get("BENCH_CDC_EPOCHS", "4")),
         )
 
+    sf1 = None
+    if os.environ.get("BENCH_SKIP_SF1") != "1":
+        sf1 = bench_sf1(spark)
+
     total = round(sum(queries.values()) + (cdc["wall_sec"] if cdc else 0.0), 3)
     print(
         json.dumps(
@@ -154,6 +191,7 @@ def main() -> None:
                 "cdc": cdc,
                 "extra": extra,
                 "trials": trials,
+                "sf1": sf1,
             }
         )
     )

@@ -43,6 +43,8 @@ def main() -> None:
                    help="cow: rewrite touched buckets (read-optimized); "
                         "mor: append LWW-compacted delta layers (write cost "
                         "O(epoch), reads resolve until --compact)")
+    p.add_argument("--elide-noops", action="store_true",
+                   help="drop delta winners already at/behind the base lsn (redelivery/late losers write nothing)")
     p.add_argument("--auto-compact-layers", type=int, default=None,
                    help="MOR read-amplification bound: targeted-compact "
                    "in-loop when any bucket exceeds this many layers")
@@ -102,6 +104,7 @@ def main() -> None:
         adaptive=adaptive,
         mode=args.mode,
         auto_compact_layers=args.auto_compact_layers,
+        elide_noops=args.elide_noops,
     )
     lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
     if args.compact:

@@ -1,0 +1,134 @@
+"""No-op winner elision (VERDICT r03 #6): redelivered / late-loser delta
+winners write nothing, buckets with zero effective winners are skipped
+wholesale, and the final state stays digest-identical to the non-elided
+replay. The elision rule is LSN-based (equal-or-lower lsn than base), never
+content-based — a touch event with a higher lsn must still write because the
+winning lsn is visible state."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest
+
+E = 2_000
+
+
+def _base_events() -> pd.DataFrame:
+    return gen.generate_events(gen.StreamSpec(n_events=E, n_epochs=2))
+
+
+def _with_redelivered_epoch(events: pd.DataFrame, extra_row: dict | None = None):
+    """Append epoch 2 = a full redelivery of the stream (same lsn/content,
+    new arrival offsets) — the restart-re-reads-the-log scenario."""
+    dup = events.copy()
+    dup["epoch"] = 2
+    dup["arrival_seq"] = dup["arrival_seq"] + E
+    full = pd.concat([events, dup], ignore_index=True)
+    if extra_row is not None:
+        row = events[events["op"] == "insert"].iloc[0].copy()
+        row["epoch"] = 2
+        row["arrival_seq"] = 2 * E
+        row["lsn"] = int(events["lsn"].max()) + 1
+        for k, v in extra_row.items():
+            row[k] = v
+        full = pd.concat([full, row.to_frame().T], ignore_index=True)
+        full["size_bytes"] = full["size_bytes"].astype("Int64")
+        full["arrival_seq"] = full["arrival_seq"].astype("int64")
+        full["lsn"] = full["lsn"].astype("int64")
+        full["schema_version"] = full["schema_version"].astype("int32")
+    return full
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_pure_redelivery_epoch_writes_zero_bytes(spark, tmp_path, mode):
+    events = _base_events()
+    d = str(tmp_path / "log")
+    gen.write_event_log(_with_redelivered_epoch(events), d)
+    root = str(tmp_path / f"lake_{mode}")
+    res = R.replay(spark, d, root, n_buckets=8, mode=mode, elide_noops=True)
+    assert len(res.epochs) == 3
+
+    lake = LakeTable(root, n_buckets=8)
+    m1, m2 = lake.manifest(1), lake.manifest(2)
+    assert m2["counts"]["bytes_written"] == 0, "redelivery must write nothing"
+    assert m2["counts"]["buckets_written"] == 0
+    assert m2["counts"]["winners_elided"] > 0
+    assert m1["counts"]["bytes_written"] > 0, "real epochs still write"
+    # every bucket entry carried forward byte-for-byte
+    assert m2["buckets"] == m1["buckets"]
+
+    # digest identical to the elide-off replay of the same log
+    root_off = str(tmp_path / f"lake_off_{mode}")
+    R.replay(spark, d, root_off, n_buckets=8, mode=mode)
+    assert engine_digest(spark, root) == engine_digest(spark, root_off)
+    off = LakeTable(root_off, n_buckets=8).manifest(2)
+    assert off["counts"]["bytes_written"] > 0, (
+        "without elision the redelivery epoch rewrites data — the metric "
+        "must show the drop"
+    )
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_mixed_epoch_writes_only_effective_buckets(spark, tmp_path, mode):
+    """Redelivered events + ONE genuinely new event: only the new event's
+    bucket is written; everything else carries forward."""
+    events = _base_events()
+    d = str(tmp_path / "log")
+    gen.write_event_log(
+        _with_redelivered_epoch(events, extra_row={"content": "fresh body",
+                                                   "op": "update"}),
+        d,
+    )
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8, mode=mode, elide_noops=True)
+    lake = LakeTable(root, n_buckets=8)
+    m2 = lake.manifest(2)
+    assert m2["counts"]["buckets_written"] == 1
+    assert 0 < m2["counts"]["bytes_written"]
+
+    root_off = str(tmp_path / "lake_off")
+    R.replay(spark, d, root_off, n_buckets=8, mode=mode)
+    assert engine_digest(spark, root) == engine_digest(spark, root_off)
+
+
+def test_elide_on_canonical_stream_is_digest_invariant(spark, tmp_path):
+    """The canonical generator stream (late events, ghosts, dup-free) must
+    produce identical state with elision on — late lower-lsn events are the
+    only elidable rows and LWW already discards them."""
+    d = str(tmp_path / "log")
+    gen.build_stream(E, 4, d)
+    on = str(tmp_path / "on")
+    off = str(tmp_path / "off")
+    R.replay(spark, d, on, n_buckets=8, elide_noops=True)
+    R.replay(spark, d, off, n_buckets=8)
+    assert engine_digest(spark, on) == engine_digest(spark, off)
+
+
+def test_elide_interacts_with_narrow_redo(spark, tmp_path):
+    """A mirror-divergent stream under elision must still redo in exact
+    mode and commit the right state (the redo path re-runs the elide probe
+    on exact validity)."""
+    from pyspark.sql import functions as F
+
+    from .test_skew_quarantine_lww import _mk_events
+
+    ev = _mk_events([
+        {"lsn": 1, "op": "insert", "content": "v1", "epoch": 0},
+        {"lsn": 2, "op": "update", "content": "v2", "epoch": 1},
+    ])
+    # break the mirror: content present but size_bytes NULL on the update
+    ev.loc[ev["lsn"] == 2, "size_bytes"] = None
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4, elide_noops=True)
+    lake = LakeTable(root, n_buckets=4)
+    assert lake.manifest(1)["counts"]["validity_mode"] == "exact"
+    state = lake.read_state(spark).where(F.col("path") == "f.py").first()
+    assert state["lsn"] == 2
