@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""High-redelivery fixture bench (VERDICT r03 #6 done-criterion): a stream
+whose final epoch fully redelivers the preceding epochs (the restart-
+re-reads-the-log storm), replayed with and without no-op elision.
+
+Reports per-epoch bytes_written / winners_elided from the metrics sidecar
+and the end-state digest of both runs (must be identical).
+
+Usage: python BENCH/run_redelivery.py [--events N] [--epochs K] [--mode mor]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+
+def build_redelivery_stream(n_events: int, n_epochs: int, out_dir: str) -> None:
+    """Canonical stream + one trailing epoch redelivering ALL of it."""
+    import pandas as pd
+
+    from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+
+    ev = gen.generate_events(gen.StreamSpec(n_events=n_events, n_epochs=n_epochs))
+    dup = ev.copy()
+    dup["epoch"] = n_epochs
+    dup["arrival_seq"] = dup["arrival_seq"] + n_events
+    gen.write_event_log(pd.concat([ev, dup], ignore_index=True), out_dir)
+
+
+def run(spark, log_dir: str, mode: str, elide: bool) -> dict:
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    root = tempfile.mkdtemp(prefix=f"redeliv_{mode}_{elide}_", dir="/dev/shm")
+    try:
+        t0 = time.perf_counter()
+        res = replay(spark, log_dir, root, n_buckets=64, mode=mode,
+                     elide_noops=elide)
+        wall = time.perf_counter() - t0
+        lake = LakeTable(root, n_buckets=64)
+        per_epoch = []
+        for ep in lake.committed_epochs():
+            c = lake.manifest(ep)["counts"]
+            per_epoch.append({
+                "epoch": ep,
+                "bytes_written": c.get("bytes_written"),
+                "winners_elided": c.get("winners_elided"),
+                "buckets_written": c.get("buckets_written"),
+            })
+        from pyspark.sql import functions as F
+
+        agg = lake.read_state(spark).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("repo", "path", "lsn", "content_sha256")).alias("x"),
+        ).first()
+        return {
+            "elide": elide,
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(res.events_applied / wall, 1),
+            "redelivery_epoch_bytes": per_epoch[-1]["bytes_written"],
+            "total_bytes": sum(p["bytes_written"] or 0 for p in per_epoch),
+            "digest": f"{agg['n']}:{agg['x']}",
+            "per_epoch": per_epoch,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=1_000_000)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    args = ap.parse_args()
+
+    from bbc_news_etl_pipeline_spark.session import build_session
+
+    log_dir = os.path.join(
+        tempfile.gettempdir(), f"redeliv_stream_{args.events}x{args.epochs}"
+    )
+    if not os.path.exists(os.path.join(log_dir, "_segments.json")):
+        build_redelivery_stream(args.events, args.epochs, log_dir)
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(app_name="redelivery-bench", master=f"local[{cpus}]")
+    off = run(spark, log_dir, args.mode, elide=False)
+    on = run(spark, log_dir, args.mode, elide=True)
+    assert on["digest"] == off["digest"], (on["digest"], off["digest"])
+    print(json.dumps({
+        "metric": "redelivery_bytes_drop",
+        "mode": args.mode,
+        "events": args.events,
+        "off": off,
+        "on": on,
+        "redelivery_bytes_drop_pct": round(
+            100.0 * (1 - (on["redelivery_epoch_bytes"] or 0)
+                     / max(1, off["redelivery_epoch_bytes"] or 1)), 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
