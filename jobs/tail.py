@@ -38,6 +38,8 @@ def main() -> None:
                    help="mor appends LWW-compacted layers per batch (the "
                         "write-optimized shape for a live tailer); compact "
                         "with jobs/replay.py --compact or LakeTable.compact")
+    p.add_argument("--elide-noops", action="store_true",
+                   help="drop delta winners already at/behind the base lsn (redelivery/late losers write nothing)")
     p.add_argument("--auto-compact-layers", type=int, default=None,
                    help="MOR read-amplification bound: targeted-compact "
                    "in-loop when any bucket exceeds this many layers")
@@ -56,6 +58,7 @@ def main() -> None:
         timeout_sec=args.timeout_sec,
         mode=args.mode,
         auto_compact_layers=args.auto_compact_layers,
+        elide_noops=args.elide_noops,
     )
     from pyspark.sql import functions as F
 
