@@ -152,6 +152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_duplicate_clusters"] = lambda s, d: D.duplicate_clusters(
         _t(s, d, "documents"), threshold=0.8
     )
+    q["dedup_embedding_clusters"] = lambda s, d: D.duplicate_clusters(
+        None,
+        pairs=D.embedding_near_dup_pairs(_t(s, d, "embeddings"), threshold=0.45)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")),
+    ).select("cluster_id", F.col("doc_id").alias("vec_id"))
 
     # ---- similarity search ----
     q["ann_bruteforce_topk"] = lambda s, d: S.cosine_topk(
@@ -248,14 +253,10 @@ def _ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment-filtered top-k. The DuckDB oracle unrolls the identical
     iterations (same seeds, same 6-digit mean rounding, same micro-unit
     fixed-point argmin), so the fitted centroids agree bit-for-bit."""
+    from bbc_news_etl_pipeline_spark.plans import quantizer as Q
+
     embs = _t(spark, sf_dir, "embeddings")
-    cent_rows = S.kmeans_fit_components(embs).collect()  # k x dim, bounded
-    cents: dict[int, dict[int, float]] = {}
-    for r in cent_rows:
-        cents.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["c"])
-    centroids = {
-        cid: [comp[p] for p in sorted(comp)] for cid, comp in cents.items()
-    }
+    centroids = Q.fit_centroids(embs)  # k x dim literals, bounded collect
     return S.ivf_kmeans_topk(
         embs, _query_vec(spark, sf_dir), centroids, k=10, exclude_vec_id=0
     )
@@ -515,6 +516,23 @@ def oracle_sql() -> dict[str, str]:
         "reach(src, dst) AS (SELECT src, dst FROM edges "
         "  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
         "SELECT least(src, min(dst)) AS cluster_id, src AS doc_id "
+        "FROM reach GROUP BY src"
+    )
+
+    # embedding-cosine near-dup clusters: the same recursive-CTE closure
+    # over the cosine pair set (the multimodal analog of the text clusters)
+    o["dedup_embedding_clusters"] = (
+        "WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, "
+        "  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm "
+        "  FROM embeddings), "
+        "pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b "
+        "  FROM v a JOIN v b ON a.vec_id < b.vec_id "
+        "  WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.45), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "  UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(src, dst) AS (SELECT src, dst FROM edges "
+        "  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
+        "SELECT least(src, min(dst)) AS cluster_id, src AS vec_id "
         "FROM reach GROUP BY src"
     )
 

@@ -216,6 +216,83 @@ def kmeans_fit_components(
     return cent
 
 
+def kmeans_iteration_arrow(
+    embs: DataFrame, centroids: dict[int, list[float]]
+) -> DataFrame:
+    """ONE Lloyd iteration with Arrow partial sums — the EXTREME-scale fit
+    shape (the loop driver holding the bounded k x dim planning state lives
+    in plans/quantizer.py, keeping this operator fully distributed). The
+    portable fit (`kmeans_fit_components`) explodes every vector into `dim`
+    (vec_id, pos, x) rows, which at 10^9 vectors x 64 dims is 6.4e10 slim
+    rows per iteration; here each PARTITION folds its vectors into one
+    (k x dim) sum matrix + per-cluster counts in a single vectorized numpy
+    pass (mapInPandas), and the final mean reduces partitions x k x dim
+    partial rows — shuffle traffic per iteration drops from O(N x dim) to
+    O(partitions x k x dim).
+
+    Returns (cid, pos, c): the NEW centroid components, means rounded to 6
+    digits. Assignment uses the identical micro-unit packed argmin as the
+    portable fit / `assign_cluster_col`, so both fits converge to bit-equal
+    centroids (pinned by a test, not assumed): partial-sum order only
+    perturbs the mean below the rounding grid."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cids_l = np.array(sorted(centroids), dtype=np.int64)
+    cmat_l = np.array([centroids[c] for c in sorted(centroids)], dtype=np.float64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cid", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def partial_sums(batches, _cids=cids_l, _cmat=cmat_l):
+        import pandas as pd
+
+        k, dim = _cmat.shape
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            if not len(m):
+                continue
+            # squared distance on the micro grid, packed with the cid —
+            # the same integer argmin as the portable fit
+            d2 = ((m[:, None, :] - _cmat[None, :, :]) ** 2).sum(axis=2)
+            packed = (
+                np.rint(d2 * _DIST_SCALE).astype(np.int64) * _CID_PACK
+                + _cids[None, :]
+            )
+            a = packed.argmin(axis=1)
+            for j in range(k):
+                sel = a == j
+                if sel.any():
+                    sums[j] += m[sel].sum(axis=0)
+                    counts[j] += int(sel.sum())
+        rows = [
+            {"cid": int(_cids[j]), "pos": p, "s": float(sums[j, p]),
+             "n": int(counts[j])}
+            for j in range(k)
+            if counts[j]
+            for p in range(dim)
+        ]
+        yield pd.DataFrame(rows, columns=["cid", "pos", "s", "n"])
+
+    src = embs.select(_as_double(F.col("embedding")).alias("v"))
+    # each (cid, pos) group holds one row per contributing partition; `n`
+    # is that partition's member count for the cluster (replicated per
+    # pos), so sum(s)/sum(n) is exactly the cluster mean component
+    return (
+        src.mapInPandas(partial_sums, schema=out_schema)
+        .groupBy("cid", "pos")
+        .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("c"))
+    )
+
+
 def assign_cluster_col(v: Column, centroids: dict[int, list[float]]) -> Column:
     """Coarse-quantizer assignment as a PURE MAP-SIDE column over literal
     centroids (the fit's output, collected once — k x dim doubles): argmin

@@ -1,0 +1,55 @@
+"""Coarse-quantizer fit DRIVERS: the iteration loops that hold bounded
+k x dim planning state (centroid literals) between distributed passes.
+
+Operators stay fully distributed (no driver materialization — enforced by
+tests/test_guards.py); the per-iteration collects here are the same class
+as the streaming tier's epoch-probe collects: BOUNDED planning state
+(k x dim doubles, e.g. 4 x 64), never data. The fitted literals then feed
+`operators.similarity.assign_cluster_col` / `ivf_kmeans_topk` map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+
+
+def _rows_to_dict(rows) -> dict[int, list[float]]:
+    comp: dict[int, dict[int, float]] = {}
+    for r in rows:
+        comp.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["c"])
+    return {cid: [d[p] for p in sorted(d)] for cid, d in comp.items()}
+
+
+def fit_centroids(
+    embs: DataFrame, seed_ids: list[int] | None = None, iters: int = 3
+) -> dict[int, list[float]]:
+    """Portable fit -> centroid literals (one distributed pos-explode plan,
+    one bounded collect at the end)."""
+    return _rows_to_dict(S.kmeans_fit_components(embs, seed_ids, iters).collect())
+
+
+def fit_centroids_arrow(
+    embs: DataFrame, seed_ids: list[int] | None = None, iters: int = 3
+) -> dict[int, list[float]]:
+    """Arrow partial-sum fit — the extreme-scale driver loop: per iteration
+    one `kmeans_iteration_arrow` pass (shuffle O(partitions x k x dim), not
+    O(N x dim)) and one k x dim collect. Converges to centroids bit-equal
+    to the portable fit (same seeds, same micro-unit packed argmin, same
+    6-digit mean rounding — pinned by tests/test_kmeans_arrow.py)."""
+    seed_ids = S.KMEANS_SEED_IDS if seed_ids is None else seed_ids
+    seed_rows = (
+        embs.where(F.col("vec_id").isin(seed_ids))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+        )
+        .select("cid", "pos", F.round(F.col("x"), 6).alias("c"))
+        .collect()
+    )
+    cents = _rows_to_dict(seed_rows)
+    for _ in range(iters):
+        cents = _rows_to_dict(S.kmeans_iteration_arrow(embs, cents).collect())
+    return cents

@@ -68,26 +68,32 @@ def main() -> None:
     spark = build_session(app_name="cdc-replay", master=args.master)
     ship_engine_package(spark)
     # Warm JVM codegen + the Arrow/Python worker pool BEFORE the timed
-    # replay loop: whole-stage codegen compilation and Python worker
-    # startup are one-time session costs (~5-8 s) that a long-running
-    # ingest amortizes to zero, but they land inside epoch 0's wall and
-    # distort short benchmark runs — disproportionately at high
-    # parallelism, where the steady-state epochs are short.
-    from pyspark.sql import functions as F
+    # replay loop: whole-stage codegen compilation, parquet reader/writer
+    # and codec init, and Python worker startup are one-time session costs
+    # (~8 s measured: epoch 0's stats-probe ran +2.8 s and merge+write
+    # +5.5 s over epoch 1 at 12M events/epoch) that a long-running ingest
+    # amortizes to zero, but they land inside epoch 0's wall and distort
+    # short benchmark runs — disproportionately at high parallelism, where
+    # the steady-state epochs are short, i.e. exactly the serial term that
+    # caps N->4N efficiency. HIGH-FIDELITY warmup: run one tiny epoch of
+    # the REAL log through the REAL pipeline into a throwaway lake, which
+    # JITs the actual paths (vectorized parquet read, grouping-sets probe,
+    # salted winner reduce, Arrow merge, sha2 + parquet encode) instead of
+    # a lookalike plan; identical at every parallelism level.
+    import shutil as _shutil
+    import tempfile as _tempfile
 
-    # bit_xor, not sum: ANSI mode makes sum(xxhash64) overflow
-    spark.range(1_000_000).select(
-        F.bit_xor(F.xxhash64("id")).alias("h")
-    ).write.mode("overwrite").format("noop").save()
-    (
-        spark.range(10_000)
-        .select((F.col("id") % 8).cast("int").alias("bucket"), F.col("id").alias("lsn"))
-        .groupBy("bucket")
-        .applyInArrow(lambda t: t, schema="bucket int, lsn long")
-        .write.mode("overwrite")
-        .format("noop")
-        .save()
-    )
+    _wdir = _tempfile.mkdtemp(prefix="cdc_warmup_")
+    try:
+        R.replay(
+            spark, args.log_dir, os.path.join(_wdir, "lake"),
+            n_buckets=args.n_buckets, events_per_epoch=20_000, max_epochs=1,
+            mode=args.mode,
+        )
+    except Exception:
+        pass  # warmup is best-effort; the timed loop still runs
+    finally:
+        _shutil.rmtree(_wdir, ignore_errors=True)
     adaptive = None
     if args.adaptive_target_sec is not None:
         adaptive = R.AdaptiveEpochSizer(

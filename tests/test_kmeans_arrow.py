@@ -1,0 +1,51 @@
+"""Arrow partial-sum k-means fit (plans/quantizer.py +
+operators/similarity.kmeans_iteration_arrow): must converge to centroids
+BIT-EQUAL to the portable pos-explode fit — same seeds, same micro-unit
+packed argmin, same 6-digit mean rounding — while shuffling
+O(partitions x k x dim) instead of O(N x dim) per iteration."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.plans import quantizer as Q
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_arrow_fit_bit_equal_to_portable(embs):
+    a = Q.fit_centroids(embs, iters=3)
+    b = Q.fit_centroids_arrow(embs, iters=3)
+    assert set(a) == set(b)
+    for cid in a:
+        assert a[cid] == b[cid], f"cid {cid} diverged"
+
+
+def test_arrow_fit_same_topk(spark, sf_dir, embs):
+    from pyspark.sql import functions as F
+
+    from bbc_news_etl_pipeline_spark.operators import similarity as S
+
+    qv = [
+        float(x)
+        for x in embs.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    cents = Q.fit_centroids_arrow(embs, iters=3)
+    got = S.ivf_kmeans_topk(embs, qv, cents, k=10, exclude_vec_id=0).toPandas()
+    want = S.ivf_kmeans_topk(
+        embs, qv, Q.fit_centroids(embs, iters=3), k=10, exclude_vec_id=0
+    ).toPandas()
+    assert got.equals(want)
+
+
+def test_arrow_iteration_partition_invariant(embs):
+    """Partial-sum order must not leak into the rounded means: a different
+    partitioning produces identical iteration output."""
+    cents = Q.fit_centroids_arrow(embs, iters=1)
+    cents_rep = Q.fit_centroids_arrow(embs.repartition(7), iters=1)
+    assert cents == cents_rep
