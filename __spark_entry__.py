@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_duplicate_clusters"] = lambda s, d: D.duplicate_clusters(
         _t(s, d, "documents"), threshold=0.8
     )
+    q["dedup_retained_corpus"] = lambda s, d: D.retained_corpus(
+        _t(s, d, "documents"), threshold=0.8
+    ).select("doc_id", "lang", "source", "n_chars")
     q["dedup_embedding_clusters"] = lambda s, d: D.duplicate_clusters(
         None,
         pairs=D.embedding_near_dup_pairs(_t(s, d, "embeddings"), threshold=0.45)
@@ -517,6 +520,31 @@ def oracle_sql() -> dict[str, str]:
         "  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
         "SELECT least(src, min(dst)) AS cluster_id, src AS doc_id "
         "FROM reach GROUP BY src"
+    )
+
+    # retained corpus: singletons + each cluster's canonical member (the
+    # non-canonical ids from the closure above are anti-joined away)
+    o["dedup_retained_corpus"] = (
+        f"WITH RECURSIVE sh AS ({_DDB_SHINGLES}), "
+        f"sig AS (SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id), "
+        f"bands AS ({bands_union}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+        "  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
+        "shared AS (SELECT c.doc_a, c.doc_b, count(*) AS sh_n FROM cand c "
+        "  JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g "
+        "  GROUP BY 1, 2), "
+        "pairs AS (SELECT doc_a, doc_b FROM shared "
+        "  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "  WHERE round(sh_n * 1.0 / (sa.n_sh + sb.n_sh - sh_n), 3) >= 0.8), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "  UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(src, dst) AS (SELECT src, dst FROM edges "
+        "  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), "
+        "losers AS (SELECT src AS doc_id FROM reach GROUP BY src "
+        "  HAVING least(src, min(dst)) <> src) "
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM losers)"
     )
 
     # embedding-cosine near-dup clusters: the same recursive-CTE closure

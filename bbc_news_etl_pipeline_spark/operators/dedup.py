@@ -338,6 +338,29 @@ def duplicate_clusters(
     return out
 
 
+def retained_corpus(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """The dedup pipeline's FINAL output: the corpus with near-duplicates
+    removed — singletons pass through, each near-dup cluster keeps exactly
+    its canonical (min doc_id) member. Set-at-a-time keep-first, the direct
+    analog of the reference's per-URL existence probe before enqueue
+    (/root/reference/src/clients/mongo/producer_repository.py:93-135).
+
+    One broadcast-able anti-join against the (tiny relative to the corpus)
+    non-canonical id set: at 100 TB the corpus streams map-side past the
+    duplicate list."""
+    if clusters is None:
+        clusters = duplicate_clusters(docs, threshold, num_hashes, band_size, n)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def simhash_bits(docs: DataFrame, bits: int = 16, hash_mode: str = "portable") -> DataFrame:
     """(doc_id, simhash) — SimHash over word frequencies: bit b of the
     seeded word hash votes +count/-count; sign of the tally sets bit b.
