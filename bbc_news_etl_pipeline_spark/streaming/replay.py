@@ -627,7 +627,12 @@ def apply_events(
             buckets[str(b)] = buckets.get(str(b), []) + entries
         else:
             buckets[str(b)] = entries
-    layered = mode == "mor" or bool(prev_manifest and prev_manifest.get("layered"))
+    # layered only when this epoch actually APPENDED a layer (an all-elided
+    # MOR epoch carries every bucket forward and must not tax readers with
+    # a winner reduce) or the base was already layered
+    layered = (mode == "mor" and bool(new_files)) or bool(
+        prev_manifest and prev_manifest.get("layered")
+    )
 
     prev_lo = prev_manifest.get("lsn_lo") if prev_manifest else None
     prev_hi = prev_manifest.get("lsn_hi") if prev_manifest else None

@@ -97,6 +97,24 @@ def test_mixed_epoch_writes_only_effective_buckets(spark, tmp_path, mode):
     assert engine_digest(spark, root) == engine_digest(spark, root_off)
 
 
+def test_all_elided_mor_epoch_does_not_mark_lake_layered(spark, tmp_path):
+    """A MOR epoch that appended NO layer (everything elided) must not flip
+    a read-optimized lake to layered — readers would pay a pointless winner
+    reduce until a flag-flip compact."""
+    events = _base_events()
+    d = str(tmp_path / "log")
+    gen.write_event_log(_with_redelivered_epoch(events), d)
+    root = str(tmp_path / "lake")
+    # epochs 0-1 in COW (non-layered base), redelivery epoch 2 in MOR
+    R.replay(spark, d, root, n_buckets=8, max_epochs=2)
+    lake = LakeTable(root, n_buckets=8)
+    assert lake.current_manifest()["layered"] is False
+    R.replay(spark, d, root, n_buckets=8, mode="mor", elide_noops=True)
+    m2 = lake.manifest(2)
+    assert m2["counts"]["bytes_written"] == 0
+    assert m2["layered"] is False, "no layer appended -> must stay read-optimized"
+
+
 def test_elide_on_canonical_stream_is_digest_invariant(spark, tmp_path):
     """The canonical generator stream (late events, ghosts, dup-free) must
     produce identical state with elision on — late lower-lsn events are the
