@@ -1,0 +1,99 @@
+"""spark-submit entry point: the training-data corpus pipeline — the
+batch surface for the dedup/text tier, the way jobs/replay.py is the
+surface for the CDC tier.
+
+Usage:
+    spark-submit --master local[32] jobs/corpus.py \
+        --docs /data/documents.parquet --out /data/corpus_out \
+        [--embeddings /data/embeddings.parquet] \
+        [--threshold 0.8] [--cosine-threshold 0.45] [--hash-mode fast]
+
+Writes under --out:
+    clusters/           (cluster_id, doc_id) near-dup components
+    retained/           the deduplicated corpus (keep-first canonical)
+    text_stats/         token counts + quality + language id per doc
+    embedding_clusters/ (cluster_id, vec_id) — only with --embeddings
+
+Prints ONE JSON line with row counts. `--hash-mode fast` switches the
+MinHash family to xxhash64 (the production-throughput mode; `portable`
+matches the DuckDB oracle bit-for-bit and is the default used by the
+correctness contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_package  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--embeddings", default=None)
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--cosine-threshold", type=float, default=0.45)
+    p.add_argument("--hash-mode", choices=["portable", "fast"], default="portable")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    spark = build_session(app_name="corpus-pipeline", master=args.master)
+    ship_engine_package(spark)
+    from pyspark.sql import functions as F
+
+    from bbc_news_etl_pipeline_spark.operators import dedup as D
+    from bbc_news_etl_pipeline_spark.operators import textstats as TS
+
+    docs = spark.read.parquet(args.docs)
+    out: dict = {"docs_in": docs.count()}
+
+    pairs = D.near_dup_pairs_lsh(docs, threshold=args.threshold)
+    clusters = D.duplicate_clusters(docs, pairs=pairs)
+    clusters.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
+    clusters = spark.read.parquet(os.path.join(args.out, "clusters"))
+    out["cluster_members"] = clusters.count()
+    out["clusters"] = clusters.select("cluster_id").distinct().count()
+
+    retained = D.retained_corpus(docs, clusters=clusters)
+    retained.write.mode("overwrite").parquet(os.path.join(args.out, "retained"))
+    out["docs_retained"] = spark.read.parquet(
+        os.path.join(args.out, "retained")
+    ).count()
+
+    stats = (
+        TS.token_stats(docs)
+        .join(TS.quality_score(docs).select("doc_id", "quality"), "doc_id")
+        .join(TS.lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(args.out, "text_stats"))
+    out["stats_rows"] = spark.read.parquet(
+        os.path.join(args.out, "text_stats")
+    ).count()
+
+    if args.embeddings:
+        embs = spark.read.parquet(args.embeddings)
+        epairs = D.embedding_near_dup_pairs(
+            embs, threshold=args.cosine_threshold
+        ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        eclusters = D.duplicate_clusters(None, pairs=epairs).select(
+            "cluster_id", F.col("doc_id").alias("vec_id")
+        )
+        eclusters.write.mode("overwrite").parquet(
+            os.path.join(args.out, "embedding_clusters")
+        )
+        out["embedding_cluster_members"] = spark.read.parquet(
+            os.path.join(args.out, "embedding_clusters")
+        ).count()
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
