@@ -39,6 +39,41 @@ def test_cycle_and_star(spark):
     assert got == {5: 5, 6: 5, 7: 5, 20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_random_graphs_match_union_find_oracle(spark):
+    """Property check: on seeded random edge lists, the distributed
+    min-label/pointer-jumping resolution must equal a plain union-find."""
+    import random
+
+    def union_find(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        nodes = list(range(rng.randint(20, 60)))
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(rng.randint(10, 80))
+            }
+        )
+        got = _clusters(spark, edges)
+        want = union_find(edges)
+        assert got == want, f"seed {seed}: {got} != {want}"
+
+
 def test_cluster_ids_match_exact_groups_convention(spark, sf_dir):
     """cluster_id is the component's min doc_id — the same keep-first
     canonical convention as exact_groups."""

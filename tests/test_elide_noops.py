@@ -128,6 +128,39 @@ def test_elide_on_canonical_stream_is_digest_invariant(spark, tmp_path):
     assert engine_digest(spark, on) == engine_digest(spark, off)
 
 
+def test_tail_with_elide_matches_batch_digest(spark, tmp_path):
+    """The streaming tailer with elision on must converge to the same state
+    as plain batch replay (the tail path runs exact validity, so the elide
+    probe composes with it rather than the narrow mirror)."""
+    from bbc_news_etl_pipeline_spark.streaming.tail import tail
+
+    d = str(tmp_path / "log")
+    gen.write_event_log(_with_redelivered_epoch(_base_events()), d)
+    off = str(tmp_path / "off")
+    R.replay(spark, d, off, n_buckets=8)
+
+    root = str(tmp_path / "lake")
+    res = tail(
+        spark, d, root, str(tmp_path / "ckpt"),
+        n_buckets=8, max_files_per_trigger=1, timeout_sec=300, mode="mor",
+        elide_noops=True,
+    )
+    assert res.events_applied == 2 * E
+    assert engine_digest(spark, root) == engine_digest(spark, off)
+    # the redelivered tail batches wrote nothing
+    lake = LakeTable(root, n_buckets=8)
+    tail_epochs = [
+        ep for ep in lake.committed_epochs()
+        if lake.manifest(ep)["counts"].get("mode") == "tail"
+    ]
+    elided_bytes = [
+        lake.manifest(ep)["counts"]["bytes_written"]
+        for ep in tail_epochs
+        if lake.manifest(ep)["counts"]["winners_elided"] > 0
+    ]
+    assert elided_bytes and min(elided_bytes) == 0
+
+
 def test_elide_interacts_with_narrow_redo(spark, tmp_path):
     """A mirror-divergent stream under elision must still redo in exact
     mode and commit the right state (the redo path re-runs the elide probe
