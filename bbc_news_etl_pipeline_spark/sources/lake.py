@@ -44,6 +44,19 @@ from ..util import with_backoff
 _MANIFEST_RE = re.compile(r"manifest-(\d{6})\.json$")
 
 
+def bucket_generations(entries: list[dict]) -> int:
+    """Distinct GENERATIONS in a bucket's manifest entry list — the true
+    merge-on-read layer count. File count is NOT a layer proxy: one COW
+    generation routinely spans two files (the contested rewrite and the
+    base-miss bypass write to the same bucket dir), and compaction/read
+    resolution must not mistake that for layering. Pre-generation entries
+    (no "layer" field) fall back to one-generation-per-file — the old,
+    conservative reading."""
+    if all("layer" in e for e in entries):
+        return len({e["layer"] for e in entries})
+    return len(entries)
+
+
 #: stage-1 salt fan-out of the read-side winner reduce (mirrors the write
 #: path's operators.merge.DEFAULT_SALT_BUCKETS)
 RESOLVE_SALT_BUCKETS = 16
@@ -388,7 +401,16 @@ class LakeTable:
         if manifest:
             for b, files in manifest["buckets"].items():
                 if buckets is None or int(b) in buckets:
-                    entries.extend(enumerate(files))
+                    # the layer ordinal is the entry's GENERATION (recorded
+                    # at write: COW/compact = 0, each MOR append = prev+1).
+                    # A generation may span several files (the COW writer's
+                    # contested + base-miss tasks both write the bucket dir)
+                    # whose key sets are disjoint, so the LWW tiebreak only
+                    # ever compares ACROSS generations. Fallback to the file
+                    # index for pre-generation manifests.
+                    entries.extend(
+                        (e.get("layer", i), e) for i, e in enumerate(files)
+                    )
         return self._read_files(spark, entries, target_version, with_layer=with_layer)
 
     def read_resolved(
@@ -415,7 +437,17 @@ class LakeTable:
             df = df.where(key_filter)
         if not layered:
             return df
-        n_layers = max((len(v) for v in manifest["buckets"].values()), default=1)
+        # packing shift sizes from the highest generation ORDINAL, which can
+        # exceed the per-bucket generation count after targeted compaction
+        # (a carried bucket keeps its original ordinals)
+        n_layers = 1 + max(
+            (
+                e.get("layer", i)
+                for v in manifest["buckets"].values()
+                for i, e in enumerate(v)
+            ),
+            default=0,
+        )
         return resolve_layers(
             df, n_layers, lsn_hi=manifest.get("lsn_hi"), hint_broadcast=hint_broadcast
         )
@@ -491,7 +523,7 @@ class LakeTable:
         m = self.current_manifest()
         if m is None or not m.get("layered"):
             return None
-        worst = max((len(e) for e in m["buckets"].values()), default=0)
+        worst = max((bucket_generations(e) for e in m["buckets"].values()), default=0)
         if worst <= max_layers:
             return None
         if locked:
@@ -507,12 +539,18 @@ class LakeTable:
     ) -> dict:
         ver = m["schema_version"]
         epoch = m["epoch"] + 1
-        # tombstone GC must visit single-layer buckets too; plain compaction
-        # rewrites ONLY multi-layer buckets and carries the rest forward
+        # tombstone GC must visit single-generation buckets too; plain
+        # compaction rewrites ONLY multi-GENERATION buckets (a COW
+        # generation spanning several files is already one row per key and
+        # carries forward untouched)
         target = (
             None
             if tombstone_horizon_lsn is not None
-            else sorted(int(b) for b, e in m["buckets"].items() if len(e) > 1)
+            else sorted(
+                int(b)
+                for b, e in m["buckets"].items()
+                if bucket_generations(e) > 1
+            )
         )
         buckets: dict[str, list[dict]] = {}
         if target is not None:
@@ -538,6 +576,7 @@ class LakeTable:
             for b, entries in new_files.items():
                 for e in entries:
                     e["schema_version"] = ver
+                    e["layer"] = 0  # compacted = one fresh generation
                 buckets[str(b)] = entries
         from datetime import datetime, timezone
 
@@ -546,7 +585,7 @@ class LakeTable:
             "epoch": epoch,
             "seq_lo": m["seq_hi"],
             "schema_version": ver,
-            "layered": any(len(e) > 1 for e in buckets.values()),
+            "layered": any(bucket_generations(e) > 1 for e in buckets.values()),
             "committed_at": datetime.now(timezone.utc).isoformat(),
             "counts": {
                 "mode": "compact",
@@ -701,6 +740,7 @@ class LakeTable:
             for b, entries in new_files.items():
                 for e in entries:
                     e["schema_version"] = ver
+                    e["layer"] = 0  # full rewrite = one fresh generation
                 buckets[str(b)] = entries
             from datetime import datetime, timezone
 

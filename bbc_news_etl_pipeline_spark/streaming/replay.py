@@ -621,8 +621,20 @@ def apply_events(
             if mode == "mor" or int(b) not in written:
                 buckets[b] = list(entries)
     for b, entries in new_files.items():
+        if mode == "mor":
+            # this epoch's files are ONE new generation appended over the
+            # bucket's existing ones (generation ordinal = the MOR layer;
+            # file count within a generation is layout, not layering)
+            prev_entries = buckets.get(str(b), [])
+            gen_ord = 1 + max(
+                (pe.get("layer", i) for i, pe in enumerate(prev_entries)),
+                default=-1,
+            )
+        else:
+            gen_ord = 0  # COW rewrite = the bucket's single fresh generation
         for e in entries:
             e["schema_version"] = ver
+            e["layer"] = gen_ord
         if mode == "mor":
             buckets[str(b)] = buckets.get(str(b), []) + entries
         else:

@@ -281,6 +281,62 @@ def test_targeted_compact_rewrites_only_layered_buckets(spark, tmp_path):
     assert engine_digest(spark, root) == before
 
 
+def test_targeted_compact_on_cow_history_counts_generations_not_files(
+    spark, tmp_path, stream_dir, cow_digest
+):
+    """A COW generation routinely spans TWO files per bucket (the contested
+    rewrite + the base-miss bypass write the same bucket dir), so file count
+    must not be mistaken for layering: after a COW-built base + one tiny MOR
+    epoch, targeted compaction must rewrite ONLY the MOR-touched buckets —
+    not degrade to a full-table rewrite."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    import pandas as pd
+
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)  # COW base, all buckets
+    lake = LakeTable(root, n_buckets=8)
+    m0 = lake.current_manifest()
+    assert any(len(e) > 1 for e in m0["buckets"].values()), (
+        "fixture premise: COW generations span multiple files"
+    )
+
+    # one tiny MOR epoch: 5 updates of one key -> one touched bucket
+    from .test_skew_quarantine_lww import _mk_events
+
+    hi = max(s["seq_hi"] for s in _json.load(
+        open(_os.path.join(stream_dir, "_segments.json"))))
+    ev = _mk_events([
+        {"lsn": 10_000_000 + i, "op": "update", "content": f"p{i}", "epoch": 0}
+        for i in range(5)
+    ])
+    ev["arrival_seq"] = ev["arrival_seq"] + hi + 1
+    d2 = str(tmp_path / "delta")
+    gen.write_event_log(ev, d2)
+    log2 = str(tmp_path / "mlog")
+    _shutil.copytree(stream_dir, log2)
+    seg = _json.load(open(_os.path.join(d2, "_segments.json")))[0]
+    _shutil.move(_os.path.join(d2, seg["file"]),
+                 _os.path.join(log2, "segment-00099.parquet"))
+    segs = _json.load(open(_os.path.join(log2, "_segments.json")))
+    segs.append({**seg, "file": "segment-00099.parquet"})
+    _json.dump(segs, open(_os.path.join(log2, "_segments.json"), "w"))
+
+    res = R.replay(spark, log2, root, n_buckets=8, mode="mor")
+    assert sum(e.n_buckets_touched for e in res.epochs if not e.skipped) == 1
+    before = engine_digest(spark, root)
+
+    cm = lake.compact(spark)
+    assert cm["counts"]["buckets_rewritten"] == 1, (
+        "file-count-as-layers would rewrite all 8 buckets here"
+    )
+    assert cm["counts"]["buckets_carried"] == 7
+    assert cm["layered"] is False
+    assert engine_digest(spark, root) == before
+
+
 def test_compact_flag_flip_when_no_bucket_layered(spark, tmp_path):
     """A 'layered' manifest whose buckets all hold one layer (MOR epochs on
     disjoint buckets) compacts with a metadata-only commit: zero data files
