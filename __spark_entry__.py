@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_cosine"] = lambda s, d: D.embedding_near_dup_pairs(
         _t(s, d, "embeddings"), threshold=0.45
     )
+    q["dedup_embedding_lsh_pairs"] = lambda s, d: D.embedding_near_dup_pairs_lsh(
+        _t(s, d, "embeddings"), threshold=0.45, n_planes=8, n_bands=4
+    )
     q["dedup_duplicate_clusters"] = lambda s, d: D.duplicate_clusters(
         _t(s, d, "documents"), threshold=0.8
     )
@@ -562,6 +565,38 @@ def oracle_sql() -> dict[str, str]:
         "  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
         "SELECT least(src, min(dst)) AS cluster_id, src AS vec_id "
         "FROM reach GROUP BY src"
+    )
+
+    # banded sign-bit LSH pairs + exact cosine verify: the oracle replicates
+    # the BANDING itself (4 bands x 2 planes, literals shared with
+    # similarity.rp_planes(8)), so both engines compute the identical
+    # candidate set — same contract as the minhash LSH oracle
+    def _rp_band_sql(col: str, band: int, band_size: int = 2) -> str:
+        import bbc_news_etl_pipeline_spark.operators.similarity as _S
+
+        planes = _S.rp_planes(8)[band * band_size : (band + 1) * band_size]
+        terms = []
+        for j, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN round(list_inner_product({col}, {lit}), 6) >= 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    _band_eq = " OR ".join(f"a.s{b} = b.s{b}" for b in range(4))
+    o["dedup_embedding_lsh_pairs"] = (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, "
+        "  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm, "
+        + ", ".join(
+            f"  {_rp_band_sql('CAST(embedding AS DOUBLE[])', b)} AS s{b}"
+            for b in range(4)
+        )
+        + " FROM embeddings) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine "
+        f"FROM v a JOIN v b ON a.vec_id < b.vec_id AND ({_band_eq}) "
+        "WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.45"
     )
 
     # ---- similarity ----

@@ -361,6 +361,97 @@ def retained_corpus(
     return docs.join(losers, "doc_id", "left_anti")
 
 
+def embedding_near_dup_pairs_lsh(
+    embs: DataFrame, threshold: float = 0.45, n_planes: int = 8, n_bands: int = 4
+) -> DataFrame:
+    """The SCALE path for embedding near-dup: banded sign-bit LSH candidates
+    -> exact cosine verify on candidates only. Same answer as
+    `embedding_near_dup_pairs` up to LSH recall (a pair is a candidate iff
+    the two vectors agree on >=1 band of random-hyperplane sign bits — the
+    cosine analog of `near_dup_pairs_lsh`'s minhash banding).
+
+    Why this exists next to the triangle-blocked all-pairs: that operator
+    replicates every vector B times and scores N^2/2 dot products — correct
+    and distributed, but quadratic work by construction (its docstring says
+    to block first). Here work is sub-quadratic end to end:
+
+    1. Band signatures are PURE MAP-SIDE columns (2 codegen'd dot products
+       per band against literal planes — `similarity.rp_signature_col`), so
+       the banded frame needs no persist: recomputing it for both join
+       sides is two map-only scans, cheaper at corpus scale than caching a
+       shuffle output. A corpus MATERIALIZED with its band sigs gets
+       row-group pruning on them.
+    2. Candidates come from a slim (vec_id, band, bsig) self-equi-join —
+       the identical shuffle shape as minhash LSH banding; pair volume
+       tracks the collision rate, not N^2.
+    3. The verify pass re-reads vectors ONLY for candidate ids (broadcast
+       semi-join prune before the equi-joins), exact float64 cosine with
+       6-digit rounding so the DuckDB oracle agrees bit-for-bit.
+
+    Recall at threshold t: per-plane collision is 1 - acos(t)/pi (Charikar,
+    STOC 2002); with 4 bands of 2 planes that is ~0.89 at t=0.45 and rises
+    toward 1 for nearer pairs — the knob is (n_planes, n_bands), same
+    trade as the minhash path's (num_hashes, band_size)."""
+    from .similarity import _as_double, _dot, _norm, rp_planes, rp_signature_col
+
+    if n_planes % n_bands:
+        raise ValueError("n_planes must be divisible by n_bands")
+    bs = n_planes // n_bands
+    planes = rp_planes(n_planes)
+    v = _as_double(F.col("embedding"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                rp_signature_col(v, planes[b * bs : (b + 1) * bs]).alias("bsig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = embs.select("vec_id", F.explode(bands).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+        # tiny by construction (collision-rate-bounded); materialize once so
+        # the id prune and the verify join don't replay the banding join
+        .localCheckpoint(eager=True)
+    )
+    cand_ids = (
+        cand.select(F.col("vec_a").alias("vec_id"))
+        .union(cand.select(F.col("vec_b").alias("vec_id")))
+        .distinct()
+    )
+    side = embs.join(F.broadcast(cand_ids), "vec_id", "left_semi").select(
+        "vec_id", v.alias("e"), _norm(v).alias("nrm")
+    )
+    ea = side.alias("ea")
+    eb = side.alias("eb")
+    return (
+        cand.join(ea, F.col("vec_a") == F.col("ea.vec_id"))
+        .join(eb, F.col("vec_b") == F.col("eb.vec_id"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("ea.e"), F.col("eb.e"))
+                / (F.col("ea.nrm") * F.col("eb.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def simhash_bits(docs: DataFrame, bits: int = 16, hash_mode: str = "portable") -> DataFrame:
     """(doc_id, simhash) — SimHash over word frequencies: bit b of the
     seeded word hash votes +count/-count; sign of the tally sets bit b.

@@ -352,6 +352,101 @@ class LakeTable:
                 os.rmdir(bdir)
         return {"manifests_dropped": len(drop), "files_deleted": n_deleted}
 
+    def vacuum_orphans(self, grace_seconds: float = 3600.0) -> dict:
+        """Iceberg's `remove_orphan_files` analog: reclaim files no retained
+        manifest references and that never became visible — crashed-write
+        debris `expire_snapshots` cannot see (it only walks manifests).
+        Sources of orphans by design (module docstring: "a crash between
+        sidecar write and rename leaves invisible orphans only"):
+
+        - data files of an epoch whose writer died before the manifest
+          rename (the retry re-plans the same epoch but Spark part- file
+          names differ run to run, so the first attempt's files linger);
+        - Spark `_temporary` task-attempt dirs from a killed job;
+        - sidecar dirs (_lineage/_metrics/_quarantine/_checkpoint) of
+          never-committed epochs.
+
+        Safety: a file is deleted only if (a) it is not referenced by ANY
+        committed manifest — time travel over every retained snapshot stays
+        intact — and (b) its mtime is older than `grace_seconds`, so a LIVE
+        writer's in-flight epoch (written before its commit point, possibly
+        under a future epoch number) is never swept. Run it with the writer
+        lease held or a grace comfortably above one epoch's wall time —
+        same contract as Iceberg's `older_than` guard. At 100 TB this walk
+        is pure namespace metadata (no data reads) and per-epoch-dir
+        parallelizable; orphan volume tracks crash frequency, not table
+        size."""
+        import shutil
+        import time as _time
+
+        referenced: set[str] = set()
+        committed = set(self.committed_epochs())
+        for ep in committed:
+            for entries in self.manifest(ep)["buckets"].values():
+                referenced.update(e["path"] for e in entries)
+        cutoff = _time.time() - grace_seconds
+
+        def _old(path: str) -> bool:
+            try:
+                return os.lstat(path).st_mtime < cutoff
+            except FileNotFoundError:
+                return False
+
+        n_files, n_dirs, n_kept_grace = 0, 0, 0
+        for edir in sorted(glob.glob(os.path.join(self.root, "data", "e*"))):
+            m = re.match(r"e(\d{6})$", os.path.basename(edir))
+            if not m:
+                continue
+            ep = int(m.group(1))
+            # whole epoch dir is orphaned when no manifest references ANY of
+            # its files: either the epoch never committed, or compaction/
+            # rebucket superseded it and expire_snapshots emptied it
+            dir_refs = any(
+                r.startswith(f"data/e{ep:06d}/") for r in referenced
+            )
+            for tdir in glob.glob(os.path.join(edir, "_temporary")):
+                if _old(tdir):
+                    shutil.rmtree(tdir, ignore_errors=True)
+                    n_dirs += 1
+                else:
+                    n_kept_grace += 1
+            for fp in glob.glob(os.path.join(edir, "bucket_p=*", "*")):
+                rel = os.path.relpath(fp, self.root)
+                if rel in referenced or os.path.isdir(fp):
+                    continue
+                if _old(fp):
+                    os.unlink(fp)
+                    n_files += 1
+                else:
+                    n_kept_grace += 1
+            for bdir in glob.glob(os.path.join(edir, "bucket_p=*")):
+                if not os.listdir(bdir):
+                    os.rmdir(bdir)
+            if not dir_refs and _old(edir):
+                # only marker/empty content can remain at this point
+                leftovers = [
+                    p for p in glob.glob(os.path.join(edir, "*"))
+                    if os.path.basename(p) != "_SUCCESS"
+                ]
+                if not leftovers:
+                    shutil.rmtree(edir, ignore_errors=True)
+                    n_dirs += 1
+        for side in ("_lineage", "_metrics", "_quarantine", "_checkpoint"):
+            for sdir in glob.glob(os.path.join(self.root, side, "e*")):
+                m = re.match(r"e(\d{6})$", os.path.basename(sdir))
+                if not m or int(m.group(1)) in committed:
+                    continue
+                if _old(sdir):
+                    shutil.rmtree(sdir, ignore_errors=True)
+                    n_dirs += 1
+                else:
+                    n_kept_grace += 1
+        return {
+            "files_deleted": n_files,
+            "dirs_deleted": n_dirs,
+            "kept_in_grace": n_kept_grace,
+        }
+
     # ---------- reads ----------
     def _read_files(
         self,

@@ -4,10 +4,11 @@ operational surface).
 Usage:
     spark-submit --master local[32] jobs/maintain.py --lake-root /tmp/lake \
         [--compact] [--tombstone-horizon-lsn N] \
-        [--expire-keep-last K] [--rebucket N]
+        [--expire-keep-last K] [--rebucket N] [--vacuum-orphans-grace SEC]
 
-Order when combined: compact -> rebucket -> expire (compaction first so
-expiration can reclaim superseded layers; rebucket on the compacted state).
+Order when combined: compact -> rebucket -> expire -> vacuum (compaction
+first so expiration can reclaim superseded layers; rebucket on the compacted
+state; orphan vacuum last so it sees the post-expire reference set).
 Prints one JSON line describing what ran.
 """
 
@@ -31,6 +32,9 @@ def main() -> None:
     p.add_argument("--tombstone-horizon-lsn", type=int, default=None)
     p.add_argument("--expire-keep-last", type=int, default=None)
     p.add_argument("--rebucket", type=int, default=None)
+    p.add_argument("--vacuum-orphans-grace", type=float, default=None,
+                   help="reclaim crashed-write files older than this many "
+                        "seconds that no retained manifest references")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -46,6 +50,10 @@ def main() -> None:
         out["rebucketed_to"] = rm["n_buckets"]
     if args.expire_keep_last is not None:
         out["expired"] = lake.expire_snapshots(keep_last=args.expire_keep_last)
+    if args.vacuum_orphans_grace is not None:
+        out["vacuumed"] = lake.vacuum_orphans(
+            grace_seconds=args.vacuum_orphans_grace
+        )
     print(json.dumps(out))
     spark.stop()
 

@@ -1,0 +1,45 @@
+"""Banded sign-bit LSH embedding near-dup: candidates verified exactly, so
+the output is a SUBSET of the exact all-pairs result with identical cosines
+— LSH only changes recall, never precision or values."""
+
+from __future__ import annotations
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.operators import dedup as D
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _pairs(df):
+    return {(r.vec_a, r.vec_b): r.cosine for r in df.collect()}
+
+
+def test_lsh_pairs_are_a_verified_subset_of_exact(spark, embs):
+    exact = _pairs(D.embedding_near_dup_pairs(embs, threshold=0.45))
+    lsh = _pairs(D.embedding_near_dup_pairs_lsh(embs, threshold=0.45))
+    assert set(lsh) <= set(exact), "LSH emitted a pair the exact op did not"
+    for k, cos in lsh.items():
+        assert cos == exact[k], f"cosine mismatch on {k}"
+    for (a, b), cos in lsh.items():
+        assert a < b and cos >= 0.45
+
+
+def test_more_bands_raise_recall(spark, embs):
+    """8 bands of 1 plane collide far more often than 4 bands of 2 —
+    the standard LSH recall dial must move in the right direction."""
+    lo = _pairs(D.embedding_near_dup_pairs_lsh(embs, n_planes=8, n_bands=4))
+    hi = _pairs(D.embedding_near_dup_pairs_lsh(embs, n_planes=8, n_bands=8))
+    exact = _pairs(D.embedding_near_dup_pairs(embs, threshold=0.45))
+    assert set(lo) <= set(hi) <= set(exact)
+    assert len(hi) >= len(lo)
+
+
+def test_indivisible_bands_rejected(embs):
+    with pytest.raises(ValueError):
+        D.embedding_near_dup_pairs_lsh(embs, n_planes=8, n_bands=3)

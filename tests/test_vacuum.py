@@ -1,0 +1,133 @@
+"""Orphan-file vacuum (Iceberg `remove_orphan_files` analog): crashed-write
+debris is reclaimed, everything any retained manifest references survives,
+and the grace window protects an in-flight writer's files."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest
+
+OLD = 10_000.0  # seconds to backdate planted orphans past any grace
+
+
+def _backdate(path: str) -> None:
+    t = os.lstat(path).st_mtime - OLD
+    os.utime(path, (t, t))
+
+
+def _plant_orphans(root: str, committed_epoch: int) -> list[str]:
+    """Simulate the three crash shapes the vacuum exists for; returns the
+    planted paths (all backdated past the grace used in the tests)."""
+    planted = []
+    # (a) a pre-crash attempt's part file inside a COMMITTED epoch dir that
+    # the retry's manifest never referenced (part- names differ per run)
+    bdir = os.path.join(root, "data", f"e{committed_epoch:06d}", "bucket_p=0")
+    os.makedirs(bdir, exist_ok=True)
+    orphan_part = os.path.join(bdir, "part-orphan-attempt0.snappy.parquet")
+    with open(orphan_part, "wb") as f:
+        f.write(b"not-a-real-parquet")
+    planted.append(orphan_part)
+    # (b) a Spark _temporary task-attempt dir from a killed job
+    tdir = os.path.join(root, "data", f"e{committed_epoch:06d}", "_temporary", "0")
+    os.makedirs(tdir, exist_ok=True)
+    tfile = os.path.join(tdir, "task-attempt.parquet")
+    with open(tfile, "wb") as f:
+        f.write(b"attempt")
+    planted.append(os.path.dirname(tdir))
+    # (c) a whole epoch whose writer died before the manifest rename,
+    # plus its sidecar dir
+    dead = os.path.join(root, "data", "e000099", "bucket_p=3")
+    os.makedirs(dead, exist_ok=True)
+    deadf = os.path.join(dead, "part-dead.snappy.parquet")
+    with open(deadf, "wb") as f:
+        f.write(b"dead-epoch")
+    planted.append(deadf)
+    sdir = os.path.join(root, "_lineage", "e000099")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "part-dead.parquet"), "wb") as f:
+        f.write(b"dead-lineage")
+    planted.append(sdir)
+    for p in planted:
+        _backdate(p)
+    _backdate(os.path.join(root, "data", "e000099"))
+    return planted
+
+
+def _referenced_files(lake: LakeTable) -> set[str]:
+    refs: set[str] = set()
+    for ep in lake.committed_epochs():
+        for entries in lake.manifest(ep)["buckets"].values():
+            refs.update(e["path"] for e in entries)
+    return refs
+
+
+def test_vacuum_reclaims_orphans_and_keeps_every_referenced_file(
+    spark, tmp_path
+):
+    stream = str(tmp_path / "stream")
+    gen.build_stream(2_000, 2, stream)
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    digest = engine_digest(spark, root)
+    refs_before = _referenced_files(lake)
+    last_epoch = lake.committed_epochs()[-1]
+
+    planted = _plant_orphans(root, last_epoch)
+
+    # grace window: a HUGE grace treats the planted files as in-flight
+    res = lake.vacuum_orphans(grace_seconds=OLD * 10)
+    assert res["files_deleted"] == 0 and res["dirs_deleted"] == 0
+    assert res["kept_in_grace"] > 0
+    assert all(os.path.exists(p) for p in planted)
+
+    # past the grace: every planted orphan goes, nothing referenced does
+    res = lake.vacuum_orphans(grace_seconds=60.0)
+    assert res["files_deleted"] >= 2  # (a) + (c)'s part files
+    assert res["dirs_deleted"] >= 2  # _temporary + the dead sidecar dir
+    assert not any(os.path.exists(p) for p in planted)
+    for rel in refs_before:
+        assert os.path.exists(os.path.join(root, rel)), rel
+    assert _referenced_files(lake) == refs_before
+    assert engine_digest(spark, root) == digest
+
+    # idempotent: a second pass finds nothing
+    res = lake.vacuum_orphans(grace_seconds=60.0)
+    assert res["files_deleted"] == 0
+
+
+def test_vacuum_spares_time_travel_and_cleans_expired_epoch_dirs(
+    spark, tmp_path
+):
+    """Every RETAINED snapshot's files survive (time travel intact); after
+    expire_snapshots empties a superseded epoch dir, vacuum removes the
+    leftover dir skeleton but no data."""
+    stream = str(tmp_path / "stream")
+    gen.build_stream(2_000, 3, stream)
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    digest = engine_digest(spark, root)
+
+    # all snapshots retained: vacuum with zero grace must delete NOTHING
+    # (every file is referenced by some manifest)
+    res = lake.vacuum_orphans(grace_seconds=-1.0)
+    assert res["files_deleted"] == 0
+    assert engine_digest(spark, root) == digest
+
+    lake.expire_snapshots(keep_last=1)
+    # backdate surviving epoch dirs so emptied skeletons age past the grace
+    for edir in glob.glob(os.path.join(root, "data", "e*")):
+        _backdate(edir)
+    res = lake.vacuum_orphans(grace_seconds=60.0)
+    assert res["files_deleted"] == 0  # expire already took the data files
+    assert engine_digest(spark, root) == digest
+    # the current snapshot still reads; its files are all present
+    for rel in _referenced_files(lake):
+        assert os.path.exists(os.path.join(root, rel))
