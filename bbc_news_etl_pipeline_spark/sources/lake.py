@@ -447,6 +447,34 @@ class LakeTable:
             "kept_in_grace": n_kept_grace,
         }
 
+    def read_documents(
+        self,
+        spark: SparkSession,
+        target_version: int | None = None,
+        epoch: int | None = None,
+    ) -> DataFrame:
+        """The lake's live state in the training-data tier's `documents`
+        shape: (doc_id, text, repo, path, lang) — the bridge that lets
+        `jobs/corpus.py` (dedup ladder -> clusters -> retained corpus ->
+        text stats) run DIRECTLY over a CDC-ingested lake instead of a
+        pre-exported parquet: tail the change log, then cut training
+        corpora from any snapshot (`epoch` = time travel, so a corpus cut
+        is reproducible against a pinned snapshot while ingest continues).
+
+        doc_id = xxhash64(repo, path): deterministic, computed map-side,
+        and stable across epochs for the same key — cluster ids and
+        keep-first canonical selection stay comparable between corpus cuts.
+        Rows with NULL content (metadata-only events) are excluded; deleted
+        keys already are (read_state is live-rows-only)."""
+        st = self.read_state(spark, target_version, epoch)
+        return st.where(F.col("content").isNotNull()).select(
+            F.xxhash64("repo", "path").alias("doc_id"),
+            F.col("content").alias("text"),
+            "repo",
+            "path",
+            "lang",
+        )
+
     # ---------- reads ----------
     def _read_files(
         self,

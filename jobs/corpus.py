@@ -6,7 +6,13 @@ Usage:
     spark-submit --master local[32] jobs/corpus.py \
         --docs /data/documents.parquet --out /data/corpus_out \
         [--embeddings /data/embeddings.parquet] \
-        [--threshold 0.8] [--cosine-threshold 0.45] [--hash-mode fast]
+        [--threshold 0.8] [--cosine-threshold 0.45] [--hash-mode fast] \
+        [--embedding-pairs exact|lsh]
+
+    # or cut the corpus DIRECTLY from a CDC-ingested lake (time-travel
+    # with --lake-epoch for a reproducible cut against a pinned snapshot):
+    spark-submit jobs/corpus.py --lake /data/lake --out /data/corpus_out \
+        [--lake-epoch N]
 
 Writes under --out:
     clusters/           (cluster_id, doc_id) near-dup components
@@ -17,7 +23,9 @@ Writes under --out:
 Prints ONE JSON line with row counts. `--hash-mode fast` switches the
 MinHash family to xxhash64 (the production-throughput mode; `portable`
 matches the DuckDB oracle bit-for-bit and is the default used by the
-correctness contract).
+correctness contract). `--embedding-pairs lsh` routes embedding near-dup
+through the banded sign-bit LSH scale path (sub-quadratic; exact-verified
+candidates) instead of the all-pairs blocked matmul.
 """
 
 from __future__ import annotations
@@ -34,12 +42,18 @@ from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_packa
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--docs", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--docs", default=None)
+    src.add_argument("--lake", default=None,
+                     help="cut the corpus from a CDC lake's live state")
+    p.add_argument("--lake-epoch", type=int, default=None,
+                   help="time-travel snapshot to cut from (default: current)")
     p.add_argument("--out", required=True)
     p.add_argument("--embeddings", default=None)
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--cosine-threshold", type=float, default=0.45)
     p.add_argument("--hash-mode", choices=["portable", "fast"], default="portable")
+    p.add_argument("--embedding-pairs", choices=["exact", "lsh"], default="exact")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -50,7 +64,12 @@ def main() -> None:
     from bbc_news_etl_pipeline_spark.operators import dedup as D
     from bbc_news_etl_pipeline_spark.operators import textstats as TS
 
-    docs = spark.read.parquet(args.docs)
+    if args.lake:
+        from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+
+        docs = LakeTable(args.lake).read_documents(spark, epoch=args.lake_epoch)
+    else:
+        docs = spark.read.parquet(args.docs)
     out: dict = {"docs_in": docs.count()}
 
     pairs = D.near_dup_pairs_lsh(docs, threshold=args.threshold)
@@ -78,9 +97,14 @@ def main() -> None:
 
     if args.embeddings:
         embs = spark.read.parquet(args.embeddings)
-        epairs = D.embedding_near_dup_pairs(
-            embs, threshold=args.cosine_threshold
-        ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        pair_fn = (
+            D.embedding_near_dup_pairs_lsh
+            if args.embedding_pairs == "lsh"
+            else D.embedding_near_dup_pairs
+        )
+        epairs = pair_fn(embs, threshold=args.cosine_threshold).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
         eclusters = D.duplicate_clusters(None, pairs=epairs).select(
             "cluster_id", F.col("doc_id").alias("vec_id")
         )

@@ -1,0 +1,68 @@
+"""`LakeTable.read_documents`: the CDC-lake -> training-corpus bridge.
+The live state must surface in the documents shape with stable ids, and a
+time-travel cut must equal the state the pinned snapshot had."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.operators import dedup as D
+from bbc_news_etl_pipeline_spark.operators import textstats as TS
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+
+def test_read_documents_bridges_lake_to_corpus_tier(spark, tmp_path):
+    stream = str(tmp_path / "stream")
+    gen.build_stream(3_000, 3, stream)
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+
+    docs = lake.read_documents(spark)
+    state = lake.read_state(spark)
+    expected = state.where(F.col("content").isNotNull()).count()
+
+    assert set(docs.columns) == {"doc_id", "text", "repo", "path", "lang"}
+    assert docs.count() == expected
+    # one doc per live (repo, path): xxhash64 ids are distinct here
+    assert docs.select("doc_id").distinct().count() == expected
+    assert docs.where(F.col("text").isNull()).count() == 0
+
+    # doc_id is a pure function of the key — recomputing matches exactly
+    recomputed = state.where(F.col("content").isNotNull()).select(
+        F.xxhash64("repo", "path").alias("doc_id")
+    )
+    assert (
+        docs.select("doc_id")
+        .exceptAll(recomputed)
+        .count()
+        == 0
+    )
+
+    # the corpus tier composes directly over the bridge
+    retained = D.retained_corpus(docs, threshold=0.8)
+    assert 0 < retained.count() <= docs.count()
+    stats = TS.token_stats(docs)
+    assert stats.count() == docs.count()
+    assert stats.where(F.col("n_ws_tokens") <= 0).count() == 0
+
+
+def test_read_documents_time_travel_pins_the_snapshot(spark, tmp_path):
+    stream = str(tmp_path / "stream")
+    gen.build_stream(3_000, 3, stream)
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream, root, n_buckets=8, max_epochs=2)
+    lake = LakeTable(root, n_buckets=8)
+    pinned_epoch = lake.committed_epochs()[-1]
+    pinned_ids = {
+        r.doc_id for r in lake.read_documents(spark).select("doc_id").collect()
+    }
+
+    # ingest continues; the pinned cut must not move
+    R.replay(spark, stream, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    assert lake.committed_epochs()[-1] > pinned_epoch
+    then = lake.read_documents(spark, epoch=pinned_epoch)
+    assert {r.doc_id for r in then.select("doc_id").collect()} == pinned_ids
