@@ -361,6 +361,49 @@ def retained_corpus(
     return docs.join(losers, "doc_id", "left_anti")
 
 
+def embedding_lsh_candidates(
+    embs: DataFrame, n_planes: int = 8, n_bands: int = 4
+) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs that collide on >=1 band of
+    random-hyperplane sign bits. Band signatures are pure map-side columns
+    (codegen'd dot products against literal planes), so the only shuffle is
+    the slim (vec_id, band, bsig) self-equi-join — the same shape as
+    `near_dup_pairs_lsh`'s minhash banding. Split out from
+    `embedding_near_dup_pairs_lsh` so the plan test can pin the join shape
+    before the op materializes the (tiny) candidate set."""
+    from .similarity import _as_double, rp_planes, rp_signature_col
+
+    if n_planes % n_bands:
+        raise ValueError("n_planes must be divisible by n_bands")
+    bs = n_planes // n_bands
+    planes = rp_planes(n_planes)
+    v = _as_double(F.col("embedding"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                rp_signature_col(v, planes[b * bs : (b + 1) * bs]).alias("bsig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = embs.select("vec_id", F.explode(bands).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs_lsh(
     embs: DataFrame, threshold: float = 0.45, n_planes: int = 8, n_bands: int = 4
 ) -> DataFrame:
@@ -392,36 +435,11 @@ def embedding_near_dup_pairs_lsh(
     STOC 2002); with 4 bands of 2 planes that is ~0.89 at t=0.45 and rises
     toward 1 for nearer pairs — the knob is (n_planes, n_bands), same
     trade as the minhash path's (num_hashes, band_size)."""
-    from .similarity import _as_double, _dot, _norm, rp_planes, rp_signature_col
+    from .similarity import _as_double, _dot, _norm
 
-    if n_planes % n_bands:
-        raise ValueError("n_planes must be divisible by n_bands")
-    bs = n_planes // n_bands
-    planes = rp_planes(n_planes)
     v = _as_double(F.col("embedding"))
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                rp_signature_col(v, planes[b * bs : (b + 1) * bs]).alias("bsig"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = embs.select("vec_id", F.explode(bands).alias("bk")).select(
-        "vec_id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig")
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
+        embedding_lsh_candidates(embs, n_planes, n_bands)
         # tiny by construction (collision-rate-bounded); materialize once so
         # the id prune and the verify join don't replay the banding join
         .localCheckpoint(eager=True)

@@ -100,6 +100,37 @@ def test_ivf_kmeans_filter_is_map_side(spark, qs):
     assert _n_nodes(plan, "Filter") == 1
 
 
+def test_embedding_lsh_candidates_are_an_equi_join(spark):
+    """The banded sign-bit candidate join must plan as a hash equi-join on
+    (band, bsig) with the id ordering as a residual condition — never a
+    nested-loop/cartesian — and the banding scan must prune to
+    (vec_id, embedding). This is the property that makes the op
+    sub-quadratic: pair volume tracks band collisions, not N^2."""
+    from bbc_news_etl_pipeline_spark.operators import dedup as D
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(spark, D.embedding_lsh_candidates(embs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # equi keys reach the join (band + bsig on both sides)
+    assert "Left keys [2]" in plan and "Right keys [2]" in plan
+    assert "Join condition: (vec_id" in plan, "id ordering should be residual"
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "label" not in ln, "banding must not read unused columns"
+
+
+def test_embedding_lsh_verify_prunes_with_broadcast_semi(spark, qs):
+    """After candidate materialization, the exact-cosine verify re-reads
+    vectors only for candidate ids: a broadcast LeftSemi prune ahead of the
+    two equi-joins, no shuffle of the full corpus."""
+    plan = _plan(spark, qs["dedup_embedding_lsh_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert _n_nodes(plan, "BroadcastHashJoin") >= 3, "semi prune + 2 id joins"
+
+
 def test_minhash_partial_aggregation(spark, qs):
     plan = _plan(spark, qs["dedup_minhash_signatures"](spark, SF))
     # two-phase hash agg: partial before the doc_id exchange, final after
