@@ -352,6 +352,70 @@ class LakeTable:
                 os.rmdir(bdir)
         return {"manifests_dropped": len(drop), "files_deleted": n_deleted}
 
+    def rollback(self, to_epoch: int) -> dict:
+        """Iceberg-parity `rollback_to_snapshot`: make a RETAINED historical
+        snapshot current again by committing a NEW manifest that references
+        exactly the target's files — metadata only, zero data movement, so
+        it costs the same at 100 TB as at 100 MB. The bad epochs are
+        DISCARDED from the lineage (no longer reachable by walking current
+        backward) but their snapshots stay time-travelable until
+        `expire_snapshots` reclaims them; the operational undo for a bad
+        ingest batch, schema mishap, or poisoned redrive — the set-at-a-time
+        analog of the reference re-scraping a date it had marked done
+        (/root/reference/docs/components/producer.md:17-23).
+
+        Resume semantics come for free: `resume_point()` reads the CURRENT
+        manifest, so after rollback the replay/tail loop re-reads the source
+        window (seq > target.seq_hi] and re-applies it under LWW — the lake
+        reconverges to the pre-rollback digest if the source was fine, or to
+        the corrected state if the bad events were quarantined/fixed in
+        between. Exactly-once fencing is untouched: re-applied work gets
+        fresh epoch numbers above the rollback snapshot.
+
+        Only retained snapshots are valid targets (like Iceberg, you cannot
+        roll back past expiration — `manifest()` raises). `n_buckets` is
+        restored from the target, so rolling back across a `rebucket()`
+        re-activates the old layout for subsequent merges."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError("cannot roll back an empty lake")
+        if to_epoch >= m["epoch"]:
+            if to_epoch == m["epoch"]:
+                return m  # no-op: already current
+            raise ValueError(
+                f"rollback target {to_epoch} is ahead of current {m['epoch']}"
+            )
+        target = self.manifest(to_epoch)  # raises if expired/never committed
+        lease = self.acquire_writer_lease("rollback")
+        try:
+            m = self.current_manifest()  # re-read under the lease
+            from datetime import datetime, timezone
+
+            manifest = {
+                "epoch": m["epoch"] + 1,
+                # this snapshot applies nothing: an empty range at the
+                # target's high-water mark, so resume re-reads from there
+                "seq_lo": target["seq_hi"],
+                "seq_hi": target["seq_hi"],
+                "lsn_lo": target.get("lsn_lo"),
+                "lsn_hi": target.get("lsn_hi"),
+                "schema_version": target["schema_version"],
+                "n_buckets": int(target.get("n_buckets", self.n_buckets)),
+                "layered": bool(target.get("layered", False)),
+                "committed_at": datetime.now(timezone.utc).isoformat(),
+                "counts": {
+                    "mode": "rollback",
+                    "rolled_back_to": to_epoch,
+                    "discarded_epochs": list(range(to_epoch + 1, m["epoch"] + 1)),
+                },
+                "buckets": target["buckets"],
+            }
+            self.commit(manifest)
+            self.n_buckets = manifest["n_buckets"]
+            return manifest
+        finally:
+            self.release_writer_lease(lease)
+
     def vacuum_orphans(self, grace_seconds: float = 3600.0) -> dict:
         """Iceberg's `remove_orphan_files` analog: reclaim files no retained
         manifest references and that never became visible — crashed-write

@@ -3,12 +3,14 @@ operational surface).
 
 Usage:
     spark-submit --master local[32] jobs/maintain.py --lake-root /tmp/lake \
-        [--compact] [--tombstone-horizon-lsn N] \
+        [--rollback-to E] [--compact] [--tombstone-horizon-lsn N] \
         [--expire-keep-last K] [--rebucket N] [--vacuum-orphans-grace SEC]
 
-Order when combined: compact -> rebucket -> expire -> vacuum (compaction
-first so expiration can reclaim superseded layers; rebucket on the compacted
-state; orphan vacuum last so it sees the post-expire reference set).
+Order when combined: rollback -> compact -> rebucket -> expire -> vacuum
+(rollback first so maintenance operates on the restored state; compaction
+before expiration so it can reclaim superseded layers; rebucket on the
+compacted state; orphan vacuum last so it sees the post-expire reference
+set).
 Prints one JSON line describing what ran.
 """
 
@@ -28,6 +30,9 @@ from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--lake-root", required=True)
+    p.add_argument("--rollback-to", type=int, default=None,
+                   help="make retained snapshot E current again "
+                        "(metadata-only; replay resumes from E's offsets)")
     p.add_argument("--compact", action="store_true")
     p.add_argument("--tombstone-horizon-lsn", type=int, default=None)
     p.add_argument("--expire-keep-last", type=int, default=None)
@@ -42,6 +47,12 @@ def main() -> None:
     ship_engine_package(spark)
     lake = LakeTable(args.lake_root)
     out: dict = {"lake": args.lake_root, "n_buckets": lake.n_buckets}
+    if args.rollback_to is not None:
+        rb = lake.rollback(args.rollback_to)
+        out["rolled_back"] = {
+            "epoch": rb["epoch"],
+            "to": rb["counts"].get("rolled_back_to", args.rollback_to),
+        }
     if args.compact:
         cm = lake.compact(spark, tombstone_horizon_lsn=args.tombstone_horizon_lsn)
         out["compacted"] = cm["epoch"] if cm else None

@@ -1,0 +1,112 @@
+"""Iceberg-parity rollback: a retained snapshot becomes current again via a
+METADATA-ONLY commit; the replay loop then self-heals to head because
+`resume_point()` reads the current manifest; expiration keeps every file the
+rollback snapshot references."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest, engine_live_pdf
+
+E = 4_000
+N_EPOCHS = 4
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("rb_stream")
+    gen.build_stream(E, N_EPOCHS, str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def head_digest(spark, stream_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("rb_straight") / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    return engine_digest(spark, root)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_rollback_restores_state_and_replay_self_heals(
+    spark, stream_dir, head_digest, tmp_path, mode
+):
+    root = str(tmp_path / f"lake_{mode}")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode=mode)
+    lake = LakeTable(root, n_buckets=8)
+    assert engine_digest(spark, root) == head_digest
+    at_1 = engine_live_pdf(spark, root, epoch=1)
+    m1 = lake.manifest(1)
+
+    rb = lake.rollback(1)
+    assert rb["counts"] == {
+        "mode": "rollback",
+        "rolled_back_to": 1,
+        "discarded_epochs": [2, 3],
+    }
+    assert rb["epoch"] == N_EPOCHS  # a NEW snapshot, history preserved
+    assert lake.committed_epochs() == list(range(N_EPOCHS + 1))
+    # metadata only: the rollback epoch wrote no data files
+    assert not os.path.isdir(lake.epoch_data_dir(rb["epoch"]))
+    # current state IS the target snapshot's state
+    assert engine_live_pdf(spark, root).equals(at_1)
+    # resume re-reads the source from the target's high-water mark
+    assert lake.resume_point() == (
+        rb["epoch"] + 1,
+        m1["seq_hi"],
+        m1["schema_version"],
+    )
+    # time travel into a discarded epoch still works until expiration
+    assert len(engine_live_pdf(spark, root, epoch=3)) > 0
+
+    # self-heal: resuming replay re-applies (seq_hi(1), head] under LWW
+    R.replay(spark, stream_dir, root, n_buckets=8, mode=mode)
+    assert engine_digest(spark, root) == head_digest
+
+
+def test_rollback_rejects_future_noops_current_and_respects_expiration(
+    spark, stream_dir, tmp_path
+):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    cur = lake.current_manifest()
+
+    assert lake.rollback(cur["epoch"])["epoch"] == cur["epoch"]  # no-op
+    assert lake.committed_epochs() == list(range(N_EPOCHS))  # nothing committed
+
+    with pytest.raises(ValueError, match="ahead of current"):
+        lake.rollback(cur["epoch"] + 5)
+
+    # cannot roll back past expiration (the target manifest is gone)
+    lake.expire_snapshots(keep_last=2)
+    with pytest.raises(FileNotFoundError):
+        lake.rollback(0)
+
+
+def test_expire_after_rollback_keeps_the_restored_files(
+    spark, stream_dir, tmp_path
+):
+    """Even after every pre-rollback manifest is expired, the rollback
+    snapshot's file references keep the target's data alive and readable."""
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    at_1 = engine_live_pdf(spark, root, epoch=1)
+
+    rb = lake.rollback(1)
+    lake.expire_snapshots(keep_last=1)
+    assert lake.committed_epochs() == [rb["epoch"]]
+    for entries in lake.manifest(rb["epoch"])["buckets"].values():
+        for e in entries:
+            assert os.path.exists(os.path.join(root, e["path"])), e["path"]
+    assert engine_live_pdf(spark, root).equals(at_1)
+    # and the orphan vacuum must not touch the restored files either
+    res = lake.vacuum_orphans(grace_seconds=0.0)
+    assert engine_live_pdf(spark, root).equals(at_1), res
