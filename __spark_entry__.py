@@ -194,6 +194,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_binary_metadata"] = lambda s, d: MM.media_metadata_sql_checkable(
         _t(s, d, "documents")
     )
+    q["mm_resize"] = lambda s, d: MM.media_resize_sql_checkable(_t(s, d, "documents"))
+    q["mm_frame_sample"] = lambda s, d: MM.media_frames_sql_checkable(
+        _t(s, d, "documents")
+    )
+    q["mm_feature_vectors"] = lambda s, d: MM.media_features_sql_checkable(
+        _t(s, d, "documents")
+    )
 
     # ---- live CDC engine replay (non-SQL-expressible: full engine path) ----
     q["cdc_replay_state"] = _cdc_replay_state
@@ -756,6 +763,39 @@ def oracle_sql() -> dict[str, str]:
     o["mm_binary_metadata"] = (
         "SELECT doc_id, 'application/x-fake' AS media_type, "
         "octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256 FROM documents"
+    )
+
+    # The fake media transforms are deterministic functions of the payload's
+    # sha256, so DuckDB reproduces their OUTPUT bytes' digests with pure SQL
+    # (hex-digit arithmetic recovers digest bytes; generate_series unrolls
+    # the frame fan-out). _HEXB(k) = k-th byte of the hex digest as an int.
+    def _hexb(pos: int) -> str:  # 1-based substr position of the byte's hex pair
+        return (
+            f"((strpos('0123456789abcdef', substr(hx,{pos},1))-1)*16 "
+            f"+ strpos('0123456789abcdef', substr(hx,{pos + 1},1))-1)"
+        )
+
+    o["mm_resize"] = (
+        "SELECT doc_id, 'application/x-fake' AS media_type, 64 AS width, "
+        "64 AS height, sha256(concat('resize:64x64:', sha256(text))) AS resized_sha "
+        "FROM documents"
+    )
+    o["mm_frame_sample"] = (
+        "WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents), "
+        f"nf AS (SELECT doc_id, hx, {_hexb(5)} % 16 + 1 AS n FROM h), "
+        "fr AS (SELECT doc_id, hx, unnest(generate_series(0, n - 1, 4)) AS u FROM nf) "
+        "SELECT doc_id, 'application/x-fake' AS media_type, "
+        "CAST(u AS INTEGER) AS frame_idx, "
+        "sha256(concat('frame:', CAST(u AS VARCHAR), ':', hx)) AS frame_sha FROM fr"
+    )
+    o["mm_feature_vectors"] = (
+        "WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents), "
+        "d AS (SELECT doc_id, hx, unnest(generate_series(0, 7)) AS i FROM h) "
+        "SELECT doc_id, 'application/x-fake' AS media_type, "
+        "CAST(i AS INTEGER) AS dim_idx, CAST("
+        "(strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INTEGER), 1))-1)*16 "
+        "+ strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INTEGER), 1))-1 "
+        "AS DOUBLE) AS feature FROM d"
     )
 
     # ---- live CDC replay: LWW final state over the staged event log. The

@@ -124,6 +124,193 @@ def media_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(extract, schema=MEDIA_SCHEMA)
 
 
+def _resize_fake(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: a tagged digest string instead of pixels.
+    Defined so the DuckDB oracle can reproduce the output sha256 with pure
+    SQL: sha256(concat('resize:WxH:', sha256(payload)))."""
+    hx = hashlib.sha256(payload).hexdigest()
+    return f"resize:{width}x{height}:{hx}".encode()
+
+
+def _frame_fake(payload: bytes, frame_idx: int) -> bytes:
+    """Deterministic fake frame extraction, oracle-reproducible the same
+    way: sha256(concat('frame:', idx, ':', sha256(payload)))."""
+    hx = hashlib.sha256(payload).hexdigest()
+    return f"frame:{frame_idx}:{hx}".encode()
+
+
+def _features_fake(payload: bytes, dim: int) -> list[float]:
+    """Deterministic fake featurizer: the first `dim` digest bytes as exact
+    doubles (a real featurizer returns normalized floats; exact integers
+    keep the DuckDB oracle bit-identical with no rounding-mode hazard)."""
+    d = hashlib.sha256(payload).digest()
+    return [float(b) for b in d[:dim]]
+
+
+#: transform registries — same pluggable seam as CODECS, one per media
+#: operation the prompt names (resize / frame-sample / feature-extract).
+#: A real deployment registers PIL/ffmpeg/CLIP wrappers; this container
+#: ships the deterministic fakes so the Arrow plumbing is exercised and
+#: value-verified end to end.
+RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {
+    "application/x-fake": _resize_fake,
+}
+FRAME_SAMPLERS: dict[str, Callable[[bytes, int], bytes]] = {
+    "application/x-fake": _frame_fake,
+}
+FEATURIZERS: dict[str, Callable[[bytes, int], list[float]]] = {
+    "application/x-fake": _features_fake,
+}
+
+
+def register_resizer(media_type: str, fn: Callable[[bytes, int, int], bytes]) -> None:
+    RESIZERS[media_type] = fn
+
+
+def register_frame_sampler(media_type: str, fn: Callable[[bytes, int], bytes]) -> None:
+    FRAME_SAMPLERS[media_type] = fn
+
+
+def register_featurizer(
+    media_type: str, fn: Callable[[bytes, int], list[float]]
+) -> None:
+    FEATURIZERS[media_type] = fn
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, payload binary, width int, height int, "
+    "error string"
+)
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image/video resize plumbing: binary in, binary out, one output row
+    per input row, MAP-ONLY (no shuffle at any scale — Catalyst plans it as
+    scan -> ArrowEvalPython-style mapInPandas). Unregistered or throwing
+    resizers emit a NULL-payload row with `error` instead of failing the
+    task — same poison-row contract as `media_metadata`."""
+    resizers = dict(RESIZERS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload: list[bytes | None] = []
+            errors: list[str | None] = []
+            for m, p in zip(pdf["media_type"], pdf["payload"]):
+                fn = resizers.get(m)
+                if fn is None:
+                    out_payload.append(None)
+                    errors.append(f"no resizer registered for {m!r}")
+                    continue
+                try:
+                    out_payload.append(fn(p, width, height))
+                    errors.append(None)
+                except Exception as exc:  # noqa: BLE001 — poison-row guard
+                    out_payload.append(None)
+                    errors.append(f"resize failed for {m!r}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out_payload,
+                    "width": width,
+                    "height": height,
+                    "error": pd.array(errors, dtype="string"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "doc_id long, media_type string, frame_idx int, frame binary, error string"
+)
+
+
+def sample_frames(media: DataFrame, stride: int = 4) -> DataFrame:
+    """Video frame sampling plumbing: the codec registry supplies the frame
+    count, the sampler registry extracts every `stride`-th frame — a FAN-OUT
+    mapInPandas (rows out > rows in), still map-only: the multiplication
+    happens inside the Arrow batch, no shuffle. At corpus scale the caller
+    bucket-partitions the OUTPUT on write (frames inherit the parent doc's
+    partition otherwise). A failing/unregistered codec or sampler emits one
+    NULL-frame row carrying `error`."""
+    codecs = dict(CODECS)
+    samplers = dict(FRAME_SAMPLERS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, m, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                dec, samp = codecs.get(m), samplers.get(m)
+                if dec is None or samp is None:
+                    rows.append((doc_id, m, None, None, f"no codec/sampler registered for {m!r}"))
+                    continue
+                try:
+                    _, _, n_frames = dec(p)
+                    for idx in range(0, n_frames, stride):
+                        rows.append((doc_id, m, idx, samp(p, idx), None))
+                except Exception as exc:  # noqa: BLE001 — poison-row guard
+                    rows.append((doc_id, m, None, None, f"frame sample failed for {m!r}: {exc}"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "frame_idx", "frame", "error"]
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id long, media_type string, features array<double>, error string"
+
+
+def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction plumbing: binary payload -> `array<double>` in the
+    embeddings-table shape, so the output feeds straight into the similarity
+    / embedding-dedup tier (`similarity.brute_force_topk`,
+    `dedup.embedding_near_dup_pairs_lsh`). Map-only mapInPandas; failures
+    quarantine per row, never per task."""
+    featurizers = dict(FEATURIZERS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats: list[list[float] | None] = []
+            errors: list[str | None] = []
+            for m, p in zip(pdf["media_type"], pdf["payload"]):
+                fn = featurizers.get(m)
+                if fn is None:
+                    feats.append(None)
+                    errors.append(f"no featurizer registered for {m!r}")
+                    continue
+                try:
+                    feats.append(fn(p, dim))
+                    errors.append(None)
+                except Exception as exc:  # noqa: BLE001 — poison-row guard
+                    feats.append(None)
+                    errors.append(f"featurize failed for {m!r}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "features": feats,
+                    "error": pd.array(errors, dtype="string"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def split_error_quarantine(
+    df: DataFrame, json_cols: tuple[str, ...] = ("doc_id", "media_type")
+) -> tuple[DataFrame, DataFrame]:
+    """Generic (good, quarantine) split for any media op that emits an
+    `error` column: quarantine rows take the merge tier's
+    ``(event_json, error)`` DLQ shape so every media operator shares one
+    re-drive story."""
+    good = df.where(F.col("error").isNull()).drop("error")
+    quarantine = df.where(F.col("error").isNotNull()).select(
+        F.to_json(F.struct(*json_cols)).alias("event_json"), F.col("error")
+    )
+    return good, quarantine
+
+
 def split_media_quarantine(meta: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split `media_metadata` output into (good, quarantine); the quarantine
     frame has the merge tier's DLQ shape ``(event_json, error)`` so a caller
@@ -137,6 +324,48 @@ def split_media_quarantine(meta: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("error"),
     )
     return good, quarantine
+
+
+def media_resize_sql_checkable(docs: DataFrame) -> DataFrame:
+    """SQL-checkable resize projection: the fake resizer's output bytes are
+    a deterministic function of the input sha256, so DuckDB reproduces the
+    RESIZED payload's sha256 with pure SQL — the whole Arrow round-trip
+    (binary in, binary out) is value-verified, not just row-counted."""
+    good, _ = split_error_quarantine(resize_media(attach_binary_payload(docs)))
+    return good.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        F.sha2(F.col("payload"), 256).alias("resized_sha"),
+    )
+
+
+def media_frames_sql_checkable(docs: DataFrame) -> DataFrame:
+    """SQL-checkable frame-sample projection: the fake codec derives
+    n_frames from digest byte 2 and the fake sampler tags each frame with
+    its index, both reproducible in DuckDB (hex-digit arithmetic +
+    generate_series) — so the FAN-OUT shape (one row per sampled frame,
+    stride honored) is value-verified end to end."""
+    good, _ = split_error_quarantine(sample_frames(attach_binary_payload(docs)))
+    return good.select(
+        "doc_id",
+        "media_type",
+        "frame_idx",
+        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+    )
+
+
+def media_features_sql_checkable(docs: DataFrame) -> DataFrame:
+    """SQL-checkable featurizer projection, exploded to (doc_id, dim_idx,
+    feature) rows so the driver's sorted-column value hash is
+    array-layout-independent."""
+    good, _ = split_error_quarantine(media_features(attach_binary_payload(docs)))
+    return good.select(
+        "doc_id",
+        "media_type",
+        F.posexplode("features").alias("dim_idx", "feature"),
+    )
 
 
 def media_metadata_sql_checkable(docs: DataFrame) -> DataFrame:

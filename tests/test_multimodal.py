@@ -74,3 +74,67 @@ def test_sql_checkable_projection_unchanged(spark, sf_dir):
     out = MM.media_metadata_sql_checkable(docs)
     assert out.columns == ["doc_id", "media_type", "n_bytes", "sha256"]
     assert out.count() == docs.count()
+
+def test_resize_plumbing_and_quarantine(spark, mixed_media):
+    good, quar = MM.split_error_quarantine(MM.resize_media(mixed_media, 32, 16))
+    g = good.orderBy("doc_id").toPandas()
+    assert list(g["doc_id"]) == [1, 3]
+    assert (g["width"] == 32).all() and (g["height"] == 16).all()
+    # deterministic fake: output bytes reproducible from the input digest
+    import hashlib
+
+    hx = hashlib.sha256(b"alpha payload").hexdigest()
+    assert bytes(g.loc[0, "payload"]) == f"resize:32x16:{hx}".encode()
+    q = quar.toPandas()
+    assert len(q) == 1 and "image/png" in q.loc[0, "error"]
+    assert json.loads(q.loc[0, "event_json"])["doc_id"] == 2
+
+
+def test_frame_sampling_fan_out_honors_stride(spark, mixed_media):
+    import hashlib
+    import math
+
+    good, quar = MM.split_error_quarantine(MM.sample_frames(mixed_media, stride=3))
+    g = good.toPandas()
+    assert quar.count() == 1  # the png row
+    for payload, doc_id in ((b"alpha payload", 1), (b"beta payload", 3)):
+        n_frames = hashlib.sha256(payload).digest()[2] % 16 + 1
+        rows = g[g["doc_id"] == doc_id].sort_values("frame_idx")
+        assert list(rows["frame_idx"]) == list(range(0, n_frames, 3))
+        assert len(rows) == math.ceil(n_frames / 3)
+        hx = hashlib.sha256(payload).hexdigest()
+        assert bytes(rows.iloc[0]["frame"]) == f"frame:0:{hx}".encode()
+
+
+def test_features_feed_the_similarity_tier(spark, mixed_media):
+    """media_features output plugs straight into the embedding dedup ops:
+    identical payloads must come out as an exact near-dup pair."""
+    from bbc_news_etl_pipeline_spark.operators import dedup as D
+
+    dup = spark.createDataFrame(
+        [(1, b"alpha payload", "application/x-fake"),
+         (9, b"alpha payload", "application/x-fake"),
+         (3, b"beta payload", "application/x-fake")],
+        "doc_id long, payload binary, media_type string",
+    )
+    good, _ = MM.split_error_quarantine(MM.media_features(dup, dim=8))
+    embs = good.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("features").cast("array<float>").alias("embedding"),
+    )
+    pairs = D.embedding_near_dup_pairs(embs, threshold=0.999999).toPandas()
+    assert [(r.vec_a, r.vec_b, r.cosine) for r in pairs.itertuples()] == [(1, 9, 1.0)]
+
+
+def test_failing_transform_quarantines_row(spark, mixed_media):
+    def bad(payload: bytes, w: int, h: int) -> bytes:
+        raise ValueError("corrupt raster")
+
+    MM.register_resizer("image/png", bad)
+    try:
+        good, quar = MM.split_error_quarantine(MM.resize_media(mixed_media))
+        assert good.count() == 2
+        q = quar.toPandas()
+        assert len(q) == 1 and "corrupt raster" in q.loc[0, "error"]
+    finally:
+        del MM.RESIZERS["image/png"]
