@@ -57,6 +57,66 @@ def bucket_generations(entries: list[dict]) -> int:
     return len(entries)
 
 
+def parquet_key_stats(full_path: str) -> dict | None:
+    """Per-file (repo, path) min/max from the parquet FOOTER — the Iceberg
+    manifest-stats analog, collected once at commit time with a
+    metadata-only read (no data pages touched; cost is per-file-per-epoch,
+    independent of table size). Returns ``{"repo": [lo, hi], "path":
+    [lo, hi]}`` or None when the footer carries no usable bounds (stats
+    disabled, non-string physical type, truncation without bounds) — a
+    None is always SAFE because readers treat a stats-less entry as
+    may-contain."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(full_path).metadata
+        idx = {
+            md.schema.column(i).path: i
+            for i in range(md.num_columns)
+            if md.schema.column(i).path in ("repo", "path")
+        }
+        out: dict[str, list[str]] = {}
+        for name, i in idx.items():
+            lo: str | None = None
+            hi: str | None = None
+            usable = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not isinstance(st.min, str)
+                    or not isinstance(st.max, str)
+                ):
+                    usable = False  # any gap voids this column's bounds
+                    break
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+            if usable and lo is not None and hi is not None:
+                out[name] = [lo, hi]
+        return out or None
+    except Exception:  # noqa: BLE001 — stats are an optimization, never a failure
+        return None
+
+
+def entry_may_contain(entry: dict, repo: str, path: str) -> bool:
+    """Conservative file-skip test for a point lookup: False ONLY when the
+    entry's footer bounds prove the key cannot be in the file. The path
+    bound is consulted only for single-repo files — with rows sorted by
+    (repo, path), the file-level path min/max spans repos and is not a
+    per-repo bound otherwise."""
+    st = entry.get("stats")
+    if not st:
+        return True
+    r = st.get("repo")
+    if r and (repo < r[0] or repo > r[1]):
+        return False
+    p = st.get("path")
+    if p and r and r[0] == r[1] and (path < p[0] or path > p[1]):
+        return False
+    return True
+
+
 #: stage-1 salt fan-out of the read-side winner reduce (mirrors the write
 #: path's operators.merge.DEFAULT_SALT_BUCKETS)
 RESOLVE_SALT_BUCKETS = 16
@@ -798,9 +858,13 @@ class LakeTable:
     ) -> DataFrame:
         """Point lookup through the hidden partitioning: compute the key's
         bucket, list ONLY that bucket's files (1/n_buckets of the table at
-        any size), push the key predicate into the parquet scan, resolve
-        layers if the snapshot is merge-on-read. The file-pruning half of
-        what an index would do, with zero index maintenance.
+        any size), skip files whose manifest-recorded footer bounds exclude
+        the key (`entry_may_contain` — the Iceberg manifest-stats prune,
+        which matters most on a LAYERED bucket: a key untouched since
+        compaction opens one file, not one per layer), push the key
+        predicate into the parquet scan, resolve layers if the snapshot is
+        merge-on-read. The file-pruning half of what an index would do,
+        with zero index maintenance.
 
         The bucket is computed under the bucket count OF THE MANIFEST BEING
         READ, not the current layout: after `rebucket()`, a time-travel
@@ -818,6 +882,17 @@ class LakeTable:
             .select(bucket_col(n).alias("b"))
             .first()["b"]
         )
+        if manifest is not None:
+            entries = manifest["buckets"].get(str(b), [])
+            # prune by footer bounds; PIN each survivor's generation ordinal
+            # first — pre-generation manifests derive it from list position,
+            # which pruning would otherwise shift
+            kept = [
+                {**e, "layer": e.get("layer", i)}
+                for i, e in enumerate(entries)
+                if entry_may_contain(e, repo, path)
+            ]
+            manifest = {**manifest, "buckets": {str(b): kept}}
         df = self.read_resolved(
             spark,
             [b],
@@ -1027,7 +1102,14 @@ class LakeTable:
         for bdir in sorted(glob.glob(os.path.join(ddir, "bucket_p=*"))):
             b = int(os.path.basename(bdir).split("=", 1)[1])
             for fp in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
-                out.setdefault(b, []).append(
-                    {"path": os.path.relpath(fp, self.root), "schema_version": None}
-                )
+                entry: dict = {
+                    "path": os.path.relpath(fp, self.root),
+                    "schema_version": None,
+                }
+                # Iceberg-style file-level column bounds, harvested from the
+                # footer at commit time; carried-forward entries keep theirs
+                stats = parquet_key_stats(fp)
+                if stats:
+                    entry["stats"] = stats
+                out.setdefault(b, []).append(entry)
         return out

@@ -1,0 +1,152 @@
+"""File-level key-range stats (the Iceberg manifest-stats analog): footer
+(repo, path) bounds are harvested into every manifest entry at commit time,
+and `read_key` skips files whose bounds exclude the looked-up key — so a
+point lookup into a layered bucket opens only the files that can matter."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import (
+    LakeTable,
+    entry_may_contain,
+    parquet_key_stats,
+)
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+
+@pytest.fixture(scope="module")
+def lake_root(spark, tmp_path_factory):
+    stream = str(tmp_path_factory.mktemp("fs_stream"))
+    gen.build_stream(3_000, 2, stream)
+    root = str(tmp_path_factory.mktemp("fs_lake") / "lake")
+    R.replay(spark, stream, root, n_buckets=8)
+    return root
+
+
+def test_manifest_entries_carry_true_footer_bounds(spark, lake_root):
+    lake = LakeTable(lake_root, n_buckets=8)
+    m = lake.current_manifest()
+    checked = 0
+    for entries in m["buckets"].values():
+        for e in entries:
+            st = e.get("stats")
+            assert st and "repo" in st and "path" in st, e["path"]
+            assert st["repo"][0] <= st["repo"][1]
+            assert st["path"][0] <= st["path"][1]
+            # bounds really bound the file's data
+            t = pq.read_table(
+                os.path.join(lake_root, e["path"]), columns=["repo", "path"]
+            )
+            repos = t.column("repo").to_pylist()
+            paths = t.column("path").to_pylist()
+            assert min(repos) >= st["repo"][0] and max(repos) <= st["repo"][1]
+            assert min(paths) >= st["path"][0] and max(paths) <= st["path"][1]
+            checked += 1
+    assert checked >= 8
+
+
+def test_entry_may_contain_is_conservative():
+    e = {"stats": {"repo": ["org1/a", "org5/z"], "path": ["p/a.py", "p/z.py"]}}
+    assert not entry_may_contain(e, "org0/zzz", "p/a.py")  # repo below lo
+    assert not entry_may_contain(e, "org9/a", "p/a.py")  # repo above hi
+    assert entry_may_contain(e, "org3/m", "q/outside.py")  # multi-repo file:
+    # path bounds are NOT per-repo bounds, so they must be ignored
+    single = {"stats": {"repo": ["org2/r", "org2/r"], "path": ["a.py", "m.py"]}}
+    assert not entry_may_contain(single, "org2/r", "z.py")  # single-repo: path prunes
+    assert entry_may_contain(single, "org2/r", "b.py")
+    assert entry_may_contain({}, "any", "thing")  # no stats -> may contain
+    assert entry_may_contain({"stats": {}}, "any", "thing")
+
+
+def test_read_key_skips_files_whose_bounds_exclude_the_key(
+    spark, lake_root, monkeypatch
+):
+    """Register an honestly-written decoy layer holding only 'zzzz/...' keys
+    in one bucket: a lookup of a base key must not open the decoy file, and
+    a lookup of the decoy key must open ONLY the decoy file."""
+    import pandas as pd
+
+    from bbc_news_etl_pipeline_spark.operators.merge import bucket_col
+    from pyspark.sql import functions as F
+
+    lake = LakeTable(lake_root, n_buckets=8)
+    m = lake.current_manifest()
+    ver = m["schema_version"]
+
+    zrepo, zpath = "zzzz/zzzz", "zzzz/file.py"
+    b2 = (
+        spark.createDataFrame([(zrepo, zpath)], "repo string, path string")
+        .select(bucket_col(8).alias("b"))
+        .first()["b"]
+    )
+    # clone a real row into the decoy key so the file matches the lake schema
+    base_rel = m["buckets"][str(b2)][0]["path"]
+    pdf: pd.DataFrame = pq.read_table(os.path.join(lake_root, base_rel)).to_pandas()
+    decoy = pdf.head(1).copy()
+    decoy["repo"], decoy["path"], decoy["bucket"] = zrepo, zpath, b2
+    decoy["lsn"] = int(m["lsn_hi"]) + 1
+    decoy["is_deleted"] = False
+    ddir = os.path.join(lake_root, "data", "e000099", f"bucket_p={b2}")
+    os.makedirs(ddir, exist_ok=True)
+    decoy_rel = os.path.join("data", "e000099", f"bucket_p={b2}", "part-decoy.parquet")
+    import pyarrow as pa
+
+    schema = pq.read_table(os.path.join(lake_root, base_rel)).schema
+    pq.write_table(
+        pa.Table.from_pandas(decoy, schema=schema, preserve_index=False),
+        os.path.join(lake_root, decoy_rel),
+    )
+    st = parquet_key_stats(os.path.join(lake_root, decoy_rel))
+    assert st == {"repo": [zrepo, zrepo], "path": [zpath, zpath]}
+
+    gens = {e.get("layer", 0) for e in m["buckets"][str(b2)]}
+    new_entry = {
+        "path": decoy_rel,
+        "schema_version": ver,
+        "layer": max(gens) + 1,
+        "stats": st,
+    }
+    m2 = {
+        **m,
+        "epoch": m["epoch"] + 1,
+        "seq_lo": m["seq_hi"],
+        "layered": True,
+        "lsn_hi": int(m["lsn_hi"]) + 1,
+        "counts": {"mode": "test-decoy"},
+        "buckets": {**m["buckets"], str(b2): m["buckets"][str(b2)] + [new_entry]},
+    }
+    assert lake.commit(m2)
+
+    captured: dict = {}
+    orig = LakeTable._read_files
+
+    def spy(self, spark_, entries, target_version, with_layer=False):
+        captured["paths"] = [e["path"] for _, e in entries]
+        return orig(self, spark_, entries, target_version, with_layer=with_layer)
+
+    monkeypatch.setattr(LakeTable, "_read_files", spy)
+
+    # a base key in the decoy's bucket: the decoy file must be skipped
+    base_key = (
+        lake.read_buckets(spark, [b2], ver, manifest=m)
+        .where(~F.col("is_deleted"))
+        .select("repo", "path")
+        .first()
+    )
+    rows = lake.read_key(spark, base_key["repo"], base_key["path"]).collect()
+    assert len(rows) == 1
+    assert decoy_rel not in captured["paths"]
+    # only files whose bounds admit the key are opened (real base files with
+    # excluding bounds prune too — COW generations span several part files)
+    base_paths = {e["path"] for e in m["buckets"][str(b2)]}
+    assert set(captured["paths"]) <= base_paths and captured["paths"]
+
+    # the decoy key: ONLY the decoy file is opened, and the row comes back
+    rows = lake.read_key(spark, zrepo, zpath).collect()
+    assert captured["paths"] == [decoy_rel]
+    assert len(rows) == 1 and rows[0]["lsn"] == int(m["lsn_hi"]) + 1
