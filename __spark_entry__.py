@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- live CDC engine replay (non-SQL-expressible: full engine path) ----
     q["cdc_replay_state"] = _cdc_replay_state
+    q["cdc_read_changes"] = _cdc_read_changes
 
     # ---- streaming-analytics plan (same code the watermarked stream runs) ----
     q["cdc_windowed_counts"] = _cdc_windowed_counts
@@ -257,6 +258,28 @@ def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .read_state(spark)
         .select("repo", "path", "lsn", "content_sha256")
     )
+
+
+def _cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg incremental-read analog, value-checked end to end: replay
+    the staged log through the real engine, then `read_changes` diffs
+    snapshot 0 -> head. The DuckDB oracle mirrors the semantics exactly:
+    keys TOUCHED (raw offset window, validity not consulted — invalid events
+    quarantine but still mark their key) after epoch 0's seq high-water
+    mark, post-image = LWW winner over the whole log, 'delete' where the
+    winner is a tombstone."""
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    log_dir = _ensure_cdc_oracle_log()
+    lake_root = os.path.join(tempfile.mkdtemp(prefix="cdc_changes_"), "lake")
+    replay(spark, log_dir, lake_root, n_buckets=8)
+    lake = LakeTable(lake_root, n_buckets=8)
+    ch = lake.read_changes(spark, EventLog(log_dir), from_epoch=0)
+    return ch.select("repo", "path", "lsn", "content_sha256", "change")
 
 
 def _ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,6 +836,33 @@ def oracle_sql() -> dict[str, str]:
         "  (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev) "
         "SELECT repo, path, lsn, sha256(content) AS content_sha256 "
         "FROM ranked WHERE rn = 1 AND op <> 'delete'"
+    )
+    # incremental scan: touched keys come from the RAW offset window (same
+    # as the engine's slim scan — validity not consulted), the post-image is
+    # the LWW winner over the whole log; the epoch-0 seq boundary is read
+    # from the staged log's segment index, which the segment-aligned replay
+    # also uses, so both sides share the same high-water mark literal.
+    import json as _json
+
+    with open(os.path.join(_ensure_cdc_oracle_log(), "_segments.json")) as _f:
+        _boundary = next(s["seq_hi"] for s in _json.load(_f) if s["epoch"] == 0)
+    o["cdc_read_changes"] = (
+        f"WITH raw AS (SELECT arrival_seq, repo, path, lsn, op, content "
+        f"  FROM read_parquet('{log_glob}', union_by_name=true)), "
+        f"touched AS (SELECT DISTINCT repo, path FROM raw "
+        f"  WHERE arrival_seq > {_boundary} "
+        "   AND repo IS NOT NULL AND path IS NOT NULL), "
+        "ev AS (SELECT * FROM raw WHERE op IN ('insert', 'update', 'delete') "
+        "  AND repo IS NOT NULL AND path IS NOT NULL AND lsn IS NOT NULL "
+        "  AND (op = 'delete' OR content IS NOT NULL)), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev) "
+        "SELECT r.repo, r.path, r.lsn, "
+        "CASE WHEN r.op = 'delete' THEN NULL ELSE sha256(r.content) END "
+        "  AS content_sha256, "
+        "CASE WHEN r.op = 'delete' THEN 'delete' ELSE 'upsert' END AS change "
+        "FROM ranked r JOIN touched t ON r.repo = t.repo AND r.path = t.path "
+        "WHERE r.rn = 1"
     )
     o["cdc_windowed_counts"] = (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
