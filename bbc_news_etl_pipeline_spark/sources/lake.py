@@ -930,6 +930,23 @@ class LakeTable:
           snapshot against last week's") touches millions of keys, and
           forcing those into a driver broadcast is the exact hazard the
           merge guards with its gated hint.
+
+        Two non-log state mutators are folded in so the bridge contract
+        ("applying exactly these rows reaches `to_epoch`") holds across
+        every maintenance operation, where Iceberg's incremental read
+        simply refuses:
+
+        - REDRIVE epochs apply events whose arrival_seq predates the
+          window (they were quarantined earlier); their keys come from the
+          `_quarantine` sidecars of each redrive commit's recorded source
+          epochs on `to_epoch`'s ancestry (best-effort superset if a key's
+          fix never landed — a superset only adds already-true post-images,
+          which re-apply as no-ops).
+        - ROLLBACK makes the window run BACKWARD (seq_hi(to) < seq_hi(from),
+          the only way state regresses): the scan window flips to
+          (seq_hi(to), seq_hi(from)] and keys live at `from_epoch` that have
+          NO row at `to_epoch` (they never existed there, so no tombstone
+          records them) are emitted as `change='delete'` with NULL payload.
         """
         m_from = self.manifest(from_epoch)
         m_to = (
@@ -939,14 +956,17 @@ class LakeTable:
         )
         if m_to is None:
             raise ValueError("no committed snapshot to diff against")
+        backward = m_to["seq_hi"] < m_from["seq_hi"]
+        lo, hi = sorted((m_from["seq_hi"], m_to["seq_hi"]))
         keys = (
-            log.read_range(
-                spark, m_from["seq_hi"], m_to["seq_hi"], m_to["schema_version"]
-            )
+            log.read_range(spark, lo, hi, m_to["schema_version"])
             .where(F.col("repo").isNotNull() & F.col("path").isNotNull())
             .select("repo", "path")
             .distinct()
         )
+        redriven = self._redrive_touched_keys(spark, from_epoch, m_to["epoch"])
+        if redriven is not None:
+            keys = keys.union(redriven).distinct()
         from ..operators.merge import bucket_col
         from ..util import BROADCAST_KEYS_MAX
 
@@ -962,9 +982,103 @@ class LakeTable:
         )
         build = F.broadcast(keys) if n_keys <= BROADCAST_KEYS_MAX else keys
         rows = state.join(build, ["repo", "path"], "left_semi")
-        return rows.withColumn(
+        out = rows.withColumn(
             "change", F.when(F.col("is_deleted"), F.lit("delete")).otherwise(F.lit("upsert"))
         ).drop("is_deleted")
+        if not backward:
+            return out
+        # rollback crossed: keys live at `from` with no row at `to` vanish —
+        # same touched-key bound, buckets hashed under the FROM layout
+        n_f = int(m_from.get("n_buckets", self.n_buckets))
+        touched_f = sorted(
+            r["b"]
+            for r in keys.select(bucket_col(n_f).alias("b")).distinct().collect()
+        )
+        from_live = (
+            self.read_resolved(
+                spark, touched_f, m_from["schema_version"], manifest=m_from
+            )
+            .where(~F.col("is_deleted"))
+            .select("repo", "path")
+        )
+        gone = from_live.join(build, ["repo", "path"], "left_semi").join(
+            state.select("repo", "path"), ["repo", "path"], "left_anti"
+        )
+        vanish = gone.select(
+            "repo",
+            "path",
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in out.schema
+                if f.name not in ("repo", "path", "change")
+            ],
+            F.lit("delete").alias("change"),
+        )
+        return out.unionByName(vanish)
+
+    def _lineage_epochs(self, to_epoch: int, from_epoch: int) -> list[int]:
+        """Epochs on `to_epoch`'s ancestry strictly after `from_epoch`.
+        A rollback snapshot's parent is its TARGET — the discarded epochs
+        are not ancestry. Driver-side manifest walk, bounded by the window;
+        an expired intermediate manifest degrades to plain epoch stepping
+        (best-effort: its mode can no longer be consulted)."""
+        out: list[int] = []
+        ep = to_epoch
+        while ep > from_epoch:
+            out.append(ep)
+            try:
+                c = self.manifest(ep).get("counts", {})
+            except FileNotFoundError:
+                ep -= 1
+                continue
+            ep = c["rolled_back_to"] if c.get("mode") == "rollback" else ep - 1
+        return out
+
+    def _redrive_touched_keys(
+        self, spark: SparkSession, from_epoch: int, to_epoch: int
+    ) -> DataFrame | None:
+        """Keys a redrive commit on `to_epoch`'s ancestry may have changed.
+        Each redrive epoch records them exactly in its `_redrive_keys`
+        sidecar (the fix may REWRITE a key, so the post-fix keys are the
+        authoritative set); lakes written before that sidecar existed fall
+        back to the (repo, path) found in the source epochs' `_quarantine`
+        json — a superset whose extra keys re-apply as no-ops, minus any
+        key a fix rewrote. A slim scan proportional to the window's
+        quarantine volume."""
+        key_dirs: list[str] = []
+        legacy_srcs: set[int] = set()
+        for ep in self._lineage_epochs(to_epoch, from_epoch):
+            try:
+                counts = self.manifest(ep).get("counts", {})
+            except FileNotFoundError:
+                continue
+            if not counts.get("redrive_sources"):
+                continue
+            d = self.sidecar_dir("_redrive_keys", ep)
+            if os.path.isdir(d):
+                key_dirs.append(d)
+            else:
+                legacy_srcs.update(counts["redrive_sources"])
+        frames = []
+        if key_dirs:
+            frames.append(spark.read.parquet(*key_dirs).select("repo", "path"))
+        qdirs = [
+            d
+            for d in (self.sidecar_dir("_quarantine", s) for s in sorted(legacy_srcs))
+            if os.path.isdir(d)
+        ]
+        if qdirs:
+            frames.append(
+                spark.read.parquet(*qdirs)
+                .select(
+                    F.get_json_object("event_json", "$.repo").alias("repo"),
+                    F.get_json_object("event_json", "$.path").alias("path"),
+                )
+                .where(F.col("repo").isNotNull() & F.col("path").isNotNull())
+            )
+        if not frames:
+            return None
+        return reduce(lambda a, b: a.union(b), frames).distinct()
 
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict:
         """Partition evolution: rewrite the table under a new bucket count

@@ -184,6 +184,19 @@ def _redrive_locked(
             + [T.StructField("_unknown_json", T.StringType(), True)]
         ),
     )
+    # record the EXACT keys this redrive can change as a slim sidecar —
+    # `read_changes` folds them into diffs whose window crosses this epoch
+    # (a fix may REWRITE the key, e.g. coalescing a null repo, so the keys
+    # are not derivable from the quarantine json after the fact). Written
+    # before the fenced commit: a crash leaves an orphan the vacuum
+    # reclaims; the re-run overwrites it.
+    (
+        events.where(M.valid_predicate() & M.unknown_column_clause(events))
+        .select("repo", "path")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(lake.sidecar_dir("_redrive_keys", next_epoch))
+    )
     res = R.apply_events(
         spark,
         lake,

@@ -1,0 +1,113 @@
+"""`read_changes` across non-log state mutators: redrive epochs (events
+whose offsets predate the window) and rollback (a backward window where keys
+can vanish without tombstones). The bridge contract — applying exactly the
+returned rows to snapshot `from` reaches snapshot `to` — must hold across
+both, where Iceberg's incremental read simply refuses."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+from bbc_news_etl_pipeline_spark.streaming.redrive import redrive
+
+from .test_redrive import _build_lake_with_quarantine, _fix
+from .util import engine_live_pdf
+
+COLS = ["repo", "path", "lsn", "content_sha256"]
+
+
+def _bridge(s_from: pd.DataFrame, ch: pd.DataFrame) -> pd.DataFrame:
+    """Apply a change set: upserts replace, every returned key's old row is
+    dropped (deletes simply don't come back)."""
+    keys = ch[["repo", "path"]]
+    survivors = s_from.merge(keys, on=["repo", "path"], how="left", indicator=True)
+    survivors = survivors[survivors["_merge"] == "left_only"][COLS]
+    ups = ch[ch["change"] == "upsert"][COLS]
+    # NULL lsn on vanish rows makes the pandas column float; upserts never
+    # carry NULLs, so restore the integer dtype for the frame compare
+    ups = ups.assign(lsn=ups["lsn"].astype("int64"))
+    return (
+        pd.concat([survivors, ups], ignore_index=True)
+        .sort_values(["repo", "path"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["repo", "path"], kind="mergesort").reset_index(drop=True)
+
+
+def test_read_changes_includes_redriven_keys(spark, tmp_path):
+    """A redrive epoch applies events whose arrival_seq predates the diff
+    window; its keys (INCLUDING one the fix rewrote from a null repo) must
+    still appear, and the bridge property must hold."""
+    lake, root = _build_lake_with_quarantine(spark, tmp_path)
+    s0 = engine_live_pdf(spark, root)[COLS]
+
+    res = redrive(spark, lake, fix_fn=_fix)
+    assert res is not None
+
+    log = EventLog(str(tmp_path / "log"))
+    ch = lake.read_changes(spark, log, 0).toPandas()
+    fixed = ch[ch["repo"] == "org_fix/repo_fix"]
+    assert set(fixed["path"]) == {f"src/fix/f{i}.py" for i in range(3)}, (
+        "all three redriven keys (one with a fix-rewritten repo) must appear"
+    )
+    assert (fixed["change"] == "upsert").all()
+
+    s1 = engine_live_pdf(spark, root)[COLS]
+    pd.testing.assert_frame_equal(_bridge(s0, ch), _sorted(s1))
+
+
+@pytest.mark.parametrize("consumer_at", [3, 1])
+def test_read_changes_across_rollback(spark, tmp_path, consumer_at):
+    """Diff from a DISCARDED snapshot (or the rollback target itself) to the
+    rollback snapshot: regressions come back as upserts with the old
+    post-image, keys that never existed at the target come back as deletes
+    with NULL payload, and the bridge reaches the target state exactly."""
+    d = str(tmp_path / "log")
+    gen.build_stream(4_000, 4, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+
+    s_from = engine_live_pdf(spark, root, epoch=consumer_at)[COLS]
+    s_target = engine_live_pdf(spark, root, epoch=1)[COLS]
+
+    rb = lake.rollback(1)
+    ch = lake.read_changes(spark, EventLog(d), consumer_at, to_epoch=rb["epoch"]).toPandas()
+
+    if consumer_at == 1:
+        assert len(ch) == 0, "target == from: the diff must be empty"
+    else:
+        # keys created after the target vanish without tombstones
+        vanished = ch[ch["lsn"].isna()]
+        assert len(vanished) > 0
+        assert (vanished["change"] == "delete").all()
+        assert vanished["content_sha256"].isna().all()
+    pd.testing.assert_frame_equal(_bridge(s_from, ch), _sorted(s_target))
+
+
+def test_read_changes_forward_past_a_rollback_self_heal(spark, tmp_path):
+    """Consumer at the rollback target diffs to HEAD after replay re-applied
+    the discarded window: a plain forward diff (the re-applied events are
+    the same log offsets), bridging target -> head exactly."""
+    d = str(tmp_path / "log")
+    gen.build_stream(4_000, 4, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    s_head = engine_live_pdf(spark, root)[COLS]
+
+    rb = lake.rollback(1)
+    s_target = engine_live_pdf(spark, root, epoch=rb["epoch"])[COLS]
+    R.replay(spark, d, root, n_buckets=8)  # self-heal to head
+
+    ch = lake.read_changes(spark, EventLog(d), rb["epoch"]).toPandas()
+    assert not ch["lsn"].isna().any(), "forward diff: no vanish rows"
+    pd.testing.assert_frame_equal(_bridge(s_target, ch), _sorted(s_head))
