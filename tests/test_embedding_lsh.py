@@ -43,3 +43,26 @@ def test_more_bands_raise_recall(spark, embs):
 def test_indivisible_bands_rejected(embs):
     with pytest.raises(ValueError):
         D.embedding_near_dup_pairs_lsh(embs, n_planes=8, n_bands=3)
+
+
+def test_plane_params_scale_with_corpus_size():
+    lo_planes, bands = D.lsh_plane_params(500)
+    hi_planes, _ = D.lsh_plane_params(500_000)
+    assert bands == 4
+    assert lo_planes < hi_planes
+    assert hi_planes // bands <= 16, "bits per band are capped"
+    assert D.lsh_plane_params(10)[0] // 4 >= 2, "floor of 2 bits per band"
+    # monotone non-decreasing in N
+    seq = [D.lsh_plane_params(n)[0] for n in (100, 1_000, 10_000, 100_000)]
+    assert seq == sorted(seq)
+
+
+def test_auto_sized_default_stays_a_verified_subset(spark, embs):
+    """n_planes=None (the production default) sizes the banding from the
+    corpus count; precision is still exact — every emitted pair is in the
+    exact all-pairs result with an identical cosine."""
+    exact = _pairs(D.embedding_near_dup_pairs(embs, threshold=0.45))
+    auto = _pairs(D.embedding_near_dup_pairs_lsh(embs, threshold=0.45))
+    assert set(auto) <= set(exact)
+    for k, cos in auto.items():
+        assert cos == exact[k]
