@@ -269,6 +269,61 @@ def test_lease_steal_detects_fresh_rival(tmp_path, monkeypatch):
         assert _json.load(f)["token"] == "t-new", "rival's lease not restored"
 
 
+def test_lease_steal_yields_to_third_contender_in_vacancy_window(
+    tmp_path, monkeypatch
+):
+    """ADVICE r03: while the stealer holds a rival's fresh lease in its
+    .steal claim file, the lease path is briefly VACANT — a third contender
+    can legitimately create a lease there. The restore must be
+    create-if-absent (os.link, EEXIST = rival present), never a blind
+    rename-back that would clobber the third lease and yield two writers."""
+    import json as _json
+    import os
+    import time as _time
+
+    import bbc_news_etl_pipeline_spark.sources.lake as L
+
+    lake = LakeTable(str(tmp_path / "lake"), n_buckets=4)
+    stale = {"owner": "dead", "token": "t-old",
+             "acquired_at": _time.time() - 10_000, "ttl_sec": 60}
+    with open(lake._lease_path, "w") as f:
+        _json.dump(stale, f)
+
+    fresh = {"owner": "rival", "token": "t-new",
+             "acquired_at": _time.time(), "ttl_sec": 3600}
+    third = {"owner": "third", "token": "t-3rd",
+             "acquired_at": _time.time(), "ttl_sec": 3600}
+    real_rename = os.rename
+
+    def racy_rename(src, dst):
+        if src == lake._lease_path:
+            # rival re-acquires between our read and the rename (so the
+            # claim holds a FRESH lease we must not keep) ...
+            with open(lake._lease_path, "w") as f:
+                _json.dump(fresh, f)
+            real_rename(src, dst)
+            # ... and a THIRD contender takes the now-vacant lease path
+            # before our restore runs
+            with open(lake._lease_path, "w") as f:
+                _json.dump(third, f)
+            return
+        real_rename(src, dst)
+
+    monkeypatch.setattr(L.os, "rename", racy_rename)
+    with pytest.raises(RuntimeError, match="re-acquired"):
+        lake.acquire_writer_lease("me")
+    monkeypatch.undo()
+    with open(lake._lease_path) as f:
+        assert _json.load(f)["token"] == "t-3rd", (
+            "third contender's live lease was clobbered by the rename-back"
+        )
+    import glob as _glob
+
+    assert not _glob.glob(f"{lake._lease_path}.steal-*"), (
+        "claim file leaked after yielding to the third contender"
+    )
+
+
 def test_bucket_count_adoption_and_rebucket(spark, tmp_path):
     """The manifest's bucket count is authoritative: reopening (or
     resuming) a lake with a mismatched n_buckets arg must not mis-route
