@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- live CDC engine replay (non-SQL-expressible: full engine path) ----
     q["cdc_replay_state"] = _cdc_replay_state
     q["cdc_read_changes"] = _cdc_read_changes
+    q["cdc_changelog"] = _cdc_changelog
 
     # ---- streaming-analytics plan (same code the watermarked stream runs) ----
     q["cdc_windowed_counts"] = _cdc_windowed_counts
@@ -280,6 +281,31 @@ def _cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = LakeTable(lake_root, n_buckets=8)
     ch = lake.read_changes(spark, EventLog(log_dir), from_epoch=0)
     return ch.select("repo", "path", "lsn", "content_sha256", "change")
+
+
+def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The changelog view (Iceberg `create_changelog_view` parity):
+    `read_changes(include_before=True)` refines `change` to
+    insert/update/delete against the from-snapshot's live rows and carries
+    the pre-image identity columns. The DuckDB oracle adds one more LWW
+    ranking — the window's keys ranked WITHIN the boundary prefix — and
+    left-joins it as the before-image; deletes of keys not live at the
+    boundary are dropped on both sides."""
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    log_dir = _ensure_cdc_oracle_log()
+    lake_root = os.path.join(tempfile.mkdtemp(prefix="cdc_changelog_"), "lake")
+    replay(spark, log_dir, lake_root, n_buckets=8)
+    lake = LakeTable(lake_root, n_buckets=8)
+    ch = lake.read_changes(spark, EventLog(log_dir), from_epoch=0, include_before=True)
+    return ch.select(
+        "repo", "path", "lsn", "content_sha256", "change",
+        "prev_lsn", "prev_content_sha256",
+    )
 
 
 def _ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,6 +889,32 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN r.op = 'delete' THEN 'delete' ELSE 'upsert' END AS change "
         "FROM ranked r JOIN touched t ON r.repo = t.repo AND r.path = t.path "
         "WHERE r.rn = 1"
+    )
+    o["cdc_changelog"] = (
+        f"WITH raw AS (SELECT arrival_seq, repo, path, lsn, op, content "
+        f"  FROM read_parquet('{log_glob}', union_by_name=true)), "
+        f"touched AS (SELECT DISTINCT repo, path FROM raw "
+        f"  WHERE arrival_seq > {_boundary} "
+        "   AND repo IS NOT NULL AND path IS NOT NULL), "
+        "ev AS (SELECT * FROM raw WHERE op IN ('insert', 'update', 'delete') "
+        "  AND repo IS NOT NULL AND path IS NOT NULL AND lsn IS NOT NULL "
+        "  AND (op = 'delete' OR content IS NOT NULL)), "
+        "aft AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev), "
+        f"bef_ranked AS (SELECT *, row_number() OVER "
+        f"  (PARTITION BY repo, path ORDER BY lsn DESC) AS rn "
+        f"  FROM ev WHERE arrival_seq <= {_boundary}), "
+        "bef AS (SELECT repo, path, lsn, sha256(content) AS sha "
+        "  FROM bef_ranked WHERE rn = 1 AND op <> 'delete') "
+        "SELECT a.repo, a.path, a.lsn, "
+        "CASE WHEN a.op = 'delete' THEN NULL ELSE sha256(a.content) END "
+        "  AS content_sha256, "
+        "CASE WHEN a.op = 'delete' THEN 'delete' "
+        "  WHEN b.repo IS NULL THEN 'insert' ELSE 'update' END AS change, "
+        "b.lsn AS prev_lsn, b.sha AS prev_content_sha256 "
+        "FROM aft a JOIN touched t ON a.repo = t.repo AND a.path = t.path "
+        "LEFT JOIN bef b ON a.repo = b.repo AND a.path = b.path "
+        "WHERE a.rn = 1 AND (a.op <> 'delete' OR b.repo IS NOT NULL)"
     )
     o["cdc_windowed_counts"] = (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "

@@ -253,6 +253,91 @@ class LakeTable:
             os.path.join(self.manifests_dir, f"manifest-{epoch:06d}.json")
         )
 
+    # ---------- named refs (Iceberg tag analog) ----------
+    #
+    # A tag is a named pointer to a committed snapshot that PINS it against
+    # `expire_snapshots` — the retention story for reproducible corpus cuts:
+    # tag the snapshot a training corpus was cut from and the cut stays
+    # re-runnable (`read_documents(epoch="corpus-2026-08")`) while routine
+    # expiration reclaims everything untagged around it. The reference's
+    # analog is the per-run backup collection it keeps per scrape date
+    # (/root/reference/src/entity/config_entity.py:46); Iceberg's is
+    # `ALTER TABLE ... CREATE TAG`. Refs live in one JSON file swapped
+    # atomically (same temp+rename discipline as manifests); they are pure
+    # metadata, so every operation here is O(refs), never O(table).
+
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self.root, "_refs.json")
+
+    def refs(self) -> dict:
+        """{"tags": {name: epoch}} — empty when no ref was ever created."""
+        try:
+            with open(self._refs_path) as f:
+                out = json.load(f)
+        except (OSError, ValueError):
+            return {"tags": {}}
+        out.setdefault("tags", {})
+        return out
+
+    def _write_refs(self, refs: dict) -> None:
+        tmp = self._refs_path + ".tmp"
+
+        def _write() -> None:
+            with open(tmp, "w") as f:
+                json.dump(refs, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+
+        with_backoff(_write)
+        os.rename(tmp, self._refs_path)
+
+    def create_tag(self, name: str, epoch: int | None = None) -> int:
+        """Tag a committed snapshot (default: the current one). Re-tagging
+        the SAME epoch is idempotent; retargeting an existing tag raises —
+        a tag is a pin other systems may hold (a corpus manifest, a report),
+        so moving it silently would un-reproduce their reads. Drop + create
+        is the explicit two-step for that."""
+        if epoch is None:
+            m = self.current_manifest()
+            if m is None:
+                raise ValueError("cannot tag an empty lake")
+            epoch = m["epoch"]
+        if not self.has_epoch(epoch):
+            raise ValueError(f"cannot tag epoch {epoch}: not a committed snapshot")
+        refs = self.refs()
+        held = refs["tags"].get(name)
+        if held is not None and held != epoch:
+            raise ValueError(
+                f"tag {name!r} already pins epoch {held}; drop it first to retarget"
+            )
+        refs["tags"][name] = epoch
+        self._write_refs(refs)
+        return epoch
+
+    def drop_tag(self, name: str) -> int | None:
+        """Remove a tag; the snapshot becomes expirable again. Returns the
+        epoch it pinned (None if the tag did not exist — idempotent)."""
+        refs = self.refs()
+        epoch = refs["tags"].pop(name, None)
+        if epoch is not None:
+            self._write_refs(refs)
+        return epoch
+
+    def resolve_ref(self, ref: int | str) -> int:
+        """Epoch number for a ref: ints (or int-shaped strings, for CLI
+        surfaces) pass through, tag names look up in the refs file."""
+        if isinstance(ref, int):
+            return ref
+        try:
+            return int(ref)
+        except ValueError:
+            pass
+        epoch = self.refs()["tags"].get(ref)
+        if epoch is None:
+            raise ValueError(f"unknown tag {ref!r}")
+        return int(epoch)
+
     # ---------- single-writer lease ----------
     #
     # The manifest fence makes RETRIES of the same epoch safe, but two live
@@ -383,11 +468,17 @@ class LakeTable:
 
         Safe ordering: manifests are deleted BEFORE the files they uniquely
         referenced, so a crash mid-expire leaves extra (unreferenced) files
-        but never a manifest pointing at deleted data."""
+        but never a manifest pointing at deleted data.
+
+        TAGGED snapshots are always kept (manifest AND the files it
+        references), whatever `keep_last` says — the Iceberg tag-retention
+        contract. Drop the tag to make them expirable."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1 (the current snapshot)")
         epochs = self.committed_epochs()
-        drop, keep = epochs[:-keep_last], epochs[-keep_last:]
+        pinned = {int(e) for e in self.refs()["tags"].values()}
+        keep = sorted(set(epochs[-keep_last:]) | (pinned & set(epochs)))
+        drop = [e for e in epochs if e not in set(keep)]
         if not drop:
             return {"manifests_dropped": 0, "files_deleted": 0}
         referenced = set()
@@ -575,15 +666,16 @@ class LakeTable:
         self,
         spark: SparkSession,
         target_version: int | None = None,
-        epoch: int | None = None,
+        epoch: int | str | None = None,
     ) -> DataFrame:
         """The lake's live state in the training-data tier's `documents`
         shape: (doc_id, text, repo, path, lang) — the bridge that lets
         `jobs/corpus.py` (dedup ladder -> clusters -> retained corpus ->
         text stats) run DIRECTLY over a CDC-ingested lake instead of a
         pre-exported parquet: tail the change log, then cut training
-        corpora from any snapshot (`epoch` = time travel, so a corpus cut
-        is reproducible against a pinned snapshot while ingest continues).
+        corpora from any snapshot (`epoch` = time travel — a number or a
+        TAG NAME, so a corpus cut is reproducible against a pinned
+        snapshot while ingest continues and expiration reclaims the rest).
 
         doc_id = xxhash64(repo, path): deterministic, computed map-side,
         and stable across epochs for the same key — cluster ids and
@@ -703,10 +795,11 @@ class LakeTable:
         self,
         spark: SparkSession,
         target_version: int | None = None,
-        epoch: int | None = None,
+        epoch: int | str | None = None,
     ) -> DataFrame:
         """The merged current state (live rows only) — what a user queries.
-        `epoch` selects a historical snapshot (time travel).
+        `epoch` selects a historical snapshot (time travel) — an epoch
+        number or a tag name.
 
         Copy-on-write snapshots hold one row per key, so this is a pure
         scan. A LAYERED (merge-on-read) snapshot holds one row per key PER
@@ -716,7 +809,11 @@ class LakeTable:
         once and clears the flag). Tombstone filtering runs AFTER
         resolution: a tombstone layer must hide older live layers, never
         the reverse."""
-        manifest = self.manifest(epoch) if epoch is not None else self.current_manifest()
+        manifest = (
+            self.manifest(self.resolve_ref(epoch))
+            if epoch is not None
+            else self.current_manifest()
+        )
         ver = target_version or (manifest["schema_version"] if manifest else reg.LATEST_VERSION)
         df = self.read_resolved(spark, None, ver, manifest=manifest)
         return df.where(~F.col("is_deleted")).drop("is_deleted")
@@ -754,6 +851,12 @@ class LakeTable:
             return None
         lease = self.acquire_writer_lease("compact")
         try:
+            # re-read under the lease (same discipline as rollback): the
+            # pre-lease read is only a cheap early-out, and compacting a
+            # stale snapshot would commit against a superseded epoch number
+            m = self.current_manifest()
+            if m is None or not m.get("layered"):
+                return None
             return self._compact_locked(spark, m, tombstone_horizon_lsn)
         finally:
             self.release_writer_lease(lease)
@@ -777,6 +880,9 @@ class LakeTable:
             return self._compact_locked(spark, m, None)
         lease = self.acquire_writer_lease("auto-compact")
         try:
+            m = self.current_manifest()  # re-read under the lease
+            if m is None or not m.get("layered"):
+                return None
             return self._compact_locked(spark, m, None)
         finally:
             self.release_writer_lease(lease)
@@ -909,6 +1015,7 @@ class LakeTable:
         log,
         from_epoch: int,
         to_epoch: int | None = None,
+        include_before: bool = False,
     ) -> DataFrame:
         """Incremental scan (Iceberg `incremental read` analog): the NET
         change between two committed snapshots, as one row per key touched
@@ -947,6 +1054,18 @@ class LakeTable:
           (seq_hi(to), seq_hi(from)] and keys live at `from_epoch` that have
           NO row at `to_epoch` (they never existed there, so no tombstone
           records them) are emitted as `change='delete'` with NULL payload.
+
+        ``include_before=True`` is the CHANGELOG view (Iceberg
+        `create_changelog_view` parity): `change` refines to
+        'insert'/'update'/'delete' against the key's live row at
+        `from_epoch`, and every row carries the pre-image identity columns
+        `prev_lsn` / `prev_content_sha256` (NULL on inserts). Deletes of
+        keys that were NOT live at `from_epoch` are dropped — they would be
+        no-ops for any consumer that applied `from_epoch` (the plain
+        two-kind view keeps them, favoring idempotent-apply simplicity).
+        Cost: ONE extra bounded read — the from-snapshot's touched buckets
+        semi-joined to the same window key set; still proportional to
+        touched keys, never to the table.
         """
         m_from = self.manifest(from_epoch)
         m_to = (
@@ -982,26 +1101,51 @@ class LakeTable:
         )
         build = F.broadcast(keys) if n_keys <= BROADCAST_KEYS_MAX else keys
         rows = state.join(build, ["repo", "path"], "left_semi")
-        out = rows.withColumn(
-            "change", F.when(F.col("is_deleted"), F.lit("delete")).otherwise(F.lit("upsert"))
-        ).drop("is_deleted")
+        prev = None
+        if include_before or backward:
+            # the from-snapshot's touched buckets, hashed under the FROM
+            # layout (post-rebucket diffs must not prune the wrong files)
+            n_f = int(m_from.get("n_buckets", self.n_buckets))
+            touched_f = sorted(
+                r["b"]
+                for r in keys.select(bucket_col(n_f).alias("b")).distinct().collect()
+            )
+            prev = (
+                self.read_resolved(
+                    spark, touched_f, m_from["schema_version"], manifest=m_from
+                )
+                .where(~F.col("is_deleted"))
+                .join(build, ["repo", "path"], "left_semi")
+                .select(
+                    "repo",
+                    "path",
+                    F.col("lsn").alias("prev_lsn"),
+                    F.col("content_sha256").alias("prev_content_sha256"),
+                )
+            )
+        if include_before:
+            out = (
+                rows.join(prev, ["repo", "path"], "left")
+                # a delete of a key the from-consumer never had live is a
+                # no-op for it — the changelog view drops those rows
+                .where(~F.col("is_deleted") | F.col("prev_lsn").isNotNull())
+                .withColumn(
+                    "change",
+                    F.when(F.col("is_deleted"), F.lit("delete"))
+                    .when(F.col("prev_lsn").isNull(), F.lit("insert"))
+                    .otherwise(F.lit("update")),
+                )
+                .drop("is_deleted")
+            )
+        else:
+            out = rows.withColumn(
+                "change",
+                F.when(F.col("is_deleted"), F.lit("delete")).otherwise(F.lit("upsert")),
+            ).drop("is_deleted")
         if not backward:
             return out
-        # rollback crossed: keys live at `from` with no row at `to` vanish —
-        # same touched-key bound, buckets hashed under the FROM layout
-        n_f = int(m_from.get("n_buckets", self.n_buckets))
-        touched_f = sorted(
-            r["b"]
-            for r in keys.select(bucket_col(n_f).alias("b")).distinct().collect()
-        )
-        from_live = (
-            self.read_resolved(
-                spark, touched_f, m_from["schema_version"], manifest=m_from
-            )
-            .where(~F.col("is_deleted"))
-            .select("repo", "path")
-        )
-        gone = from_live.join(build, ["repo", "path"], "left_semi").join(
+        # rollback crossed: keys live at `from` with no row at `to` vanish
+        gone = prev.select("repo", "path").join(
             state.select("repo", "path"), ["repo", "path"], "left_anti"
         )
         vanish = gone.select(
@@ -1010,10 +1154,14 @@ class LakeTable:
             *[
                 F.lit(None).cast(f.dataType).alias(f.name)
                 for f in out.schema
-                if f.name not in ("repo", "path", "change")
+                if f.name not in ("repo", "path", "change", "prev_lsn", "prev_content_sha256")
             ],
             F.lit("delete").alias("change"),
         )
+        if include_before:
+            # vanish keys are live at `from` by construction — carry their
+            # pre-image instead of NULLs
+            vanish = vanish.join(prev, ["repo", "path"], "left")
         return out.unionByName(vanish)
 
     def _lineage_epochs(self, to_epoch: int, from_epoch: int) -> list[int]:

@@ -10,9 +10,10 @@ Usage:
         [--embedding-pairs exact|lsh]
 
     # or cut the corpus DIRECTLY from a CDC-ingested lake (time-travel
-    # with --lake-epoch for a reproducible cut against a pinned snapshot):
+    # with --lake-epoch — a number or tag name — for a reproducible cut;
+    # --snapshot-tag pins the snapshot read against expire_snapshots):
     spark-submit jobs/corpus.py --lake /data/lake --out /data/corpus_out \
-        [--lake-epoch N]
+        [--lake-epoch N|TAG] [--snapshot-tag NAME]
 
 Writes under --out:
     clusters/           (cluster_id, doc_id) near-dup components
@@ -46,8 +47,12 @@ def main() -> None:
     src.add_argument("--docs", default=None)
     src.add_argument("--lake", default=None,
                      help="cut the corpus from a CDC lake's live state")
-    p.add_argument("--lake-epoch", type=int, default=None,
-                   help="time-travel snapshot to cut from (default: current)")
+    p.add_argument("--lake-epoch", default=None,
+                   help="time-travel snapshot to cut from — an epoch number "
+                        "or a tag name (default: current)")
+    p.add_argument("--snapshot-tag", default=None,
+                   help="tag the snapshot this cut reads (pins it against "
+                        "expire_snapshots, so the cut stays reproducible)")
     p.add_argument("--out", required=True)
     p.add_argument("--embeddings", default=None)
     p.add_argument("--threshold", type=float, default=0.8)
@@ -67,7 +72,17 @@ def main() -> None:
     if args.lake:
         from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
 
-        docs = LakeTable(args.lake).read_documents(spark, epoch=args.lake_epoch)
+        lake = LakeTable(args.lake)
+        epoch = args.lake_epoch
+        if args.snapshot_tag is not None:
+            # pin the snapshot being read so the cut stays reproducible:
+            # default target is the CURRENT epoch, resolved once so the tag
+            # and the read cannot straddle a concurrent commit
+            epoch = lake.create_tag(
+                args.snapshot_tag,
+                lake.resolve_ref(epoch) if epoch is not None else None,
+            )
+        docs = lake.read_documents(spark, epoch=epoch)
     else:
         docs = spark.read.parquet(args.docs)
     out: dict = {"docs_in": docs.count()}

@@ -3,14 +3,16 @@ operational surface).
 
 Usage:
     spark-submit --master local[32] jobs/maintain.py --lake-root /tmp/lake \
-        [--rollback-to E] [--compact] [--tombstone-horizon-lsn N] \
+        [--tag NAME [--tag-at E]] [--drop-tag NAME] \
+        [--rollback-to E|TAG] [--compact] [--tombstone-horizon-lsn N] \
         [--expire-keep-last K] [--rebucket N] [--vacuum-orphans-grace SEC]
 
-Order when combined: rollback -> compact -> rebucket -> expire -> vacuum
-(rollback first so maintenance operates on the restored state; compaction
+Order when combined: tag -> drop-tag -> rollback -> compact -> rebucket ->
+expire -> vacuum (pins are adjusted first so expiration honors them;
+rollback next so maintenance operates on the restored state; compaction
 before expiration so it can reclaim superseded layers; rebucket on the
 compacted state; orphan vacuum last so it sees the post-expire reference
-set).
+set). `--rollback-to` accepts an epoch number or a tag name.
 Prints one JSON line describing what ran.
 """
 
@@ -30,9 +32,16 @@ from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--lake-root", required=True)
-    p.add_argument("--rollback-to", type=int, default=None,
-                   help="make retained snapshot E current again "
-                        "(metadata-only; replay resumes from E's offsets)")
+    p.add_argument("--tag", default=None,
+                   help="pin a snapshot against expiration under this name "
+                        "(default target: the current snapshot)")
+    p.add_argument("--tag-at", type=int, default=None,
+                   help="epoch --tag should pin (must be committed)")
+    p.add_argument("--drop-tag", default=None,
+                   help="remove a tag; its snapshot becomes expirable again")
+    p.add_argument("--rollback-to", default=None,
+                   help="make retained snapshot E (or tag NAME) current "
+                        "again (metadata-only; replay resumes from there)")
     p.add_argument("--compact", action="store_true")
     p.add_argument("--tombstone-horizon-lsn", type=int, default=None)
     p.add_argument("--expire-keep-last", type=int, default=None)
@@ -47,11 +56,15 @@ def main() -> None:
     ship_engine_package(spark)
     lake = LakeTable(args.lake_root)
     out: dict = {"lake": args.lake_root, "n_buckets": lake.n_buckets}
+    if args.tag is not None:
+        out["tagged"] = {"name": args.tag, "epoch": lake.create_tag(args.tag, args.tag_at)}
+    if args.drop_tag is not None:
+        out["dropped_tag"] = {"name": args.drop_tag, "epoch": lake.drop_tag(args.drop_tag)}
     if args.rollback_to is not None:
-        rb = lake.rollback(args.rollback_to)
+        rb = lake.rollback(lake.resolve_ref(args.rollback_to))
         out["rolled_back"] = {
             "epoch": rb["epoch"],
-            "to": rb["counts"].get("rolled_back_to", args.rollback_to),
+            "to": rb["counts"].get("rolled_back_to"),
         }
     if args.compact:
         cm = lake.compact(spark, tombstone_horizon_lsn=args.tombstone_horizon_lsn)

@@ -111,3 +111,87 @@ def test_read_changes_forward_past_a_rollback_self_heal(spark, tmp_path):
     ch = lake.read_changes(spark, EventLog(d), rb["epoch"]).toPandas()
     assert not ch["lsn"].isna().any(), "forward diff: no vanish rows"
     pd.testing.assert_frame_equal(_bridge(s_target, ch), _sorted(s_head))
+
+
+def _bridge_changelog(s_from: pd.DataFrame, ch: pd.DataFrame) -> pd.DataFrame:
+    """Apply a CHANGELOG set: inserts/updates replace, deletes drop."""
+    keys = ch[["repo", "path"]]
+    survivors = s_from.merge(keys, on=["repo", "path"], how="left", indicator=True)
+    survivors = survivors[survivors["_merge"] == "left_only"][COLS]
+    ups = ch[ch["change"].isin(["insert", "update"])][COLS]
+    ups = ups.assign(lsn=ups["lsn"].astype("int64"))
+    return (
+        pd.concat([survivors, ups], ignore_index=True)
+        .sort_values(["repo", "path"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_changelog_kinds_and_before_images(spark, tmp_path):
+    """include_before=True refines change kinds against the from-snapshot's
+    live rows and carries pre-images: updates name the exact previous
+    (lsn, sha) the consumer holds, inserts carry NULLs, deletes of
+    never-live keys are dropped, and the bridge property still holds."""
+    d = str(tmp_path / "log")
+    gen.build_stream(4_000, 4, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+
+    s0 = engine_live_pdf(spark, root, epoch=0)[COLS]
+    ch = lake.read_changes(spark, EventLog(d), 0, include_before=True).toPandas()
+
+    assert set(ch["change"]) <= {"insert", "update", "delete"}
+    prev = s0.rename(
+        columns={"lsn": "prev_lsn", "content_sha256": "prev_content_sha256"}
+    )
+    merged = ch.merge(prev, on=["repo", "path"], how="left", suffixes=("", "_s0"))
+    ins = merged[merged["change"] == "insert"]
+    upd = merged[merged["change"] == "update"]
+    del_ = merged[merged["change"] == "delete"]
+    assert len(ins) and len(upd) and len(del_), "fixture covers all kinds"
+    # inserts: key not live at from, no pre-image
+    assert ins["prev_lsn_s0"].isna().all() and ins["prev_lsn"].isna().all()
+    # updates/deletes: pre-image equals the from-snapshot's live row exactly
+    for part in (upd, del_):
+        assert part["prev_lsn_s0"].notna().all()
+        assert (part["prev_lsn"] == part["prev_lsn_s0"]).all()
+        assert (
+            part["prev_content_sha256"] == part["prev_content_sha256_s0"]
+        ).all()
+
+    s_head = engine_live_pdf(spark, root)[COLS]
+    pd.testing.assert_frame_equal(_bridge_changelog(s0, ch), _sorted(s_head))
+
+    # the two-kind view's rows are a superset: the changelog drops only
+    # deletes of keys the consumer never had live
+    plain = lake.read_changes(spark, EventLog(d), 0).toPandas()
+    dropped = plain.merge(
+        ch[["repo", "path"]], on=["repo", "path"], how="left", indicator=True
+    )
+    dropped = dropped[dropped["_merge"] == "left_only"]
+    assert (dropped["change"] == "delete").all()
+
+
+def test_changelog_across_rollback_carries_before_images(spark, tmp_path):
+    """Backward (rollback-crossing) changelog: vanish rows are deletes WITH
+    the pre-image the consumer holds, and the bridge reaches the target."""
+    d = str(tmp_path / "log")
+    gen.build_stream(4_000, 4, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+
+    s_from = engine_live_pdf(spark, root, epoch=3)[COLS]
+    s_target = engine_live_pdf(spark, root, epoch=1)[COLS]
+    rb = lake.rollback(1)
+
+    ch = lake.read_changes(
+        spark, EventLog(d), 3, to_epoch=rb["epoch"], include_before=True
+    ).toPandas()
+    vanished = ch[ch["lsn"].isna()]
+    assert len(vanished) > 0
+    assert (vanished["change"] == "delete").all()
+    # vanish keys were live at `from`: their pre-image must be attached
+    assert vanished["prev_lsn"].notna().all()
+    pd.testing.assert_frame_equal(_bridge_changelog(s_from, ch), _sorted(s_target))

@@ -1,0 +1,113 @@
+"""Named snapshot refs (Iceberg tag analog): a tag pins a snapshot —
+manifest AND data files — against `expire_snapshots`, time travel by tag
+name reproduces the pinned state bit-for-bit after everything untagged
+around it is reclaimed, and dropping the tag makes the snapshot expirable
+again. The retention contract that makes a corpus cut reproducible."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_live_pdf
+
+E = 3_000
+N_EPOCHS = 3
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("refs_stream")
+    gen.build_stream(E, N_EPOCHS, str(d))
+    return str(d)
+
+
+def _files_of(lake: LakeTable, epoch: int) -> set[str]:
+    return {
+        e["path"]
+        for entries in lake.manifest(epoch)["buckets"].values()
+        for e in entries
+    }
+
+
+def test_tag_pins_snapshot_through_expiration(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    assert lake.committed_epochs() == [0, 1, 2]
+
+    pinned = lake.create_tag("corpus-cut", 0)
+    assert pinned == 0
+    at_tag = engine_live_pdf(spark, root, epoch=0)
+    tag_files = _files_of(lake, 0)
+
+    res = lake.expire_snapshots(keep_last=1)
+    # epoch 1 drops; epoch 0 (tagged) and 2 (current) survive
+    assert res["manifests_dropped"] == 1
+    assert lake.committed_epochs() == [0, 2]
+    for rel in tag_files:
+        assert os.path.exists(os.path.join(root, rel)), rel
+
+    # time travel BY TAG NAME reproduces the pinned state exactly,
+    # and vacuum never touches the tagged snapshot's files
+    lake.vacuum_orphans(grace_seconds=0.0)
+    after = engine_live_pdf(spark, root, epoch="corpus-cut")
+    assert after.equals(at_tag)
+
+
+def test_drop_tag_makes_snapshot_expirable(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    lake.create_tag("pin", 0)
+    lake.expire_snapshots(keep_last=1)
+    assert 0 in lake.committed_epochs()
+
+    assert lake.drop_tag("pin") == 0
+    assert lake.drop_tag("pin") is None  # idempotent
+    lake.expire_snapshots(keep_last=1)
+    assert lake.committed_epochs() == [2]
+    # files only epoch 0 referenced are reclaimed
+    head_files = _files_of(lake, 2)
+    for bdir in ("data",):
+        for dirpath, _, files in os.walk(os.path.join(root, bdir)):
+            for f in files:
+                rel = os.path.relpath(os.path.join(dirpath, f), root)
+                if f.endswith(".parquet"):
+                    assert rel in head_files, rel
+
+
+def test_tag_validation_and_resolve(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+
+    # default target = current snapshot
+    assert lake.create_tag("head") == 2
+    assert lake.create_tag("head", 2) == 2  # same-epoch re-tag is idempotent
+    with pytest.raises(ValueError, match="already pins"):
+        lake.create_tag("head", 1)  # silent retarget would un-pin readers
+    with pytest.raises(ValueError, match="not a committed"):
+        lake.create_tag("future", 99)
+    with pytest.raises(ValueError, match="unknown tag"):
+        lake.resolve_ref("nope")
+    assert lake.resolve_ref("head") == 2
+    assert lake.resolve_ref(1) == 1
+    assert lake.resolve_ref("1") == 1  # CLI surfaces pass strings through
+
+
+def test_rollback_to_tag_restores_pinned_state(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    lake.create_tag("known-good", 1)
+    at_tag = engine_live_pdf(spark, root, epoch=1)
+
+    rb = lake.rollback(lake.resolve_ref("known-good"))
+    assert rb["counts"]["rolled_back_to"] == 1
+    assert engine_live_pdf(spark, root).equals(at_tag)
