@@ -1,0 +1,81 @@
+"""spark-submit entry point: export the incremental scan / changelog — the
+downstream-consumer surface of `LakeTable.read_changes` (one row per key
+touched between two snapshots; a consumer that applied `--from-epoch`
+reaches `--to-epoch` by applying exactly these rows).
+
+Usage:
+    spark-submit --master local[32] jobs/changes.py \
+        --lake-root /tmp/lake --log-dir /tmp/log \
+        --from-epoch E_OR_TAG [--to-epoch E_OR_TAG] \
+        [--changelog] --out /tmp/changes_out
+
+``--changelog`` switches to the before-image view (Iceberg
+`create_changelog_view` parity): `change` in insert/update/delete plus
+`prev_lsn`/`prev_content_sha256` pre-image columns. Refs: both epoch args
+accept tag names. Prints one JSON line with per-kind row counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_package  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--lake-root", required=True)
+    p.add_argument("--log-dir", required=True)
+    p.add_argument("--from-epoch", required=True,
+                   help="snapshot the consumer has applied (epoch or tag)")
+    p.add_argument("--to-epoch", default=None,
+                   help="snapshot to reach (epoch or tag; default current)")
+    p.add_argument("--changelog", action="store_true",
+                   help="before-image view: insert/update/delete + pre-image")
+    p.add_argument("--out", required=True)
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    spark = build_session(app_name="cdc-changes", master=args.master)
+    ship_engine_package(spark)
+    lake = LakeTable(args.lake_root)
+    ch = lake.read_changes(
+        spark,
+        EventLog(args.log_dir),
+        from_epoch=lake.resolve_ref(args.from_epoch),
+        to_epoch=(
+            lake.resolve_ref(args.to_epoch) if args.to_epoch is not None else None
+        ),
+        include_before=args.changelog,
+    )
+    ch.write.mode("overwrite").parquet(args.out)
+    from pyspark.sql import functions as F
+
+    kinds = {
+        r["change"]: r["n"]
+        for r in spark.read.parquet(args.out)
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(json.dumps({
+        "lake": args.lake_root,
+        "from": args.from_epoch,
+        "to": args.to_epoch,
+        "view": "changelog" if args.changelog else "upsert",
+        "rows": int(sum(kinds.values())),
+        "by_change": kinds,
+        "out": args.out,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
