@@ -1326,6 +1326,36 @@ class LakeTable:
                 "lsn_hi long, schema_version int, committed_at string",
             ).createOrReplaceTempView(name)
             views.append(name)
+        # Iceberg metadata-table parity: `<table>.snapshots` (manifest
+        # history with the commit kind and its counts) and `<table>.refs`
+        # (tags). Driver-side metadata only — O(retained snapshots).
+        snaps = [
+            (
+                ep,
+                (m.get("counts") or {}).get("mode", "append"),
+                bool(m.get("layered", False)),
+                int(m.get("n_buckets", self.n_buckets)),
+                m["committed_at"],
+                json.dumps(m.get("counts") or {}, sort_keys=True),
+            )
+            for ep in self.committed_epochs()
+            for m in (self.manifest(ep),)
+        ]
+        if snaps:
+            name = f"{prefix}_snapshots"
+            spark.createDataFrame(
+                snaps,
+                "epoch long, mode string, layered boolean, n_buckets int, "
+                "committed_at string, counts_json string",
+            ).createOrReplaceTempView(name)
+            views.append(name)
+        tags = sorted(self.refs()["tags"].items())
+        if tags:
+            name = f"{prefix}_refs"
+            spark.createDataFrame(
+                [(t, int(e)) for t, e in tags], "tag string, epoch long"
+            ).createOrReplaceTempView(name)
+            views.append(name)
         return views
 
     def checkpoint_rows(self) -> list[dict]:

@@ -441,3 +441,24 @@ def test_sql_facade(spark, tmp_path):
         "SELECT sum(n_events) AS n FROM cdc_lineage"
     ).first()
     assert lin["n"] == 1_000
+
+
+def test_sql_facade_metadata_tables(spark, tmp_path):
+    """Iceberg metadata-table parity in the SQL facade: `cdc_snapshots`
+    carries the commit kind per manifest, `cdc_refs` the tags."""
+    d = str(tmp_path / "log")
+    gen.build_stream(1_000, 2, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4)
+    lake = LakeTable(root)
+    lake.create_tag("released", 0)
+    views = lake.register_views(spark)
+    assert "cdc_snapshots" in views and "cdc_refs" in views
+
+    snaps = spark.sql(
+        "SELECT epoch, mode, layered FROM cdc_snapshots ORDER BY epoch"
+    ).collect()
+    assert [r["epoch"] for r in snaps] == [0, 1]
+    assert all(not r["layered"] for r in snaps)
+    ref = spark.sql("SELECT tag, epoch FROM cdc_refs").first()
+    assert ref["tag"] == "released" and ref["epoch"] == 0
