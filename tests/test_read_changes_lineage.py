@@ -195,3 +195,47 @@ def test_changelog_across_rollback_carries_before_images(spark, tmp_path):
     # vanish keys were live at `from`: their pre-image must be attached
     assert vanished["prev_lsn"].notna().all()
     pd.testing.assert_frame_equal(_bridge_changelog(s_from, ch), _sorted(s_target))
+
+
+def test_bridge_property_over_maintenance_heavy_history(spark, tmp_path):
+    """The bridge contract, exhaustively over a history that interleaves
+    every maintenance op: MOR ingest -> compact -> more ingest -> rebucket
+    -> rollback -> self-heal. For a wide sample of ordered snapshot pairs
+    (forward, backward, and maintenance-only windows) BOTH views must
+    bridge exactly: the two-kind view via upsert/delete, the changelog via
+    insert/update/delete."""
+    d = str(tmp_path / "log")
+    gen.build_stream(4_000, 4, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8, max_epochs=2, mode="mor")
+    lake = LakeTable(root, n_buckets=8)
+    lake.compact(spark)
+    R.replay(spark, d, root, n_buckets=8, mode="mor")
+    lake.rebucket(spark, 16)
+    lake.rollback(2)
+    R.replay(spark, d, root, n_buckets=16, mode="mor")  # self-heal past head
+
+    log = EventLog(d)
+    epochs = lake.committed_epochs()
+    assert len(epochs) >= 7, epochs
+    states = {e: engine_live_pdf(spark, root, epoch=e)[COLS] for e in epochs}
+
+    head = epochs[-1]
+    pairs = (
+        [(a, b) for a, b in zip(epochs, epochs[1:])]  # every adjacent step
+        + [(epochs[0], e) for e in epochs[2:]]        # from genesis
+        + [(head, e) for e in epochs[:-1]]            # backward from head
+    )
+    for f, t in dict.fromkeys(pairs):
+        ch = lake.read_changes(spark, log, f, to_epoch=t).toPandas()
+        pd.testing.assert_frame_equal(
+            _bridge(states[f], ch), _sorted(states[t]),
+            obj=f"bridge {f}->{t}",
+        )
+        cl = lake.read_changes(
+            spark, log, f, to_epoch=t, include_before=True
+        ).toPandas()
+        pd.testing.assert_frame_equal(
+            _bridge_changelog(states[f], cl), _sorted(states[t]),
+            obj=f"changelog bridge {f}->{t}",
+        )
