@@ -270,6 +270,49 @@ class LakeTable:
     def _refs_path(self) -> str:
         return os.path.join(self.root, "_refs.json")
 
+    def _refs_lock(self):
+        """Short mutex for the refs read-modify-write. Tags are created by
+        CONSUMERS (a corpus cut pinning the snapshot it reads) concurrent
+        with the single writer and with each other, so unlike manifests the
+        refs file cannot lean on the writer lease: two concurrent
+        `create_tag` calls would lose one update, and `expire_snapshots`
+        deciding its drop set while a tag lands would expire a
+        just-pinned snapshot. O_EXCL lock file, stale-stolen after 60 s
+        (holders do milliseconds of work; a steal implies a crashed
+        holder)."""
+        import contextlib
+        import time as _time
+
+        lock = self._refs_path + ".lock"
+
+        @contextlib.contextmanager
+        def _held():
+            deadline = _time.time() + 30.0
+            while True:
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        if _time.time() - os.lstat(lock).st_mtime > 60.0:
+                            os.unlink(lock)  # crashed holder
+                            continue
+                    except FileNotFoundError:
+                        continue
+                    if _time.time() > deadline:
+                        raise TimeoutError(f"refs lock busy: {lock}") from None
+                    _time.sleep(0.05)
+            try:
+                yield
+            finally:
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+
+        return _held()
+
     def refs(self) -> dict:
         """{"tags": {name: epoch}} — empty when no ref was ever created."""
         try:
@@ -305,23 +348,31 @@ class LakeTable:
             epoch = m["epoch"]
         if not self.has_epoch(epoch):
             raise ValueError(f"cannot tag epoch {epoch}: not a committed snapshot")
-        refs = self.refs()
-        held = refs["tags"].get(name)
-        if held is not None and held != epoch:
-            raise ValueError(
-                f"tag {name!r} already pins epoch {held}; drop it first to retarget"
-            )
-        refs["tags"][name] = epoch
-        self._write_refs(refs)
+        with self._refs_lock():
+            refs = self.refs()
+            held = refs["tags"].get(name)
+            if held is not None and held != epoch:
+                raise ValueError(
+                    f"tag {name!r} already pins epoch {held}; drop it first to retarget"
+                )
+            # re-check under the lock: a concurrent expire may have dropped
+            # the target between the unlocked check and here
+            if not self.has_epoch(epoch):
+                raise ValueError(
+                    f"cannot tag epoch {epoch}: not a committed snapshot"
+                )
+            refs["tags"][name] = epoch
+            self._write_refs(refs)
         return epoch
 
     def drop_tag(self, name: str) -> int | None:
         """Remove a tag; the snapshot becomes expirable again. Returns the
         epoch it pinned (None if the tag did not exist — idempotent)."""
-        refs = self.refs()
-        epoch = refs["tags"].pop(name, None)
-        if epoch is not None:
-            self._write_refs(refs)
+        with self._refs_lock():
+            refs = self.refs()
+            epoch = refs["tags"].pop(name, None)
+            if epoch is not None:
+                self._write_refs(refs)
         return epoch
 
     def resolve_ref(self, ref: int | str) -> int:
@@ -476,21 +527,28 @@ class LakeTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1 (the current snapshot)")
         epochs = self.committed_epochs()
-        pinned = {int(e) for e in self.refs()["tags"].values()}
-        keep = sorted(set(epochs[-keep_last:]) | (pinned & set(epochs)))
-        drop = [e for e in epochs if e not in set(keep)]
-        if not drop:
-            return {"manifests_dropped": 0, "files_deleted": 0}
-        referenced = set()
-        for ep in keep:
-            for entries in self.manifest(ep)["buckets"].values():
-                referenced.update(e["path"] for e in entries)
-        candidates = set()
-        for ep in drop:
-            for entries in self.manifest(ep)["buckets"].values():
-                candidates.update(e["path"] for e in entries)
-        for ep in drop:
-            os.unlink(os.path.join(self.manifests_dir, f"manifest-{ep:06d}.json"))
+        # the refs lock spans pin-read -> manifest unlink (the visibility
+        # point): a tag landing concurrently either pins before the read or
+        # finds its target already gone and raises — never a silently
+        # expired pin
+        with self._refs_lock():
+            pinned = {int(e) for e in self.refs()["tags"].values()}
+            keep = sorted(set(epochs[-keep_last:]) | (pinned & set(epochs)))
+            drop = [e for e in epochs if e not in set(keep)]
+            if not drop:
+                return {"manifests_dropped": 0, "files_deleted": 0}
+            referenced = set()
+            for ep in keep:
+                for entries in self.manifest(ep)["buckets"].values():
+                    referenced.update(e["path"] for e in entries)
+            candidates = set()
+            for ep in drop:
+                for entries in self.manifest(ep)["buckets"].values():
+                    candidates.update(e["path"] for e in entries)
+            for ep in drop:
+                os.unlink(
+                    os.path.join(self.manifests_dir, f"manifest-{ep:06d}.json")
+                )
         n_deleted = 0
         for rel in sorted(candidates - referenced):
             full = os.path.join(self.root, rel)

@@ -111,3 +111,36 @@ def test_rollback_to_tag_restores_pinned_state(spark, stream_dir, tmp_path):
     rb = lake.rollback(lake.resolve_ref("known-good"))
     assert rb["counts"]["rolled_back_to"] == 1
     assert engine_live_pdf(spark, root).equals(at_tag)
+
+
+def test_concurrent_taggers_lose_no_update(spark, stream_dir, tmp_path):
+    """Tags are created by CONSUMERS concurrent with each other (corpus
+    cuts pinning their snapshots) — the refs lock must serialize the
+    read-modify-write so no tag is lost."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    names = [f"cut-{i}" for i in range(8)]
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(lambda n: lake.create_tag(n, 1), names))
+    assert set(lake.refs()["tags"]) == set(names)
+    assert all(e == 1 for e in lake.refs()["tags"].values())
+
+
+def test_refs_lock_steals_stale_holder(spark, stream_dir, tmp_path):
+    """A crashed tagger's lock file must not wedge the refs forever: locks
+    older than the steal horizon are reclaimed."""
+    import os as _os
+
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    lock = lake._refs_path + ".lock"
+    with open(lock, "w"):
+        pass
+    t = _os.lstat(lock).st_mtime - 3600
+    _os.utime(lock, (t, t))
+    assert lake.create_tag("pin", 0) == 0  # steals, does not time out
+    assert not _os.path.exists(lock)
