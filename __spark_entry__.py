@@ -189,6 +189,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_token_stats"] = lambda s, d: TS.token_stats(_t(s, d, "documents"))
     q["text_quality_score"] = lambda s, d: TS.quality_score(_t(s, d, "documents"))
     q["text_lang_id"] = lambda s, d: TS.lang_id(_t(s, d, "documents"))
+    # decontamination probe: benchmark = every 37th doc (deterministic,
+    # SQL-expressible stand-in for an eval set)
+    q["text_decontaminate"] = lambda s, d: D.benchmark_overlap(
+        _t(s, d, "documents"),
+        _t(s, d, "documents").where(F.col("doc_id") % 37 == 0),
+    )
+    q["corpus_stratified_sample"] = lambda s, d: TS.stratified_sample(
+        _t(s, d, "documents"), {"en": 0.2, "fr": 0.5, "de": 1.0}
+    ).select("doc_id", "lang")
 
     # ---- multimodal plumbing (Arrow mapInPandas over binary payloads) ----
     q["mm_binary_metadata"] = lambda s, d: MM.media_metadata_sql_checkable(
@@ -484,6 +493,23 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_a, doc_b, round(sh_n * 1.0 / (sa.n_sh + sb.n_sh - sh_n), 3) AS jaccard "
         "FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
         "WHERE round(sh_n * 1.0 / (sa.n_sh + sb.n_sh - sh_n), 3) >= 0.8"
+    )
+    o["text_decontaminate"] = (
+        f"WITH sh AS ({_DDB_SHINGLES}), "
+        "bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
+        "shared AS (SELECT s.doc_id, count(*) AS n_shared FROM sh s "
+        "  JOIN bench b ON s.g = b.g GROUP BY 1) "
+        "SELECT z.doc_id, z.n_sh, coalesce(h.n_shared, 0) AS n_shared, "
+        "round(coalesce(h.n_shared, 0) * 1.0 / z.n_sh, 3) AS overlap "
+        "FROM sizes z LEFT JOIN shared h ON z.doc_id = h.doc_id"
+    )
+    o["corpus_stratified_sample"] = (
+        "SELECT doc_id, lang FROM documents "
+        "WHERE (CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 10000) "
+        "< CASE lang WHEN 'en' THEN 2000 WHEN 'fr' THEN 5000 "
+        "WHEN 'de' THEN 10000 ELSE 0 END"
     )
     # universal-hash minhash: one md5 per shingle, 8 affine mixes mod 2^31-1
     # (constants shared with the Spark implementation via operators.dedup)

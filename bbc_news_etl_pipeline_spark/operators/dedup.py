@@ -361,6 +361,59 @@ def retained_corpus(
     return docs.join(losers, "doc_id", "left_anti")
 
 
+def benchmark_overlap(docs: DataFrame, benchmark: DataFrame, n: int = 3) -> DataFrame:
+    """Decontamination probe: per-document n-gram overlap against a
+    BENCHMARK/eval set — the step a training pipeline runs so eval data
+    does not leak into the corpus. Returns one row per document with a
+    shingle count, the count shared with the benchmark, and the overlap
+    fraction; the caller thresholds (`decontaminated_corpus`).
+
+    Scale shape: the benchmark side is an eval set — thousands of docs,
+    not terabytes — so its DISTINCT shingle set broadcasts; the corpus
+    side is one map-side semi-join + one groupBy(doc_id) with map-side
+    partial counts (the same single-shuffle shape as `exact_groups`).
+    Raw shingle STRINGS are joined (not xxhash64 like the all-pairs path):
+    the broadcast build side is small either way, and exact strings keep
+    the overlap count collision-free — the contract's DuckDB oracle
+    reproduces it verbatim.
+
+    Docs too short to yield a shingle (< n words) have no overlap defined
+    and are absent — same convention as `minhash_signatures`."""
+    sh = _shingles(docs, n)
+    bench = _shingles(benchmark, n).select("g").distinct()
+    shared = (
+        sh.join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        sizes.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        )
+        .withColumn("overlap", F.round(F.col("n_shared") / F.col("n_sh"), 3))
+    )
+
+
+def decontaminated_corpus(
+    docs: DataFrame, benchmark: DataFrame, max_overlap: float = 0.5, n: int = 3
+) -> DataFrame:
+    """The corpus with benchmark-contaminated documents removed: keep docs
+    whose shingle overlap with the benchmark stays UNDER `max_overlap`
+    (and docs too short to shingle — nothing to leak). One broadcast-able
+    anti-join against the (small) contaminated id set, the same keep
+    shape as `retained_corpus`."""
+    hot = (
+        benchmark_overlap(docs, benchmark, n)
+        .where(F.col("overlap") >= max_overlap)
+        .select("doc_id")
+    )
+    return docs.join(hot, "doc_id", "left_anti")
+
+
 def lsh_plane_params(
     n_vectors: int, n_bands: int = 4, target_bucket: int = 64
 ) -> tuple[int, int]:

@@ -93,6 +93,39 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return out.withColumn("agrees", (F.col("pred_lang") == F.col("lang")).cast("int"))
 
 
+def stratified_sample(
+    docs: DataFrame, rates: dict[str, float], salt: str = "strat:"
+) -> DataFrame:
+    """Deterministic per-stratum sampling — corpus construction's quota
+    step ("20% of en, 50% of fr, all of de"): keep a row iff its hash
+    bucket falls under its language's rate. Unlike `DataFrame.sample`,
+    membership is a PURE COLUMN PREDICATE of (salt, doc_id): map-only (no
+    shuffle, pushes to the scan), reproducible across runs/partitionings,
+    and stable under resampling with a different salt. The hash is the
+    md5-prefix bigint (the minhash base construction) so the DuckDB
+    oracle reproduces membership bit-for-bit; langs absent from `rates`
+    are dropped (rate 0).
+
+    At 100 TB this is the right sampling shape: no global count, no
+    coordination — every executor decides rows locally."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(10_000),
+    )
+    threshold = F.lit(0)
+    for lang, rate in sorted(rates.items()):
+        threshold = F.when(F.col("lang") == lang, F.lit(int(round(rate * 10_000)))).otherwise(
+            threshold
+        )
+    return docs.where(bucket < threshold)
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of canonicalized text (rolling-hash-class
     dedup key; see operators/dedup.fingerprint for the dedup use)."""

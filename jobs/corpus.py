@@ -55,6 +55,11 @@ def main() -> None:
                         "expire_snapshots, so the cut stays reproducible)")
     p.add_argument("--out", required=True)
     p.add_argument("--embeddings", default=None)
+    p.add_argument("--benchmark", default=None,
+                   help="eval-set parquet (doc_id, text); documents whose "
+                        "n-gram overlap with it reaches --max-overlap are "
+                        "dropped BEFORE dedup (decontamination)")
+    p.add_argument("--max-overlap", type=float, default=0.5)
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--cosine-threshold", type=float, default=0.45)
     p.add_argument("--hash-mode", choices=["portable", "fast"], default="portable")
@@ -86,6 +91,11 @@ def main() -> None:
     else:
         docs = spark.read.parquet(args.docs)
     out: dict = {"docs_in": docs.count()}
+
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        docs = D.decontaminated_corpus(docs, bench, max_overlap=args.max_overlap)
+        out["docs_after_decontamination"] = docs.count()
 
     pairs = D.near_dup_pairs_lsh(docs, threshold=args.threshold)
     clusters = D.duplicate_clusters(docs, pairs=pairs)

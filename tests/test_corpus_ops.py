@@ -1,0 +1,56 @@
+"""Corpus-construction operators: benchmark decontamination and
+deterministic stratified sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bbc_news_etl_pipeline_spark.operators import dedup as D
+from bbc_news_etl_pipeline_spark.operators import textstats as TS
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_benchmark_docs_self_overlap_fully(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    ov = D.benchmark_overlap(docs, bench).toPandas().set_index("doc_id")
+    bench_ids = [r["doc_id"] for r in bench.select("doc_id").collect()]
+    # a benchmark member's shingles are all in the benchmark set
+    assert all(ov.loc[i, "overlap"] == 1.0 for i in bench_ids if i in ov.index)
+    # overlap is a fraction of the doc's own shingles
+    assert ((ov["n_shared"] <= ov["n_sh"]) & (ov["overlap"] <= 1.0)).all()
+
+
+def test_decontaminated_corpus_drops_exactly_the_hot_docs(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    ov = D.benchmark_overlap(docs, bench).toPandas()
+    hot = set(ov[ov["overlap"] >= 0.5]["doc_id"])
+    assert hot, "fixture has contaminated docs (the benchmark members)"
+    kept = {
+        r["doc_id"]
+        for r in D.decontaminated_corpus(docs, bench, max_overlap=0.5)
+        .select("doc_id")
+        .collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - hot  # short un-shingleable docs stay
+
+
+def test_stratified_sample_is_deterministic_and_respects_strata(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = {"en": 0.2, "fr": 0.5, "de": 1.0}
+    a = TS.stratified_sample(docs, rates).toPandas()
+    b = TS.stratified_sample(docs.repartition(13), rates).toPandas()
+    # membership is a pure function of (salt, doc_id): partitioning-invariant
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # unlisted strata drop entirely; listed rates are honored in expectation
+    assert set(a["lang"]) <= set(rates)
+    n_by = a.groupby("lang").size()
+    full = docs.toPandas().groupby("lang").size()
+    assert n_by.get("de", 0) == full["de"]  # rate 1.0 keeps every row
+    assert 0 < n_by.get("en", 0) < full["en"]
+    # a different salt draws a different (deterministic) sample
+    c = TS.stratified_sample(docs, rates, salt="strat2:").toPandas()
+    assert sorted(c["doc_id"]) != sorted(a["doc_id"])
