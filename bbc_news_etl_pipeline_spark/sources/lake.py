@@ -43,6 +43,23 @@ from ..util import with_backoff
 
 _MANIFEST_RE = re.compile(r"manifest-(\d{6})\.json$")
 
+#: Parquet-native bloom filters on the merge-key columns, applied by every
+#: bucket writer (epoch write, compaction, rebucket). Iceberg's analog is its
+#: `write.parquet.bloom-filter-enabled` table property. The JVM scan consults
+#: blooms for pushed equality predicates automatically (row-group skip), so
+#: `read_key` point lookups and the elide-noops base probe prune row groups
+#: even where the sorted (repo, path) min/max bounds cannot — absent keys,
+#: and layered buckets whose ranges overlap. Adaptive sizing (parquet-mr
+#: 1.16) right-sizes each filter from the observed NDV, and a column that is
+#: fully dictionary-encoded (repo, within one bucket file) writes NO bloom —
+#: the dictionary page already gives exact filtering, so the overhead tracks
+#: only the high-cardinality column (~1 byte/row on path).
+PARQUET_BLOOM_OPTIONS = {
+    "parquet.bloom.filter.enabled#repo": "true",
+    "parquet.bloom.filter.enabled#path": "true",
+    "parquet.bloom.filter.adaptive.enabled": "true",
+}
+
 
 def bucket_generations(entries: list[dict]) -> int:
     """Distinct GENERATIONS in a bucket's manifest entry list — the true
@@ -236,11 +253,20 @@ class LakeTable:
         return sorted(out)
 
     def manifest(self, epoch: int) -> dict:
+        """Snapshot manifest by epoch. A STAGED (write-audit-publish)
+        manifest is returned when no committed one exists for the epoch, so
+        the whole read surface — `read_state(epoch=N)`, `read_documents`,
+        `read_changes(to_epoch=N)` — time-travels into a staged snapshot
+        for audit. Visibility is unchanged: `committed_epochs()` /
+        `current_manifest()` / `resume_point()` never see staged epochs."""
         def _read() -> dict:
-            with open(
-                os.path.join(self.manifests_dir, f"manifest-{epoch:06d}.json")
-            ) as f:
-                return json.load(f)
+            final = os.path.join(self.manifests_dir, f"manifest-{epoch:06d}.json")
+            try:
+                with open(final) as f:
+                    return json.load(f)
+            except FileNotFoundError:
+                with open(self._staged_manifest_path(epoch)) as f:
+                    return json.load(f)
 
         return with_backoff(_read)
 
@@ -388,6 +414,146 @@ class LakeTable:
         if epoch is None:
             raise ValueError(f"unknown tag {ref!r}")
         return int(epoch)
+
+    # ---------- write-audit-publish staging (Iceberg WAP analog) ----------
+    #
+    # The architecture makes staging nearly free: data files are invisible
+    # until the manifest rename, so a STAGED snapshot is just the manifest
+    # parked in `_staged/` instead of `_manifests/`. Iceberg's analog is
+    # `spark.wap.id` staged snapshots + `cherrypick_snapshot`; the
+    # reference's is its validation gate before publishing scraped batches
+    # (/root/reference/src/components/data_validation.py — validate, THEN
+    # load). Flow: `replay(..., stage=True)` stages the next pending epoch;
+    # auditors read it via time travel (`read_state(epoch=N)` falls back to
+    # the staged manifest) or diff it (`read_changes(to_epoch=N)`); then
+    # `publish_staged(N)` makes it the head atomically, or
+    # `discard_staged(N)` drops it. Publish is metadata-only (one hardlink)
+    # at any table size; a stale stage (the head moved — another commit,
+    # a rollback, a compaction) is refused, never silently applied over the
+    # wrong parent.
+
+    @property
+    def staged_dir(self) -> str:
+        return os.path.join(self.root, "_staged")
+
+    def _staged_manifest_path(self, epoch: int) -> str:
+        return os.path.join(self.staged_dir, f"manifest-{epoch:06d}.json")
+
+    def staged_epochs(self) -> list[int]:
+        out = []
+        for p in glob.glob(os.path.join(self.staged_dir, "manifest-*.json")):
+            m = _MANIFEST_RE.search(p)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def stage(self, manifest: dict) -> bool:
+        """Park a snapshot manifest in `_staged/` — same atomic temp+rename
+        discipline and the same idempotence fence as `commit`: False when
+        the epoch is already committed OR already staged (a re-delivered
+        stage run is skipped wholesale, like a re-delivered epoch)."""
+        epoch = manifest["epoch"]
+        if self.has_epoch(epoch):
+            return False
+        os.makedirs(self.staged_dir, exist_ok=True)
+        final = self._staged_manifest_path(epoch)
+        if os.path.exists(final):
+            return False
+        tmp = final + ".tmp"
+
+        def _write() -> None:
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+
+        with_backoff(_write)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            os.unlink(tmp)
+            return False
+        return True
+
+    def publish_staged(self, epoch: int) -> dict:
+        """Promote a staged snapshot to the committed head. Metadata-only —
+        one `os.link` of the staged manifest into `_manifests/` (atomic,
+        EEXIST-safe: it can never clobber a manifest a writer committed
+        concurrently, unlike rename) — so publish costs O(1) at any table
+        size. Refused (ValueError) when the head is no longer the staged
+        snapshot's parent: the staged manifest carries the parent's bucket
+        entries byte-for-byte, so publishing over a moved head would
+        resurrect superseded state. Idempotent across crashes: a crash
+        between link and unlink leaves both files hardlinked; the retry
+        detects the same inode and finishes the cleanup."""
+        staged = self._staged_manifest_path(epoch)
+        final = os.path.join(self.manifests_dir, f"manifest-{epoch:06d}.json")
+        if not os.path.exists(staged):
+            if self.has_epoch(epoch):
+                return {"published": False, "already_committed": True, "epoch": epoch}
+            raise ValueError(f"no staged snapshot for epoch {epoch}")
+        if self.has_epoch(epoch):
+            if os.path.samefile(staged, final):  # crashed publish: finish it
+                os.unlink(staged)
+                return {"published": False, "already_committed": True, "epoch": epoch}
+            raise ValueError(
+                f"epoch {epoch} was committed independently of the staged "
+                f"snapshot (a concurrent writer/rollback consumed the epoch "
+                f"number); discard_staged and re-stage"
+            )
+        committed = self.committed_epochs()
+        head = committed[-1] if committed else epoch - 1
+        if head != epoch - 1:
+            raise ValueError(
+                f"staged epoch {epoch} is stale: head moved to {head} since "
+                f"it was staged; discard_staged and re-stage on the new head"
+            )
+        try:
+            os.link(staged, final)
+        except FileExistsError:
+            raise ValueError(
+                f"epoch {epoch} was committed concurrently; discard_staged "
+                f"and re-stage"
+            ) from None
+        os.unlink(staged)
+        return {"published": True, "epoch": epoch}
+
+    def discard_staged(self, epoch: int) -> dict:
+        """Drop a staged snapshot: unlink the staged manifest, then delete
+        the epoch's OWN data files and sidecars (carried-forward entries
+        point at older committed epochs' files and are untouched). Safe by
+        the same rule as vacuum: nothing referenced by a committed manifest
+        is deleted. Idempotent."""
+        import shutil
+
+        staged = self._staged_manifest_path(epoch)
+        existed = os.path.exists(staged)
+        if existed:
+            os.unlink(staged)
+        n_files = 0
+        if not self.has_epoch(epoch):
+            referenced: set[str] = set()
+            for ep in self.committed_epochs():
+                for entries in self.manifest(ep)["buckets"].values():
+                    referenced.update(e["path"] for e in entries)
+            edir = self.epoch_data_dir(epoch)
+            prefix = f"data/e{epoch:06d}/"
+            if any(r.startswith(prefix) for r in referenced):
+                # defensive: some file under this epoch dir is shared with a
+                # committed snapshot (cannot happen through the engine's own
+                # paths) — delete file-by-file, keep what is referenced
+                for fp in glob.glob(os.path.join(edir, "bucket_p=*", "*")):
+                    if os.path.relpath(fp, self.root) not in referenced:
+                        os.unlink(fp)
+                        n_files += 1
+            else:
+                n_files = len(glob.glob(os.path.join(edir, "bucket_p=*", "*")))
+                shutil.rmtree(edir, ignore_errors=True)
+            for side in ("_lineage", "_metrics", "_quarantine", "_checkpoint"):
+                sdir = self.sidecar_dir(side, epoch)
+                if os.path.isdir(sdir):
+                    shutil.rmtree(sdir, ignore_errors=True)
+        return {"discarded": existed, "epoch": epoch, "files_deleted": n_files}
 
     # ---------- single-writer lease ----------
     #
@@ -653,7 +819,10 @@ class LakeTable:
         import time as _time
 
         referenced: set[str] = set()
-        committed = set(self.committed_epochs())
+        # staged (write-audit-publish) snapshots pin their files like
+        # committed ones: an audit can outlast any grace period, and the
+        # files only become visible via publish — never deletable debris
+        committed = set(self.committed_epochs()) | set(self.staged_epochs())
         for ep in committed:
             for entries in self.manifest(ep)["buckets"].values():
                 referenced.update(e["path"] for e in entries)
@@ -980,6 +1149,7 @@ class LakeTable:
                 .withColumn("bucket_p", F.col("bucket"))
                 .sortWithinPartitions("bucket_p", "repo", "path")
                 .write.mode("overwrite")
+                .options(**PARQUET_BLOOM_OPTIONS)
                 .partitionBy("bucket_p")
                 .parquet(self.epoch_data_dir(epoch))
             )
@@ -1314,6 +1484,7 @@ class LakeTable:
                 .withColumn("bucket_p", F.col("bucket"))
                 .sortWithinPartitions("bucket_p", "repo", "path")
                 .write.mode("overwrite")
+                .options(**PARQUET_BLOOM_OPTIONS)
                 .partitionBy("bucket_p")
                 .parquet(self.epoch_data_dir(epoch))
             )
@@ -1412,6 +1583,24 @@ class LakeTable:
             name = f"{prefix}_refs"
             spark.createDataFrame(
                 [(t, int(e)) for t, e in tags], "tag string, epoch long"
+            ).createOrReplaceTempView(name)
+            views.append(name)
+        # staged (write-audit-publish) snapshots awaiting an audit verdict
+        staged = [
+            (
+                ep,
+                (m.get("counts") or {}).get("mode", "append"),
+                m["committed_at"],
+                json.dumps(m.get("counts") or {}, sort_keys=True),
+            )
+            for ep in self.staged_epochs()
+            for m in (self.manifest(ep),)
+        ]
+        if staged:
+            name = f"{prefix}_staged"
+            spark.createDataFrame(
+                staged,
+                "epoch long, mode string, staged_at string, counts_json string",
             ).createOrReplaceTempView(name)
             views.append(name)
         return views

@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from ..observability import JsonRunLogger
 from ..operators import merge as M
 from ..sources.event_log import EventLog
-from ..sources.lake import LakeTable
+from ..sources.lake import PARQUET_BLOOM_OPTIONS, LakeTable
 from ..util import BROADCAST_KEYS_MAX, with_backoff  # noqa: F401 (re-export)
 
 #: shared run logger — replay()/tail()/redrive() open a fresh context;
@@ -231,13 +231,20 @@ def apply_epoch(
     salt_buckets: int = M.DEFAULT_SALT_BUCKETS,
     mode: str = "cow",
     elide_noops: bool = False,
+    stage_only: bool = False,
 ) -> EpochResult:
     """Apply one epoch of the log to the lake. Idempotent: a committed epoch
     is skipped before any work (the exactly-once fence). Thin wrapper:
     resolves the epoch's schema version and offset-range scan, then runs the
     shared `apply_events` core (also used by the streaming tail and the
-    quarantine re-drive, so all three leave identical audit trails)."""
-    if lake.has_epoch(epoch):
+    quarantine re-drive, so all three leave identical audit trails).
+
+    ``stage_only`` runs the identical pipeline but STAGES the manifest
+    (write-audit-publish) instead of committing it — the snapshot stays
+    invisible until `LakeTable.publish_staged`."""
+    if lake.has_epoch(epoch) or (
+        stage_only and os.path.exists(lake._staged_manifest_path(epoch))
+    ):
         m = lake.manifest(epoch)
         return EpochResult(
             epoch, seq_lo, seq_hi, skipped=True, schema_version=m["schema_version"]
@@ -247,7 +254,7 @@ def apply_epoch(
         events = log.read_range(spark, seq_lo, seq_hi, ver)
     return apply_events(
         spark, lake, epoch, events, ver, seq_lo, seq_hi, salt_buckets,
-        mode=mode, elide_noops=elide_noops,
+        mode=mode, elide_noops=elide_noops, stage_only=stage_only,
     )
 
 
@@ -264,6 +271,7 @@ def apply_events(
     mode: str = "cow",
     narrow_validity: bool = True,
     elide_noops: bool = False,
+    stage_only: bool = False,
 ) -> EpochResult:
     """The epoch pipeline over an arbitrary event frame (already cast to
     schema version `ver`). Caller is responsible for the fence check.
@@ -485,6 +493,7 @@ def apply_events(
                 merged.withColumn("bucket_p", F.col("bucket"))
                 .sortWithinPartitions("bucket_p", "repo", "path")
                 .write.mode("overwrite")
+                .options(**PARQUET_BLOOM_OPTIONS)
                 .partitionBy("bucket_p")
                 .parquet(epoch_dir)
             )
@@ -677,10 +686,14 @@ def apply_events(
         "buckets": buckets,
     }
     with _timed(f"e{epoch} manifest-commit"):
-        committed = lake.commit(manifest)
+        committed = (
+            lake.stage(manifest) if stage_only else lake.commit(manifest)
+        )
     wall = time.perf_counter() - t0
     RUN_LOGGER.event(
-        "epoch_committed" if committed else "epoch_fence_skip",
+        ("epoch_staged" if stage_only else "epoch_committed")
+        if committed
+        else "epoch_fence_skip",
         job_id=f"epoch-{epoch}",
         duration_ms=wall * 1000.0,
         events_applied=n_valid,
@@ -719,8 +732,16 @@ def replay(
     mode: str = "cow",
     auto_compact_layers: int | None = None,
     elide_noops: bool = False,
+    stage: bool = False,
 ) -> ReplayResult:
     """Tail the log from the current checkpoint to its head.
+
+    ``stage`` (write-audit-publish): run exactly ONE pending epoch through
+    the identical pipeline but park its manifest in `_staged/` instead of
+    committing — invisible to readers and to `resume_point` until
+    `LakeTable.publish_staged(epoch)` promotes it (or `discard_staged`
+    drops it). Audit the staged snapshot with `read_state(epoch=N)` /
+    `read_changes(to_epoch=N)` before deciding.
 
     ``crash_after_epoch`` aborts the loop right after that epoch commits —
     used by the resume tests to simulate a mid-replay crash. ``adaptive``
@@ -742,7 +763,7 @@ def replay(
         return _replay_locked(
             spark, log, lake, events_per_epoch, max_epochs, salt_buckets,
             crash_after_epoch, adaptive, mode, auto_compact_layers,
-            elide_noops,
+            elide_noops, stage,
         )
     finally:
         lake.release_writer_lease(lease)
@@ -760,17 +781,24 @@ def _replay_locked(
     mode: str,
     auto_compact_layers: int | None = None,
     elide_noops: bool = False,
+    stage: bool = False,
 ) -> ReplayResult:
     result = ReplayResult()
     RUN_LOGGER.new_context("replay")
     _, _, active_version = lake.resume_point()
+    if stage:
+        # write-audit-publish stages exactly the NEXT pending epoch: later
+        # epochs would depend on unpublished state, so one batch per audit
+        max_epochs = 1
 
     def _maybe_compact() -> dict | None:
         """In-loop auto-compaction (lease already held). Returns the compact
         manifest when one committed — the caller must then SHIFT its planned
         epoch numbers past it, or the fence would silently skip the next
         event epoch (a compaction consumes one epoch number)."""
-        if auto_compact_layers is None or mode != "mor":
+        if auto_compact_layers is None or mode != "mor" or stage:
+            # staging: a compaction commit would consume the epoch number
+            # the staged manifest holds and move the head under the audit
             return None
         cm = lake.compact_if_over(spark, auto_compact_layers, locked=True)
         if cm is not None:
@@ -790,7 +818,7 @@ def _replay_locked(
             hi = min(lo + size, max_seq)
             res = apply_epoch(
                 spark, log, lake, ep, lo, hi, active_version, salt_buckets,
-                mode=mode, elide_noops=elide_noops,
+                mode=mode, elide_noops=elide_noops, stage_only=stage,
             )
             active_version = max(active_version, res.schema_version)
             result.epochs.append(res)
@@ -810,7 +838,7 @@ def _replay_locked(
         epoch, lo, hi = plans.pop(0)
         res = apply_epoch(
             spark, log, lake, epoch, lo, hi, active_version, salt_buckets,
-            mode=mode, elide_noops=elide_noops,
+            mode=mode, elide_noops=elide_noops, stage_only=stage,
         )
         active_version = max(active_version, res.schema_version)
         result.epochs.append(res)

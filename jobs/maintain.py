@@ -42,6 +42,12 @@ def main() -> None:
     p.add_argument("--rollback-to", default=None,
                    help="make retained snapshot E (or tag NAME) current "
                         "again (metadata-only; replay resumes from there)")
+    p.add_argument("--publish-staged", type=int, default=None,
+                   help="promote a staged (write-audit-publish) snapshot to "
+                        "the committed head — metadata-only, refused if the "
+                        "head moved since it was staged")
+    p.add_argument("--discard-staged", type=int, default=None,
+                   help="drop a staged snapshot and its data files")
     p.add_argument("--compact", action="store_true")
     p.add_argument("--tombstone-horizon-lsn", type=int, default=None)
     p.add_argument("--expire-keep-last", type=int, default=None)
@@ -66,6 +72,10 @@ def main() -> None:
             "epoch": rb["epoch"],
             "to": rb["counts"].get("rolled_back_to"),
         }
+    if args.publish_staged is not None:
+        out["published"] = lake.publish_staged(args.publish_staged)
+    if args.discard_staged is not None:
+        out["discarded"] = lake.discard_staged(args.discard_staged)
     if args.compact:
         cm = lake.compact(spark, tombstone_horizon_lsn=args.tombstone_horizon_lsn)
         out["compacted"] = cm["epoch"] if cm else None

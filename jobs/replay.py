@@ -48,6 +48,11 @@ def main() -> None:
     p.add_argument("--auto-compact-layers", type=int, default=None,
                    help="MOR read-amplification bound: targeted-compact "
                    "in-loop when any bucket exceeds this many layers")
+    p.add_argument("--stage", action="store_true",
+                   help="write-audit-publish: run the NEXT pending epoch but "
+                        "park its manifest in _staged/ (invisible to readers) "
+                        "for audit; promote with jobs/maintain.py "
+                        "--publish-staged or drop with --discard-staged")
     p.add_argument("--compact", action="store_true",
                    help="run LakeTable.compact() after the replay")
     p.add_argument("--metrics-out", default=None,
@@ -111,6 +116,7 @@ def main() -> None:
         mode=args.mode,
         auto_compact_layers=args.auto_compact_layers,
         elide_noops=args.elide_noops,
+        stage=args.stage,
     )
     lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
     if args.compact:
@@ -168,6 +174,9 @@ def main() -> None:
                 "executor_cpu_s": cpu_s,
                 "executor_run_s": run_s,
                 "schema_version": lake.resume_point()[2],
+                # state digest above is the COMMITTED head; a --stage run
+                # reports what it parked so the auditor can time-travel to it
+                "staged_epochs": lake.staged_epochs(),
             }
         )
     )

@@ -150,3 +150,37 @@ def test_read_key_skips_files_whose_bounds_exclude_the_key(
     rows = lake.read_key(spark, zrepo, zpath).collect()
     assert captured["paths"] == [decoy_rel]
     assert len(rows) == 1 and rows[0]["lsn"] == int(m["lsn_hi"]) + 1
+
+
+def test_parquet_bloom_filter_written_on_path_column(spark, lake_root):
+    """Every bucket writer enables parquet-native blooms on the merge keys
+    (PARQUET_BLOOM_OPTIONS): the high-cardinality `path` column must carry a
+    bloom filter in the footer (the JVM scan consults it for pushed equality
+    predicates — row-group skipping for absent keys); `repo` legitimately
+    may not (fully dictionary-encoded columns get exact dictionary filtering
+    instead, so parquet omits the redundant bloom)."""
+    lake = LakeTable(lake_root, n_buckets=8)
+    m = lake.current_manifest()
+    some_file = next(
+        os.path.join(lake_root, e["path"])
+        for entries in m["buckets"].values()
+        for e in entries
+    )
+    jvm = spark._jvm
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+        jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(some_file),
+            spark._jsc.hadoopConfiguration(),
+        )
+    )
+    try:
+        rg = reader.getRowGroups().get(0)
+        offsets = {}
+        for i in range(rg.getColumns().size()):
+            c = rg.getColumns().get(i)
+            offsets[c.getPath().toDotString()] = c.getBloomFilterOffset()
+        assert offsets["path"] >= 0, offsets
+        # content (huge, never an equality-lookup key) must NOT pay for one
+        assert offsets.get("content", -1) == -1, offsets
+    finally:
+        reader.close()

@@ -1,0 +1,230 @@
+"""Write-audit-publish (Iceberg WAP analog: `spark.wap.id` staged snapshots
++ `cherrypick_snapshot`; the reference's analog is its validate-then-load
+gate, /root/reference/src/components/data_validation.py): `replay(stage=True)`
+runs the next pending epoch through the IDENTICAL pipeline but parks the
+manifest in `_staged/` — invisible to readers, `resume_point`, tags and
+expiration — until `publish_staged` promotes it with one atomic hardlink.
+Auditors read the staged snapshot via ordinary time travel
+(`read_state(epoch=N)`) and diff it via `read_changes(to_epoch=N)`."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest, engine_live_pdf
+
+E = 4_000
+N_EPOCHS = 4
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wap_stream")
+    gen.build_stream(E, N_EPOCHS, str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def head_digest(spark, stream_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("wap_straight") / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    return engine_digest(spark, root)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_stage_invisible_audit_then_publish_matches_straight_replay(
+    spark, stream_dir, head_digest, tmp_path, mode
+):
+    root = str(tmp_path / f"lake_{mode}")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode=mode, max_epochs=N_EPOCHS - 1)
+    lake = LakeTable(root, n_buckets=8)
+    head_before = lake.current_manifest()["epoch"]
+    pre_digest = engine_digest(spark, root)
+    pre_resume = lake.resume_point()
+
+    res = R.replay(spark, stream_dir, root, n_buckets=8, mode=mode, stage=True)
+    assert len(res.epochs) == 1 and not res.epochs[0].skipped
+    staged = lake.staged_epochs()
+    assert staged == [head_before + 1]
+    n = staged[0]
+
+    # invisible: head, state, resume point all unchanged
+    assert lake.current_manifest()["epoch"] == head_before
+    assert engine_digest(spark, root) == pre_digest
+    assert lake.resume_point() == pre_resume
+
+    # audit read: the staged snapshot time-travels like any other
+    staged_pdf = engine_live_pdf(spark, root, epoch=n)
+    assert len(staged_pdf) > 0
+
+    # a tag cannot pin an unpublished snapshot
+    with pytest.raises(ValueError, match="not a committed snapshot"):
+        lake.create_tag("premature", n)
+
+    # re-running the stage is a fence skip (no duplicate work)
+    res2 = R.replay(spark, stream_dir, root, n_buckets=8, mode=mode, stage=True)
+    assert [e.skipped for e in res2.epochs] == [True]
+    assert lake.staged_epochs() == [n]
+
+    out = lake.publish_staged(n)
+    assert out == {"published": True, "epoch": n}
+    assert lake.staged_epochs() == []
+    assert lake.current_manifest()["epoch"] == n
+    # published state == what the audit read == a straight replay
+    assert engine_live_pdf(spark, root).equals(staged_pdf)
+    assert engine_digest(spark, root) == head_digest
+    # publish is idempotent after the fact
+    assert lake.publish_staged(n) == {
+        "published": False, "already_committed": True, "epoch": n,
+    }
+    # and the now-committed epoch is taggable
+    assert lake.create_tag("audited", n) == n
+
+
+def test_publish_crash_between_link_and_unlink_finishes_on_retry(
+    spark, stream_dir, tmp_path
+):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=N_EPOCHS - 1)
+    R.replay(spark, stream_dir, root, n_buckets=8, stage=True)
+    lake = LakeTable(root, n_buckets=8)
+    (n,) = lake.staged_epochs()
+    # simulate the crash window: the hardlink landed, the staged unlink didn't
+    os.link(
+        lake._staged_manifest_path(n),
+        os.path.join(lake.manifests_dir, f"manifest-{n:06d}.json"),
+    )
+    out = lake.publish_staged(n)
+    assert out == {"published": False, "already_committed": True, "epoch": n}
+    assert lake.staged_epochs() == []
+    assert lake.current_manifest()["epoch"] == n
+
+
+def test_independent_commit_refuses_publish_and_discard_keeps_its_files(
+    spark, stream_dir, head_digest, tmp_path
+):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=N_EPOCHS - 1)
+    R.replay(spark, stream_dir, root, n_buckets=8, stage=True)
+    lake = LakeTable(root, n_buckets=8)
+    (n,) = lake.staged_epochs()
+    # a non-staging replay consumes epoch n independently (same content,
+    # different part files) — the classic two-writers-on-one-number conflict
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    assert lake.current_manifest()["epoch"] == n
+    with pytest.raises(ValueError, match="committed independently"):
+        lake.publish_staged(n)
+    d = lake.discard_staged(n)
+    assert d["discarded"] and d["files_deleted"] == 0  # committed files kept
+    assert lake.staged_epochs() == []
+    assert engine_digest(spark, root) == head_digest
+
+
+def test_rollback_consuming_the_epoch_number_also_refuses_publish(
+    spark, stream_dir, tmp_path
+):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=N_EPOCHS - 1)
+    R.replay(spark, stream_dir, root, n_buckets=8, stage=True)
+    lake = LakeTable(root, n_buckets=8)
+    (n,) = lake.staged_epochs()
+    lake.rollback(1)  # metadata commit takes epoch n: the stage is stale
+    assert lake.current_manifest()["epoch"] == n
+    with pytest.raises(ValueError, match="committed independently"):
+        lake.publish_staged(n)
+    lake.discard_staged(n)
+
+
+def test_discard_staged_deletes_files_and_replay_regenerates(
+    spark, stream_dir, head_digest, tmp_path
+):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=N_EPOCHS - 1)
+    R.replay(spark, stream_dir, root, n_buckets=8, stage=True)
+    lake = LakeTable(root, n_buckets=8)
+    (n,) = lake.staged_epochs()
+    assert os.path.isdir(lake.epoch_data_dir(n))
+    d = lake.discard_staged(n)
+    assert d["discarded"] and d["files_deleted"] > 0
+    assert not os.path.isdir(lake.epoch_data_dir(n))
+    for side in ("_lineage", "_metrics"):
+        assert not os.path.isdir(lake.sidecar_dir(side, n))
+    # idempotent
+    assert lake.discard_staged(n) == {
+        "discarded": False, "epoch": n, "files_deleted": 0,
+    }
+    # the epoch replays normally afterwards — nothing was lost but the audit
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    assert engine_digest(spark, root) == head_digest
+
+
+def test_vacuum_and_expire_never_touch_a_staged_snapshots_files(
+    spark, stream_dir, head_digest, tmp_path
+):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=N_EPOCHS - 1)
+    R.replay(spark, stream_dir, root, n_buckets=8, stage=True)
+    lake = LakeTable(root, n_buckets=8)
+    (n,) = lake.staged_epochs()
+    staged_pdf = engine_live_pdf(spark, root, epoch=n)
+    # zero grace: only the staged-manifest pin protects these files
+    v = lake.vacuum_orphans(grace_seconds=0.0)
+    assert v["files_deleted"] == 0
+    lake.expire_snapshots(keep_last=1)
+    # the staged snapshot still reads bit-for-bit, and publishes
+    assert engine_live_pdf(spark, root, epoch=n).equals(staged_pdf)
+    lake.publish_staged(n)
+    assert engine_digest(spark, root) == head_digest
+
+
+def test_sql_facade_lists_staged_snapshots(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=N_EPOCHS - 1)
+    R.replay(spark, stream_dir, root, n_buckets=8, stage=True)
+    lake = LakeTable(root, n_buckets=8)
+    (n,) = lake.staged_epochs()
+    views = lake.register_views(spark)
+    assert "cdc_staged" in views
+    row = spark.sql("SELECT epoch, mode FROM cdc_staged").first()
+    assert row["epoch"] == n and row["mode"] == "append"
+    # the committed metadata tables do NOT show it
+    assert (
+        spark.sql("SELECT max(epoch) AS e FROM cdc_snapshots").first()["e"] == n - 1
+    )
+    lake.publish_staged(n)
+    views = lake.register_views(spark)
+    assert "cdc_staged" not in views
+    assert (
+        spark.sql("SELECT max(epoch) AS e FROM cdc_snapshots").first()["e"] == n
+    )
+
+
+def test_read_changes_audits_the_staged_diff(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=N_EPOCHS - 1)
+    R.replay(spark, stream_dir, root, n_buckets=8, stage=True)
+    lake = LakeTable(root, n_buckets=8)
+    head = lake.current_manifest()["epoch"]
+    (n,) = lake.staged_epochs()
+    log = EventLog(stream_dir)
+
+    def _diff():
+        return (
+            lake.read_changes(spark, log, from_epoch=head, to_epoch=n)
+            .toPandas()
+            .sort_values(["repo", "path"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    audited = _diff()
+    assert len(audited) > 0
+    lake.publish_staged(n)
+    # the diff a consumer applies AFTER publish is exactly what was audited
+    assert _diff().equals(audited)
