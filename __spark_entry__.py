@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"),
         _t(s, d, "documents").where(F.col("doc_id") % 37 == 0),
     )
+    q["corpus_incremental_retained"] = _corpus_incremental_retained
     q["corpus_stratified_sample"] = lambda s, d: TS.stratified_sample(
         _t(s, d, "documents"), {"en": 0.2, "fr": 0.5, "de": 1.0}
     ).select("doc_id", "lang")
@@ -213,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- live CDC engine replay (non-SQL-expressible: full engine path) ----
     q["cdc_replay_state"] = _cdc_replay_state
+    q["cdc_wap_staged_state"] = _cdc_wap_staged_state
     q["cdc_read_changes"] = _cdc_read_changes
     q["cdc_changelog"] = _cdc_changelog
 
@@ -266,6 +268,75 @@ def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         LakeTable(lake_root, n_buckets=8)
         .read_state(spark)
+        .select("repo", "path", "lsn", "content_sha256")
+    )
+
+
+def _corpus_incremental_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus maintenance, value-checked end to end: a previous
+    cut is SIMULATED deterministically over the documents table (docs with
+    doc_id % 13 == 0 existed then but are deleted now; docs with
+    doc_id % 7 == 0 carried reversed-word text then and were updated to
+    their current text), its state (sketches + verified pairs + eligible
+    ids) computed for real, then `incremental_corpus_update` applies the
+    delta. The DuckDB oracle is a FROM-SCRATCH retained-corpus cut of the
+    final document set — the incremental path must land on it bit-for-bit
+    (bridge deletions split clusters, updated docs re-pair, new canonical
+    minima displace old ones)."""
+    from bbc_news_etl_pipeline_spark.operators import corpus_incremental as CI
+    from bbc_news_etl_pipeline_spark.operators import dedup as D
+
+    cur = _t(spark, sf_dir, "documents")
+    deleted = F.col("doc_id") % 13 == 0
+    updated = (F.col("doc_id") % 7 == 0) & ~deleted
+    dummy = [F.lit("r").alias("repo"), F.lit("p").alias("path")]
+    prev_docs = cur.select(
+        "doc_id",
+        F.when(
+            updated, F.concat_ws(" ", F.reverse(F.split(F.col("text"), " ")))
+        ).otherwise(F.col("text")).alias("text"),
+        *dummy,
+        "lang",
+    )
+    head_docs = cur.where(~deleted).select("doc_id", "text", *dummy, "lang")
+    delta = cur.where(deleted | updated).select(
+        "doc_id", (~deleted).alias("alive"), "text", *dummy, "lang"
+    )
+    upd = CI.incremental_corpus_update(
+        head_docs,
+        delta,
+        D.corpus_sketches(prev_docs),
+        D.near_dup_pairs_lsh(prev_docs),
+        prev_docs.select("doc_id"),
+        hint_broadcast=True,
+    )
+    return upd["retained"].select("doc_id", "lang")
+
+
+def _cdc_wap_staged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish, value-checked end to end: commit all but the
+    LAST pending epoch, run that one with `stage=True` (the identical
+    pipeline, manifest parked in `_staged/`), then AUDIT the staged
+    snapshot via ordinary time travel — while the committed head provably
+    still sits one epoch behind. The DuckDB oracle is the same full-log
+    LWW final state as `cdc_replay_state`: a staged snapshot must read
+    bit-for-bit as the state publish would make visible."""
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    log_dir = _ensure_cdc_oracle_log()
+    lake_root = os.path.join(tempfile.mkdtemp(prefix="cdc_wap_"), "lake")
+    replay(spark, log_dir, lake_root, n_buckets=8, max_epochs=_CDC_ORACLE_EPOCHS - 1)
+    replay(spark, log_dir, lake_root, n_buckets=8, stage=True)
+    lake = LakeTable(lake_root, n_buckets=8)
+    (staged,) = lake.staged_epochs()
+    head = lake.current_manifest()["epoch"]
+    if head != staged - 1:  # the stage must NOT have moved the head
+        raise AssertionError(f"staged epoch {staged} leaked into head {head}")
+    return (
+        lake.read_state(spark, epoch=staged)
         .select("repo", "path", "lsn", "content_sha256")
     )
 
@@ -632,6 +703,37 @@ def oracle_sql() -> dict[str, str]:
         "WHERE doc_id NOT IN (SELECT doc_id FROM losers)"
     )
 
+    # incremental corpus maintenance: the oracle never sees the simulated
+    # previous cut — a from-scratch retained cut of the FINAL document set
+    # (doc_id % 13 deleted; % 7 updated to current text, so their previous
+    # reversed-text state is irrelevant to the fixed point) is exactly what
+    # the incremental path must reproduce.
+    sh_head = _DDB_SHINGLES.replace("FROM documents", "FROM docs_head")
+    o["corpus_incremental_retained"] = (
+        "WITH RECURSIVE docs_head AS "
+        "  (SELECT doc_id, text, lang FROM documents WHERE doc_id % 13 <> 0), "
+        f"sh AS ({sh_head}), "
+        f"sig AS (SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id), "
+        f"bands AS ({bands_union}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+        "  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
+        "shared AS (SELECT c.doc_a, c.doc_b, count(*) AS sh_n FROM cand c "
+        "  JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g "
+        "  GROUP BY 1, 2), "
+        "pairs AS (SELECT doc_a, doc_b FROM shared "
+        "  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "  WHERE round(sh_n * 1.0 / (sa.n_sh + sb.n_sh - sh_n), 3) >= 0.8), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "  UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(src, dst) AS (SELECT src, dst FROM edges "
+        "  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), "
+        "losers AS (SELECT src AS doc_id FROM reach GROUP BY src "
+        "  HAVING least(src, min(dst)) <> src) "
+        "SELECT doc_id, lang FROM docs_head "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM losers)"
+    )
+
     # embedding-cosine near-dup clusters: the same recursive-CTE closure
     # over the cosine pair set (the multimodal analog of the text clusters)
     o["dedup_embedding_clusters"] = (
@@ -889,6 +991,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT repo, path, lsn, sha256(content) AS content_sha256 "
         "FROM ranked WHERE rn = 1 AND op <> 'delete'"
     )
+    # write-audit-publish: a STAGED final epoch audited via time travel must
+    # read as exactly the state publish would commit — the same full-log LWW
+    # oracle as cdc_replay_state.
+    o["cdc_wap_staged_state"] = o["cdc_replay_state"]
     # incremental scan: touched keys come from the RAW offset window (same
     # as the engine's slim scan — validity not consulted), the post-image is
     # the LWW winner over the whole log; the epoch-0 seq boundary is read

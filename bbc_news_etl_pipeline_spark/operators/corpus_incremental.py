@@ -1,0 +1,199 @@
+"""Incremental corpus maintenance — the tie between the engine's two
+halves: the CDC lake tells you exactly WHICH documents changed between two
+snapshots (`LakeTable.read_changes`), and the corpus cut persisted slim
+per-doc state (sketches + verified pairs + eligible ids, ~110 bytes/doc),
+so refreshing a training corpus costs O(changed docs), never O(corpus).
+
+The reference's analog is its checkpoint-driven re-scrape: only dates after
+the checkpoint are fetched, the archive is never re-read
+(/root/reference/docs/components/producer.md:17-23). Iceberg's analog is an
+incremental read feeding a downstream MERGE. Here the "downstream" is the
+dedup ladder itself, which is the part that naively costs a full corpus
+re-shingle per cut.
+
+EXACTNESS CONTRACT: the incremental update produces bit-for-bit the same
+sketches, verified pairs, clusters and retained set as a from-scratch cut
+at the target snapshot, because every per-doc computation is deterministic
+(portable MinHash family, fixed band parameters from the cut's metadata)
+and the persisted state is closed under the update:
+
+- sketches: unchanged docs keep theirs; changed docs are re-sketched from
+  the post-image text (same function, `dedup.corpus_sketches`).
+- pairs: a pair of two UNCHANGED docs was found by the previous cut iff
+  the new full cut finds it (identical inputs, identical algorithm), so
+  surviving old pairs + pairs involving >=1 changed doc IS the full pair
+  set. Persisting PAIRS (not just clusters) is what makes deletion exact:
+  removing a bridge document must SPLIT its cluster, and only the pair
+  list knows the cluster's internal connectivity.
+- clusters/retained: recomputed from the (tiny) pair set — connected
+  components and the keep-first anti-join are O(duplicates), not O(corpus).
+
+Scale shape: the only work proportional to anything is
+  - one slim anti-join over the sketch store (O(corpus) in ~100 B rows),
+  - sketching the CHANGED docs (the actual new work),
+  - a banded equi-join of the changed docs' bands against the store
+    (broadcast-able when the delta is small — pass `hint_broadcast`),
+  - exact-Jaccard verify re-shingling ONLY candidate docs.
+Document text for unchanged docs is never read except for verify
+candidates (a broadcast semi-join prune reaches the head snapshot's scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _verify_candidates, corpus_sketches, duplicate_clusters
+
+
+def default_doc_id(repo: Column, path: Column) -> Column:
+    """The lake's document identity (matches LakeTable.read_documents)."""
+    return F.xxhash64(repo, path)
+
+
+def portable_doc_id(repo: Column, path: Column) -> Column:
+    """DuckDB-reproducible identity (md5-prefix bigint, the same device as
+    textstats.stratified_sample) — used by the correctness contract, where
+    the oracle must derive the identical ids from (repo, path)."""
+    return F.conv(F.substring(F.md5(F.concat_ws("|", repo, path)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def _banded(sigs: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """(doc_id, band, key) rows from a sketch frame — the banding half of
+    dedup._band_pairs, reusable for the asymmetric new-vs-store join."""
+    n_bands = num_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        parts = [
+            F.col(f"minh_{b * band_size + j}").cast("string") for j in range(band_size)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key"))
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def incremental_band_pairs(
+    new_sketches: DataFrame,
+    all_sketches: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    hint_broadcast: bool = False,
+) -> DataFrame:
+    """Candidate pairs with >=1 NEW doc: the new docs' bands equi-joined
+    against the WHOLE store's bands (new x new pairs included — the store
+    contains the new sketches). Normalized to (doc_a < doc_b), distinct.
+    `hint_broadcast` broadcasts the new side (callers gate it on a known
+    small delta count, like the merge path's BROADCAST_KEYS_MAX gate) so
+    the sketch store is scanned map-side without a shuffle."""
+    nb = _banded(new_sketches, num_hashes, band_size).alias("nb")
+    ab = _banded(all_sketches, num_hashes, band_size).alias("ab")
+    left = F.broadcast(nb) if hint_broadcast else nb
+    return (
+        left.join(
+            ab,
+            (F.col("nb.band") == F.col("ab.band"))
+            & (F.col("nb.key") == F.col("ab.key"))
+            & (F.col("nb.doc_id") != F.col("ab.doc_id")),
+        )
+        .select(
+            F.least(F.col("nb.doc_id"), F.col("ab.doc_id")).alias("doc_a"),
+            F.greatest(F.col("nb.doc_id"), F.col("ab.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def changes_to_delta(changes: DataFrame, id_fn=default_doc_id) -> DataFrame:
+    """Normalize a `read_changes` frame into the corpus delta: one row per
+    changed key — (doc_id, alive, text, repo, path, lang). `alive` is false
+    for deletes AND for upserts whose post-image has no content (metadata-
+    only rows are not documents, matching read_documents' filter)."""
+    return changes.select(
+        id_fn(F.col("repo"), F.col("path")).alias("doc_id"),
+        (
+            (F.col("change") == F.lit("upsert")) & F.col("content").isNotNull()
+        ).alias("alive"),
+        F.col("content").alias("text"),
+        "repo",
+        "path",
+        "lang",
+    )
+
+
+def incremental_corpus_update(
+    docs_head: DataFrame,
+    delta: DataFrame,
+    old_sketches: DataFrame,
+    old_pairs: DataFrame,
+    old_doc_ids: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+    hash_mode: str = "portable",
+    new_docs_eligible: DataFrame | None = None,
+    hint_broadcast: bool = False,
+) -> dict[str, DataFrame]:
+    """One corpus refresh. Inputs: the head snapshot's documents view
+    (`docs_head`, only candidate texts are ever read from it), the
+    normalized change delta (`changes_to_delta`), and the previous cut's
+    persisted state — sketches, verified pairs, eligible doc ids. Pass
+    `new_docs_eligible` to pre-filter the new docs (decontamination: old
+    survivors already passed at their cut, so only the delta needs the
+    benchmark check — per-doc predicate, composition stays exact).
+
+    Returns {"sketches", "pairs", "doc_ids", "clusters", "retained"} —
+    the first three are the state to persist for the NEXT refresh; all
+    five are bit-for-bit what a from-scratch cut at the head produces.
+    """
+    changed_keys = delta.select("doc_id").distinct()
+    new_docs = delta.where(F.col("alive")).select(
+        "doc_id", "text", "repo", "path", "lang"
+    )
+    if new_docs_eligible is not None:
+        new_docs = new_docs_eligible
+
+    # --- state update: replace changed docs' rows, drop dead ones ---
+    surv_sk = old_sketches.join(changed_keys, "doc_id", "left_anti")
+    new_sk = corpus_sketches(new_docs, num_hashes, n, hash_mode)
+    sketches = surv_sk.unionByName(new_sk)
+
+    doc_ids = (
+        old_doc_ids.join(changed_keys, "doc_id", "left_anti")
+        .unionByName(new_docs.select("doc_id"))
+        .distinct()
+    )
+
+    surv_pairs = (
+        old_pairs.join(
+            changed_keys.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti"
+        ).join(
+            changed_keys.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti"
+        )
+    ).select("doc_a", "doc_b", "jaccard")
+
+    # --- new work: pairs involving >=1 changed doc ---
+    cand = incremental_band_pairs(
+        new_sk, sketches, num_hashes, band_size, hint_broadcast=hint_broadcast
+    )
+    inc_pairs = _verify_candidates(cand, docs_head, sketches, threshold, n)
+    pairs = surv_pairs.unionByName(inc_pairs)
+
+    # --- resolution over the (tiny) pair set ---
+    clusters = duplicate_clusters(None, pairs=pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    retained = docs_head.join(doc_ids, "doc_id", "left_semi").join(
+        losers, "doc_id", "left_anti"
+    )
+    return {
+        "sketches": sketches,
+        "pairs": pairs,
+        "doc_ids": doc_ids,
+        "clusters": clusters,
+        "retained": retained,
+    }

@@ -186,33 +186,34 @@ def minhash_lsh_candidates(
     return _band_pairs(sigs, num_hashes, band_size)
 
 
-def near_dup_pairs_lsh(
-    docs: DataFrame, threshold: float = 0.8, num_hashes: int = 8, band_size: int = 2, n: int = 3
+def corpus_sketches(
+    docs: DataFrame, num_hashes: int = 8, n: int = 3, hash_mode: str = "portable"
 ) -> DataFrame:
-    """The scale path: LSH candidates -> exact Jaccard verify on candidates
-    only. Same answer as `ngram_jaccard_pairs` up to LSH recall.
+    """(doc_id, minh_0..minh_{H-1}, n_sh) — the slim per-doc dedup sketch:
+    MinHash signature plus the exact shingle-set size, in ONE scan + ONE
+    partial-aggregatable shuffle. ~100 bytes/doc at any corpus size. This is
+    what a corpus cut PERSISTS (jobs/corpus.py `sketches/`) so the next,
+    incremental cut never re-shingles unchanged documents: banding, the
+    candidate join and the verify denominators all derive from it."""
+    sig_aggs = _minhash_aggs(num_hashes, hash_mode) + [
+        F.count(F.lit(1)).alias("n_sh")
+    ]
+    return _shingles(docs, n).groupBy("doc_id").agg(*sig_aggs)
 
-    Two corpus passes, both bounded (r01 shipped three full passes plus a
-    full-corpus verify shuffle — see VERDICT r01):
 
-    1. ONE scan + ONE shuffle computes signatures AND shingle-set sizes in
-       a single groupBy(doc_id) aggregation; the result is ~100 bytes/doc
-       (persisted — caching this slim frame is cheap at any corpus size,
-       unlike caching the shingles themselves). Banding + the candidate
-       self-join and the size lookups all reuse it.
-    2. The verify pass re-shingles ONLY candidate docs: a broadcast
-       left-semi join on the candidate id set prunes the corpus BEFORE the
-       shingle explode, so pass 2's transform and shuffle are proportional
-       to |candidates|, not to the corpus.
-    """
-    from pyspark import StorageLevel
-
-    sh0 = _shingles(docs, n)
-    sig_aggs = _minhash_aggs(num_hashes, "portable") + [F.count(F.lit(1)).alias("n_sh")]
-    sig = (
-        sh0.groupBy("doc_id").agg(*sig_aggs).persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    cand = _band_pairs(sig, num_hashes, band_size)
+def _verify_candidates(
+    cand: DataFrame,
+    docs: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    n: int,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
+    re-shingles ONLY candidate docs (a broadcast left-semi join on the
+    candidate id set prunes the corpus BEFORE the shingle explode, so the
+    transform and shuffle are proportional to |candidates|, not the
+    corpus), counts shared hashed shingles, and takes denominators from
+    the precomputed `sizes` (doc_id, n_sh) frame."""
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -229,10 +230,9 @@ def near_dup_pairs_lsh(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sizes = sig.select("doc_id", "n_sh")
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    out = (
+    sa = sizes.select("doc_id", "n_sh").alias("sa")
+    sb = sizes.select("doc_id", "n_sh").alias("sb")
+    return (
         shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
@@ -243,6 +243,40 @@ def near_dup_pairs_lsh(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def near_dup_pairs_lsh(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """The scale path: LSH candidates -> exact Jaccard verify on candidates
+    only. Same answer as `ngram_jaccard_pairs` up to LSH recall.
+
+    Two corpus passes, both bounded (r01 shipped three full passes plus a
+    full-corpus verify shuffle — see VERDICT r01):
+
+    1. ONE scan + ONE shuffle computes signatures AND shingle-set sizes in
+       a single groupBy(doc_id) aggregation (`corpus_sketches`); the result
+       is ~100 bytes/doc (persisted — caching this slim frame is cheap at
+       any corpus size, unlike caching the shingles themselves). Banding +
+       the candidate self-join and the size lookups all reuse it.
+    2. The verify pass re-shingles ONLY candidate docs
+       (`_verify_candidates`: a broadcast left-semi join on the candidate
+       id set prunes the corpus BEFORE the shingle explode, so pass 2's
+       transform and shuffle are proportional to |candidates|, not to the
+       corpus).
+    """
+    from pyspark import StorageLevel
+
+    sig = corpus_sketches(docs, num_hashes, n, hash_mode).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = _band_pairs(sig, num_hashes, band_size)
+    out = _verify_candidates(cand, docs, sig, threshold, n)
     # Release the cached signature frame before returning: the verified
     # pair set is tiny, so materialize it (localCheckpoint severs the
     # lineage back to `sig`), then unpersist — a long-lived session (the

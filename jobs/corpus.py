@@ -15,10 +15,21 @@ Usage:
     spark-submit jobs/corpus.py --lake /data/lake --out /data/corpus_out \
         [--lake-epoch N|TAG] [--snapshot-tag NAME]
 
+    # INCREMENTAL refresh: re-cut a previous --lake cut at a newer
+    # snapshot, processing ONLY the documents the CDC change log says
+    # changed (read_changes between the cuts). Bit-for-bit identical to a
+    # from-scratch cut at the target snapshot (tests/test_corpus_incremental.py):
+    spark-submit jobs/corpus.py --lake /data/lake --log-dir /data/log \
+        --update-from /data/corpus_out --out /data/corpus_out2 \
+        [--lake-epoch N|TAG] [--snapshot-tag NAME]
+
 Writes under --out:
     clusters/           (cluster_id, doc_id) near-dup components
     retained/           the deduplicated corpus (keep-first canonical)
     text_stats/         token counts + quality + language id per doc
+    sketches/ pairs/ doc_ids/  slim per-doc state (~110 B/doc) consumed by
+                        the NEXT incremental refresh
+    _corpus_meta.json   cut parameters + the lake snapshot it read
     embedding_clusters/ (cluster_id, vec_id) — only with --embeddings
 
 Prints ONE JSON line with row counts. `--hash-mode fast` switches the
@@ -54,6 +65,13 @@ def main() -> None:
                    help="tag the snapshot this cut reads (pins it against "
                         "expire_snapshots, so the cut stays reproducible)")
     p.add_argument("--out", required=True)
+    p.add_argument("--update-from", default=None,
+                   help="previous cut's --out dir: refresh it incrementally "
+                        "over the CDC change delta instead of re-cutting "
+                        "from scratch (requires --lake and --log-dir)")
+    p.add_argument("--log-dir", default=None,
+                   help="the lake's event log (read_changes needs it to "
+                        "derive the changed-key window) — --update-from only")
     p.add_argument("--embeddings", default=None)
     p.add_argument("--benchmark", default=None,
                    help="eval-set parquet (doc_id, text); documents whose "
@@ -74,6 +92,8 @@ def main() -> None:
     from bbc_news_etl_pipeline_spark.operators import dedup as D
     from bbc_news_etl_pipeline_spark.operators import textstats as TS
 
+    lake = None
+    cut_epoch = None
     if args.lake:
         from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
 
@@ -87,38 +107,127 @@ def main() -> None:
                 args.snapshot_tag,
                 lake.resolve_ref(epoch) if epoch is not None else None,
             )
-        docs = lake.read_documents(spark, epoch=epoch)
+        cut_epoch = (
+            lake.resolve_ref(epoch)
+            if epoch is not None
+            else lake.current_manifest()["epoch"]
+        )
+        docs = lake.read_documents(spark, epoch=cut_epoch)
     else:
         docs = spark.read.parquet(args.docs)
     out: dict = {"docs_in": docs.count()}
 
-    if args.benchmark:
-        bench = spark.read.parquet(args.benchmark)
-        docs = D.decontaminated_corpus(docs, bench, max_overlap=args.max_overlap)
-        out["docs_after_decontamination"] = docs.count()
+    def _write(df, name):
+        df.write.mode("overwrite").parquet(os.path.join(args.out, name))
+        return spark.read.parquet(os.path.join(args.out, name))
 
-    pairs = D.near_dup_pairs_lsh(docs, threshold=args.threshold)
-    clusters = D.duplicate_clusters(docs, pairs=pairs)
-    clusters.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
-    clusters = spark.read.parquet(os.path.join(args.out, "clusters"))
-    out["cluster_members"] = clusters.count()
-    out["clusters"] = clusters.select("cluster_id").distinct().count()
+    def _stats(frame):
+        return (
+            TS.token_stats(frame)
+            .join(TS.quality_score(frame).select("doc_id", "quality"), "doc_id")
+            .join(TS.lang_id(frame).select("doc_id", "pred_lang"), "doc_id")
+        )
 
-    retained = D.retained_corpus(docs, clusters=clusters)
-    retained.write.mode("overwrite").parquet(os.path.join(args.out, "retained"))
-    out["docs_retained"] = spark.read.parquet(
-        os.path.join(args.out, "retained")
-    ).count()
+    if args.update_from:
+        # ---- incremental refresh: only the CDC delta is ever re-processed
+        if lake is None or args.log_dir is None:
+            raise SystemExit("--update-from requires --lake and --log-dir")
+        from bbc_news_etl_pipeline_spark.operators import corpus_incremental as CI
+        from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+        from bbc_news_etl_pipeline_spark.util import BROADCAST_KEYS_MAX
 
-    stats = (
-        TS.token_stats(docs)
-        .join(TS.quality_score(docs).select("doc_id", "quality"), "doc_id")
-        .join(TS.lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
-    )
-    stats.write.mode("overwrite").parquet(os.path.join(args.out, "text_stats"))
-    out["stats_rows"] = spark.read.parquet(
-        os.path.join(args.out, "text_stats")
-    ).count()
+        with open(os.path.join(args.update_from, "_corpus_meta.json")) as f:
+            meta = json.load(f)
+        prev_epoch = meta["lake_epoch"]
+        out["from_epoch"], out["to_epoch"] = prev_epoch, cut_epoch
+        changes = lake.read_changes(
+            spark, EventLog(args.log_dir), from_epoch=prev_epoch, to_epoch=cut_epoch
+        )
+        delta = CI.changes_to_delta(changes)
+        n_changed = delta.count()
+        out["docs_changed"] = n_changed
+        new_docs = delta.where(F.col("alive")).select(
+            "doc_id", "text", "repo", "path", "lang"
+        )
+        if args.benchmark:
+            # old survivors already passed decontamination at THEIR cut —
+            # only the delta needs the benchmark check (per-doc predicate)
+            bench = spark.read.parquet(args.benchmark)
+            new_docs = D.decontaminated_corpus(
+                new_docs, bench, max_overlap=args.max_overlap
+            )
+        upd = CI.incremental_corpus_update(
+            docs,
+            delta,
+            spark.read.parquet(os.path.join(args.update_from, "sketches")),
+            spark.read.parquet(os.path.join(args.update_from, "pairs")),
+            spark.read.parquet(os.path.join(args.update_from, "doc_ids")),
+            threshold=meta["threshold"],
+            num_hashes=meta["num_hashes"],
+            band_size=meta["band_size"],
+            n=meta["n"],
+            hash_mode=meta["hash_mode"],
+            new_docs_eligible=new_docs,
+            hint_broadcast=n_changed <= BROADCAST_KEYS_MAX,
+        )
+        _write(upd["sketches"], "sketches")
+        _write(upd["doc_ids"], "doc_ids")
+        pairs = _write(upd["pairs"], "pairs")
+        clusters = _write(upd["clusters"], "clusters")
+        out["cluster_members"] = clusters.count()
+        out["clusters"] = clusters.select("cluster_id").distinct().count()
+        out["docs_retained"] = _write(upd["retained"], "retained").count()
+        # per-doc stats are deterministic: carry unchanged rows forward,
+        # recompute only the delta's
+        old_stats = spark.read.parquet(os.path.join(args.update_from, "text_stats"))
+        changed_keys = delta.select("doc_id").distinct()
+        stats = old_stats.join(changed_keys, "doc_id", "left_anti").unionByName(
+            _stats(new_docs)
+        )
+        out["stats_rows"] = _write(stats, "text_stats").count()
+        meta = {**meta, "lake_epoch": cut_epoch, "updated_from": args.update_from}
+    else:
+        # ---- full cut
+        if args.benchmark:
+            bench = spark.read.parquet(args.benchmark)
+            docs = D.decontaminated_corpus(docs, bench, max_overlap=args.max_overlap)
+            out["docs_after_decontamination"] = docs.count()
+
+        # persist the slim per-doc state the NEXT (incremental) cut reuses:
+        # sketches first, then derive candidates/pairs FROM the parquet so
+        # the corpus is scanned once for sketching and once for verify
+        sketches = _write(
+            D.corpus_sketches(
+                docs, num_hashes=8, n=3, hash_mode=args.hash_mode
+            ),
+            "sketches",
+        )
+        _write(docs.select("doc_id"), "doc_ids")
+        cand = D._band_pairs(sketches, num_hashes=8, band_size=2)
+        pairs = _write(
+            D._verify_candidates(cand, docs, sketches, args.threshold, 3),
+            "pairs",
+        )
+        clusters = D.duplicate_clusters(docs, pairs=pairs)
+        clusters = _write(clusters, "clusters")
+        out["cluster_members"] = clusters.count()
+        out["clusters"] = clusters.select("cluster_id").distinct().count()
+
+        retained = D.retained_corpus(docs, clusters=clusters)
+        out["docs_retained"] = _write(retained, "retained").count()
+
+        out["stats_rows"] = _write(_stats(docs), "text_stats").count()
+        meta = {
+            "threshold": args.threshold,
+            "num_hashes": 8,
+            "band_size": 2,
+            "n": 3,
+            "hash_mode": args.hash_mode,
+            "lake_epoch": cut_epoch,
+        }
+
+    with open(os.path.join(args.out, "_corpus_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
 
     if args.embeddings:
         embs = spark.read.parquet(args.embeddings)

@@ -1,0 +1,193 @@
+"""Incremental corpus maintenance: the update over a CDC change delta must
+produce BIT-FOR-BIT the same sketches, pairs, clusters and retained set as
+a from-scratch cut at the target snapshot. The hard cases are deletion of a
+BRIDGE document (its cluster must split — only persisted pairs, not
+clusters, carry the connectivity) and a new smaller-id near-dup displacing
+an existing canonical."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.operators import corpus_incremental as CI
+from bbc_news_etl_pipeline_spark.operators import dedup as D
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+DOCS_SCHEMA = "doc_id long, text string, repo string, path string, lang string"
+
+
+def _full_cut(docs):
+    """From-scratch cut — the reference the incremental path must match."""
+    sketches = D.corpus_sketches(docs)
+    pairs = D.near_dup_pairs_lsh(docs)
+    clusters = D.duplicate_clusters(None, pairs=pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return {
+        "sketches": sketches,
+        "pairs": pairs,
+        "doc_ids": docs.select("doc_id"),
+        "clusters": clusters,
+        "retained": docs.join(losers, "doc_id", "left_anti"),
+    }
+
+
+def _pdf(df, keys):
+    return (
+        df.toPandas()
+        .sort_values(keys, kind="mergesort")
+        .reset_index(drop=True)
+        .astype(object)
+    )
+
+
+def _assert_same(inc: dict, full: dict):
+    for name, keys in [
+        ("sketches", ["doc_id"]),
+        ("pairs", ["doc_a", "doc_b"]),
+        ("doc_ids", ["doc_id"]),
+        ("clusters", ["doc_id"]),
+        ("retained", ["doc_id"]),
+    ]:
+        a = _pdf(inc[name].select(*sorted(inc[name].columns)), keys)
+        b = _pdf(full[name].select(*sorted(full[name].columns)), keys)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False), name
+
+
+W = [f"w{i:02d}" for i in range(30)]
+
+
+def _text(a=None, c=None):
+    # mutate MIDDLE words: each changed word touches 3 shingles, so
+    # J(A,B)=J(B,C)=25/31=0.806 >= 0.8 but J(A,C)=22/34=0.647 < 0.8
+    ws = list(W)
+    if a:
+        ws[5] = a
+    if c:
+        ws[24] = c
+    return " ".join(ws)
+
+
+@pytest.fixture(scope="module")
+def base_docs(spark):
+    # A ~ B (differ in first word), B ~ C (differ in last word), A !~ C;
+    # E is an unrelated singleton; S is too short to shingle (must still
+    # flow through doc_ids and retained on both paths).
+    rows = [
+        (100, _text(a="aaa"), "r1", "a.py", "py"),
+        (200, _text(), "r1", "b.py", "py"),
+        (300, _text(c="ccc"), "r1", "c.py", "py"),
+        (500, "completely different words " + " ".join(f"x{i}" for i in range(26)),
+         "r2", "e.py", "py"),
+        (600, "too short", "r2", "s.py", "py"),
+    ]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_fixture_has_the_intended_pair_structure(spark, base_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.near_dup_pairs_lsh(base_docs).collect()
+    }
+    assert (100, 200) in pairs and (200, 300) in pairs
+    assert (100, 300) not in pairs  # A !~ C: B is the bridge
+
+
+def test_bridge_deletion_splits_the_cluster(spark, base_docs):
+    """Delete B: full recut on {A, C, E, S} has NO pairs. The persisted
+    clusters alone could never split {A,B,C}; the pair store must."""
+    prev = _full_cut(base_docs)
+    delta = spark.createDataFrame(
+        [(200, False, None, "r1", "b.py", None)],
+        "doc_id long, alive boolean, text string, repo string, path string, lang string",
+    )
+    head = base_docs.where(F.col("doc_id") != 200)
+    inc = CI.incremental_corpus_update(
+        head, delta, prev["sketches"], prev["pairs"], prev["doc_ids"]
+    )
+    _assert_same(inc, _full_cut(head))
+    assert inc["pairs"].count() == 0
+    assert inc["clusters"].count() == 0
+    assert sorted(r["doc_id"] for r in inc["retained"].collect()) == [100, 300, 500, 600]
+
+
+def test_new_smaller_id_displaces_the_canonical(spark, base_docs):
+    """Insert doc 50 == doc 500's text: the cluster's canonical becomes 50,
+    so previously-retained 500 must leave the retained set."""
+    prev = _full_cut(base_docs)
+    new_text = base_docs.where(F.col("doc_id") == 500).first()["text"]
+    delta = spark.createDataFrame(
+        [(50, True, new_text, "r9", "n.py", "py")],
+        "doc_id long, alive boolean, text string, repo string, path string, lang string",
+    )
+    head = base_docs.unionByName(
+        spark.createDataFrame([(50, new_text, "r9", "n.py", "py")], DOCS_SCHEMA)
+    )
+    inc = CI.incremental_corpus_update(
+        head, delta, prev["sketches"], prev["pairs"], prev["doc_ids"],
+        hint_broadcast=True,
+    )
+    _assert_same(inc, _full_cut(head))
+    retained = sorted(r["doc_id"] for r in inc["retained"].collect())
+    assert 50 in retained and 500 not in retained
+
+
+def test_update_changes_pair_membership_both_ways(spark, base_docs):
+    """Rewrite C to match E's text: (B,C) must dissolve, (C,500) must form
+    — an update is a delete+insert of the SAME doc_id."""
+    prev = _full_cut(base_docs)
+    e_text = base_docs.where(F.col("doc_id") == 500).first()["text"]
+    delta = spark.createDataFrame(
+        [(300, True, e_text, "r1", "c.py", "py")],
+        "doc_id long, alive boolean, text string, repo string, path string, lang string",
+    )
+    head = base_docs.where(F.col("doc_id") != 300).unionByName(
+        spark.createDataFrame([(300, e_text, "r1", "c.py", "py")], DOCS_SCHEMA)
+    )
+    inc = CI.incremental_corpus_update(
+        head, delta, prev["sketches"], prev["pairs"], prev["doc_ids"]
+    )
+    _assert_same(inc, _full_cut(head))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in inc["pairs"].collect()}
+    assert (300, 500) in pairs and (200, 300) not in pairs
+
+
+def test_empty_delta_is_a_noop(spark, base_docs):
+    prev = _full_cut(base_docs)
+    delta = spark.createDataFrame(
+        [],
+        "doc_id long, alive boolean, text string, repo string, path string, lang string",
+    )
+    inc = CI.incremental_corpus_update(
+        base_docs, delta, prev["sketches"], prev["pairs"], prev["doc_ids"]
+    )
+    _assert_same(inc, _full_cut(base_docs))
+
+
+def test_lake_to_corpus_incremental_equals_full_recut(spark, tmp_path):
+    """End to end over a real CDC lake: cut at the epoch-0 snapshot, tail
+    the remaining epochs, refresh via read_changes — identical to a
+    from-scratch cut of the head snapshot (default xxhash64 identity)."""
+    log_dir = str(tmp_path / "log")
+    gen.build_stream(4_000, 3, log_dir)
+    root = str(tmp_path / "lake")
+    R.replay(spark, log_dir, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+
+    prev_docs = lake.read_documents(spark, epoch=0)
+    prev = _full_cut(prev_docs)
+
+    head_docs = lake.read_documents(spark)
+    changes = lake.read_changes(spark, EventLog(log_dir), from_epoch=0)
+    delta = CI.changes_to_delta(changes)
+    assert delta.count() > 0 and delta.where(~F.col("alive")).count() > 0
+
+    inc = CI.incremental_corpus_update(
+        head_docs, delta, prev["sketches"], prev["pairs"], prev["doc_ids"],
+        hint_broadcast=True,
+    )
+    _assert_same(inc, _full_cut(head_docs))
