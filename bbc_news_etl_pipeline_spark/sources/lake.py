@@ -555,6 +555,117 @@ class LakeTable:
                     shutil.rmtree(sdir, ignore_errors=True)
         return {"discarded": existed, "epoch": epoch, "files_deleted": n_files}
 
+    def audit_staged(
+        self,
+        spark: SparkSession,
+        log,
+        staged_epoch: int | None = None,
+        *,
+        max_changed_keys: int | None = None,
+        max_delete_frac: float | None = None,
+        max_quarantine_frac: float | None = None,
+        publish_on_pass: bool = False,
+        discard_on_fail: bool = False,
+    ) -> dict:
+        """The write-audit-publish GATE: validate a staged snapshot against
+        declarative thresholds, then (optionally) publish or discard it.
+        The reference's analog is its validate-THEN-load step
+        (/root/reference/src/components/data_validation.py); Iceberg's is
+        an audit query between `spark.wap.id` and `cherrypick_snapshot`.
+
+        Checks — all O(staged window), never O(table); unset thresholds
+        are reported but not enforced:
+
+        - ``changed_keys``: keys the staged snapshot touches (the
+          `read_changes` head→staged diff) vs `max_changed_keys`;
+        - ``delete_frac``: deletes / changed_keys vs `max_delete_frac` —
+          a delete-heavy delta is the classic upstream-truncation accident
+          a gate exists to catch;
+        - ``quarantine_frac``: quarantined / (applied + quarantined) from
+          the staged manifest's own counts vs `max_quarantine_frac`;
+        - ``schema_regressed``: the staged `schema_version` must be >= the
+          head's (always enforced — a version regression is never valid).
+
+        Returns the per-check values plus ``pass``, ``failed_checks`` and
+        the ``action`` taken ('published' / 'discarded' / 'none')."""
+        staged = self.staged_epochs()
+        if staged_epoch is not None:
+            if staged_epoch not in staged:
+                raise ValueError(
+                    f"epoch {staged_epoch} is not staged (staged: {staged})"
+                )
+            target = staged_epoch
+        elif len(staged) == 1:
+            target = staged[0]
+        else:
+            raise ValueError(
+                f"need exactly one staged snapshot or an explicit epoch "
+                f"(staged: {staged})"
+            )
+
+        head_m = self.current_manifest()
+        staged_m = self.manifest(target)
+        counts = staged_m.get("counts") or {}
+        applied = int(counts.get("events_applied", 0))
+        quarantined = int(counts.get("events_quarantined", 0))
+
+        # the audit diff: exactly what publishing would change, keyed and
+        # LWW-collapsed — O(touched keys in the staged window). A staged
+        # FIRST snapshot (no committed head) diffs against nothing: every
+        # live row is an upsert, tombstones are from-nothing no-ops.
+        if head_m is not None:
+            diff = self.read_changes(
+                spark, log, from_epoch=head_m["epoch"], to_epoch=target
+            )
+            by_kind = {
+                r["change"]: r["n"]
+                for r in diff.groupBy("change")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            changed = int(sum(by_kind.values()))
+            deletes = int(by_kind.get("delete", 0))
+        else:
+            changed = self.read_state(spark, epoch=target).count()
+            deletes = 0
+
+        checks: dict = {
+            "staged_epoch": target,
+            "head_epoch": head_m["epoch"] if head_m else None,
+            "changed_keys": changed,
+            "deletes": deletes,
+            "delete_frac": round(deletes / changed, 6) if changed else 0.0,
+            "quarantine_frac": round(quarantined / (applied + quarantined), 6)
+            if (applied + quarantined)
+            else 0.0,
+            "schema_version": staged_m["schema_version"],
+            "schema_regressed": bool(
+                head_m and staged_m["schema_version"] < head_m["schema_version"]
+            ),
+        }
+        failures = []
+        if max_changed_keys is not None and changed > max_changed_keys:
+            failures.append("changed_keys")
+        if max_delete_frac is not None and checks["delete_frac"] > max_delete_frac:
+            failures.append("delete_frac")
+        if (
+            max_quarantine_frac is not None
+            and checks["quarantine_frac"] > max_quarantine_frac
+        ):
+            failures.append("quarantine_frac")
+        if checks["schema_regressed"]:
+            failures.append("schema_regressed")
+
+        ok = not failures
+        action = "none"
+        if ok and publish_on_pass:
+            self.publish_staged(target)
+            action = "published"
+        elif not ok and discard_on_fail:
+            self.discard_staged(target)
+            action = "discarded"
+        return {**checks, "pass": ok, "failed_checks": failures, "action": action}
+
     # ---------- single-writer lease ----------
     #
     # The manifest fence makes RETRIES of the same epoch safe, but two live

@@ -1,0 +1,75 @@
+"""spark-submit entry point: the write-audit-publish GATE — validate a
+staged snapshot against declarative thresholds, then publish or discard it.
+
+This operationalizes the staging half (`jobs/replay.py --stage`): the same
+role the reference's validation component plays between scrape and load
+(/root/reference/src/components/data_validation.py — validate, THEN load),
+and the reason Iceberg users pair `spark.wap.id` with an audit query before
+`cherrypick_snapshot`. All gate logic lives in `LakeTable.audit_staged`
+(bbc_news_etl_pipeline_spark/sources/lake.py) — this file only parses args.
+
+Usage:
+    spark-submit --master local[32] jobs/audit.py \
+        --lake-root /tmp/lake --log-dir /tmp/log [--staged N] \
+        [--max-changed-keys N] [--max-delete-frac F] \
+        [--max-quarantine-frac F] \
+        [--publish-on-pass] [--discard-on-fail]
+
+Prints ONE JSON line: per-check values, `pass`, and the `action` taken
+(published / discarded / none). Exit code 0 on pass, 3 on fail — usable
+directly as a pipeline gate. Thresholds left unset are not checked.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_package  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--lake-root", required=True)
+    p.add_argument("--log-dir", required=True)
+    p.add_argument("--staged", type=int, default=None,
+                   help="staged epoch to audit (default: the only one)")
+    p.add_argument("--max-changed-keys", type=int, default=None)
+    p.add_argument("--max-delete-frac", type=float, default=None)
+    p.add_argument("--max-quarantine-frac", type=float, default=None)
+    p.add_argument("--publish-on-pass", action="store_true")
+    p.add_argument("--discard-on-fail", action="store_true")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    spark = build_session(app_name="cdc-audit", master=args.master)
+    ship_engine_package(spark)
+
+    try:
+        out = LakeTable(args.lake_root).audit_staged(
+            spark,
+            EventLog(args.log_dir),
+            staged_epoch=args.staged,
+            max_changed_keys=args.max_changed_keys,
+            max_delete_frac=args.max_delete_frac,
+            max_quarantine_frac=args.max_quarantine_frac,
+            publish_on_pass=args.publish_on_pass,
+            discard_on_fail=args.discard_on_fail,
+        )
+    except ValueError as e:
+        raise SystemExit(str(e))
+
+    print(json.dumps(out))
+    spark.stop()
+    if not out["pass"]:
+        sys.exit(3)
+
+
+if __name__ == "__main__":
+    main()

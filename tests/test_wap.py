@@ -228,3 +228,78 @@ def test_read_changes_audits_the_staged_diff(spark, stream_dir, tmp_path):
     lake.publish_staged(n)
     # the diff a consumer applies AFTER publish is exactly what was audited
     assert _diff().equals(audited)
+
+
+def test_audit_gate_passes_and_publishes(spark, stream_dir, head_digest, tmp_path):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=N_EPOCHS - 1)
+    R.replay(spark, stream_dir, root, n_buckets=8, stage=True)
+    lake = LakeTable(root, n_buckets=8)
+    (n,) = lake.staged_epochs()
+
+    out = lake.audit_staged(
+        spark,
+        EventLog(stream_dir),
+        max_changed_keys=10 * E,
+        max_delete_frac=1.0,
+        max_quarantine_frac=0.0,
+        publish_on_pass=True,
+    )
+    assert out["pass"] and out["failed_checks"] == []
+    assert out["action"] == "published"
+    assert out["staged_epoch"] == n and out["head_epoch"] == n - 1
+    assert 0 < out["changed_keys"] <= E
+    assert out["deletes"] <= out["changed_keys"]
+    assert out["quarantine_frac"] == 0.0 and not out["schema_regressed"]
+    # published through the gate == a straight replay
+    assert lake.staged_epochs() == []
+    assert lake.current_manifest()["epoch"] == n
+    assert engine_digest(spark, root) == head_digest
+
+
+def test_audit_gate_fails_threshold_and_discards(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=N_EPOCHS - 1)
+    pre_digest = engine_digest(spark, root)
+    R.replay(spark, stream_dir, root, n_buckets=8, stage=True)
+    lake = LakeTable(root, n_buckets=8)
+    (n,) = lake.staged_epochs()
+
+    out = lake.audit_staged(
+        spark, EventLog(stream_dir), max_changed_keys=0, discard_on_fail=True
+    )
+    assert not out["pass"] and out["failed_checks"] == ["changed_keys"]
+    assert out["action"] == "discarded"
+    # the bad snapshot is gone; the committed head is untouched
+    assert lake.staged_epochs() == []
+    assert lake.current_manifest()["epoch"] == n - 1
+    assert engine_digest(spark, root) == pre_digest
+    # without discard_on_fail the staged snapshot survives a failing audit
+    R.replay(spark, stream_dir, root, n_buckets=8, stage=True)
+    out2 = lake.audit_staged(spark, EventLog(stream_dir), max_changed_keys=0)
+    assert not out2["pass"] and out2["action"] == "none"
+    assert lake.staged_epochs() == [n]
+
+
+def test_audit_gate_first_snapshot_diffs_against_nothing(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, stage=True, max_epochs=1)
+    lake = LakeTable(root, n_buckets=8)
+    (n,) = lake.staged_epochs()
+
+    out = lake.audit_staged(spark, EventLog(stream_dir), publish_on_pass=True)
+    assert out["pass"] and out["action"] == "published"
+    assert out["head_epoch"] is None and out["staged_epoch"] == n
+    # from nothing: every live row is an upsert, no deletes by definition
+    assert out["changed_keys"] == len(engine_live_pdf(spark, root))
+    assert out["deletes"] == 0 and out["delete_frac"] == 0.0
+
+
+def test_audit_gate_target_resolution_errors(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=1)
+    lake = LakeTable(root, n_buckets=8)
+    with pytest.raises(ValueError, match="need exactly one staged"):
+        lake.audit_staged(spark, EventLog(stream_dir))
+    with pytest.raises(ValueError, match="not staged"):
+        lake.audit_staged(spark, EventLog(stream_dir), staged_epoch=99)
