@@ -116,6 +116,17 @@ def parquet_key_stats(full_path: str) -> dict | None:
         return None
 
 
+def parquet_num_rows(full_path: str) -> int | None:
+    """Row count from the parquet FOOTER (metadata-only read); None when
+    the footer is unreadable — metadata views surface NULL, never fail."""
+    try:
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(full_path).metadata.num_rows)
+    except Exception:  # noqa: BLE001 — metadata is best-effort
+        return None
+
+
 def entry_may_contain(entry: dict, repo: str, path: str) -> bool:
     """Conservative file-skip test for a point lookup: False ONLY when the
     entry's footer bounds prove the key cannot be in the file. The path
@@ -1714,6 +1725,60 @@ class LakeTable:
                 "epoch long, mode string, staged_at string, counts_json string",
             ).createOrReplaceTempView(name)
             views.append(name)
+        # Iceberg `files` / `partitions` metadata-table parity: the CURRENT
+        # snapshot's data files (one row per manifest entry: bucket,
+        # generation ordinal, size, row count, footer key bounds) and the
+        # per-bucket rollup. Driver-side metadata only — O(files in the
+        # head snapshot): sizes come from the filesystem, row counts from
+        # the parquet footer (metadata-only reads, no data pages).
+        head = self.current_manifest()
+        if head:
+            frows = []
+            for b, fentries in sorted(
+                head["buckets"].items(), key=lambda kv: int(kv[0])
+            ):
+                for i, e in enumerate(fentries):
+                    fp = os.path.join(self.root, e["path"])
+                    try:
+                        nbytes = os.path.getsize(fp)
+                    except OSError:
+                        nbytes = None
+                    st = e.get("stats") or {}
+                    r = st.get("repo") or [None, None]
+                    p = st.get("path") or [None, None]
+                    frows.append(
+                        (
+                            int(b),
+                            e["path"],
+                            int(e.get("layer", i)),
+                            e.get("schema_version"),
+                            nbytes,
+                            parquet_num_rows(fp),
+                            r[0],
+                            r[1],
+                            p[0],
+                            p[1],
+                        )
+                    )
+            if frows:
+                name = f"{prefix}_files"
+                spark.createDataFrame(
+                    frows,
+                    "bucket int, file_path string, generation int, "
+                    "schema_version int, file_bytes long, record_count long, "
+                    "repo_lo string, repo_hi string, path_lo string, "
+                    "path_hi string",
+                ).createOrReplaceTempView(name)
+                views.append(name)
+                pname = f"{prefix}_partitions"
+                spark.sql(
+                    f"SELECT bucket, count(*) AS file_count, "
+                    f"count(DISTINCT generation) AS generations, "
+                    f"sum(file_bytes) AS total_bytes, "
+                    f"sum(record_count) AS total_rows "
+                    f"FROM {name} GROUP BY bucket"
+                ).createOrReplaceTempView(pname)
+                views.append(pname)
         return views
 
     def checkpoint_rows(self) -> list[dict]:

@@ -462,3 +462,47 @@ def test_sql_facade_metadata_tables(spark, tmp_path):
     assert all(not r["layered"] for r in snaps)
     ref = spark.sql("SELECT tag, epoch FROM cdc_refs").first()
     assert ref["tag"] == "released" and ref["epoch"] == 0
+
+
+def test_sql_facade_files_and_partitions(spark, tmp_path):
+    """Iceberg `files`/`partitions` metadata-table parity: `cdc_files`
+    lists the head snapshot's data files with size, row count, generation
+    ordinal, and footer key bounds; `cdc_partitions` rolls them up per
+    bucket. Row counts must sum to the physical row total (live +
+    tombstones + shadowed MOR copies), and a layered MOR lake must show
+    >1 generation in at least one bucket."""
+    d = str(tmp_path / "log")
+    gen.build_stream(1_000, 2, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4, mode="mor")
+    lake = LakeTable(root)
+    views = lake.register_views(spark)
+    assert "cdc_files" in views and "cdc_partitions" in views
+
+    files = spark.sql(
+        "SELECT bucket, file_path, generation, file_bytes, record_count "
+        "FROM cdc_files"
+    ).collect()
+    m = lake.current_manifest()
+    want_paths = sorted(
+        e["path"] for v in m["buckets"].values() for e in v
+    )
+    assert sorted(r["file_path"] for r in files) == want_paths
+    assert all(r["file_bytes"] > 0 and r["record_count"] > 0 for r in files)
+    # footer row counts must account for every physical row across layers
+    phys = lake.read_buckets(spark, None, m["schema_version"]).count()
+    assert sum(r["record_count"] for r in files) == phys
+    # the 2-epoch MOR history is layered: some bucket carries 2 generations
+    parts = spark.sql(
+        "SELECT bucket, file_count, generations, total_bytes, total_rows "
+        "FROM cdc_partitions"
+    ).collect()
+    assert max(r["generations"] for r in parts) >= 2
+    by_bucket = {}
+    for r in files:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for p in parts:
+        grp = by_bucket[p["bucket"]]
+        assert p["file_count"] == len(grp)
+        assert p["total_bytes"] == sum(g["file_bytes"] for g in grp)
+        assert p["total_rows"] == sum(g["record_count"] for g in grp)
