@@ -126,6 +126,92 @@ def stratified_sample(
     return docs.where(bucket < threshold)
 
 
+def _max_run(arr):
+    """Longest run of equal adjacent elements in a (sorted) array — a
+    single codegen'd higher-order `aggregate`, no explode/shuffle. The
+    sentinel ("", run=0) is collision-safe: a real first element always
+    yields run 1 whether or not it equals the sentinel."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, w):
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters: per-doc fraction of words that are
+    repeats, the most-frequent word's share, and the most-frequent
+    bigram's share — the standard "templated/spammy page" signals a
+    pretraining corpus drops before dedup.
+
+    Entirely per-row column expressions: word frequency is the longest
+    equal-run of the SORTED word array (one higher-order `aggregate`),
+    bigrams come from `zip_with` over shifted slices — map-only, no
+    explode, no shuffle, so it composes with the scan at any scale
+    (the set-at-a-time form of the reference consumer's per-article
+    cleaning pass, /root/reference/docs/components/consumer.md:9-14)."""
+    words = F.split(F.col("text"), r"\s+")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    top_w = _max_run(F.array_sort(words))
+    bigrams = F.zip_with(
+        F.slice(words, 1, n_words - 1),
+        F.slice(words, 2, n_words - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top_b = _max_run(F.array_sort(bigrams))
+    eps = F.lit(1e-9)  # midpoint-rounding nudge, same convention as quality_score
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_distinct.cast("long").alias("n_distinct_words"),
+        F.round(top_w / n_words + eps, 4).alias("top_word_frac"),
+        F.round((n_words - n_distinct) / n_words + eps, 4).alias("dup_word_frac"),
+        F.when(n_words < 2, F.lit(0.0))
+        .otherwise(F.round(top_b / (n_words - 1) + eps, 4))
+        .alias("top_bigram_frac"),
+    )
+
+
+#: secret/PII patterns for a source-code corpus. Deliberately free of
+#: backslash escapes so the IDENTICAL literal behaves the same under
+#: Java regex (Spark) and RE2 (DuckDB oracle); no alternation, greedy
+#: quantifiers over disjoint classes — unambiguous under both engines.
+SECRET_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("aws_key", "AKIA[0-9A-Z]{16}", "[REDACTED_AWS_KEY]"),
+    (
+        "email",
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+        "[REDACTED_EMAIL]",
+    ),
+    ("private_key", "-----BEGIN [A-Z ]*PRIVATE KEY-----", "[REDACTED_PRIVATE_KEY]"),
+)
+
+
+def redact_secrets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Secret/PII redaction for a source-code training corpus: AWS access
+    keys, emails, private-key headers replaced with typed markers, with a
+    per-type count column (counted on the ORIGINAL text, so counts are
+    order-independent; replacements are applied in SECRET_PATTERNS order
+    and the markers contain `[`/`]` so no replacement can create a new
+    match). Map-only codegen'd regexp chain — no shuffle, pushes with the
+    scan at 100 TB."""
+    out = F.col(text_col)
+    counts = []
+    for name, pat, repl in SECRET_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        out = F.regexp_replace(out, pat, repl)
+    return docs.select("doc_id", *counts, out.alias("redacted_text"))
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of canonicalized text (rolling-hash-class
     dedup key; see operators/dedup.fingerprint for the dedup use)."""
