@@ -1781,6 +1781,53 @@ class LakeTable:
                 views.append(pname)
         return views
 
+    def report(self) -> dict:
+        """Operational health report, driver-side metadata only (manifests
+        + parquet footers, no Spark job): head snapshot, retention/staging
+        state, and the per-bucket read-amplification picture an operator
+        uses to decide compaction — max/mean generations per bucket, how
+        many buckets exceed 1 generation, file count and bytes. O(retained
+        snapshots + head files), independent of row count."""
+        head = self.current_manifest()
+        out: dict = {
+            "lake": self.root,
+            "n_buckets": self.n_buckets,
+            "head_epoch": head["epoch"] if head else None,
+            "schema_version": head["schema_version"] if head else None,
+            "layered": bool(head and head.get("layered")),
+            "retained_snapshots": len(self.committed_epochs()),
+            "staged_epochs": self.staged_epochs(),
+            "tags": dict(sorted(self.refs()["tags"].items())),
+        }
+        if head:
+            gens_per_bucket = [
+                bucket_generations(v) for v in head["buckets"].values()
+            ]
+            files = [e for v in head["buckets"].values() for e in v]
+            nbytes = 0
+            for e in files:
+                try:
+                    nbytes += os.path.getsize(os.path.join(self.root, e["path"]))
+                except OSError:
+                    pass
+            out.update(
+                {
+                    "files": len(files),
+                    "total_bytes": nbytes,
+                    "max_generations": max(gens_per_bucket, default=0),
+                    "mean_generations": round(
+                        sum(gens_per_bucket) / max(len(gens_per_bucket), 1), 3
+                    ),
+                    "buckets_layered": sum(1 for g in gens_per_bucket if g > 1),
+                    "stats_coverage": round(
+                        sum(1 for e in files if e.get("stats"))
+                        / max(len(files), 1),
+                        3,
+                    ),
+                }
+            )
+        return out
+
     def checkpoint_rows(self) -> list[dict]:
         """The `_checkpoint` table (FIXTURES.md section 3), derived from the
         committed manifests — the analog of the reference's

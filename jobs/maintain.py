@@ -5,7 +5,8 @@ Usage:
     spark-submit --master local[32] jobs/maintain.py --lake-root /tmp/lake \
         [--tag NAME [--tag-at E]] [--drop-tag NAME] \
         [--rollback-to E|TAG] [--compact] [--tombstone-horizon-lsn N] \
-        [--expire-keep-last K] [--rebucket N] [--vacuum-orphans-grace SEC]
+        [--expire-keep-last K] [--rebucket N] [--vacuum-orphans-grace SEC] \
+        [--report]
 
 Order when combined: tag -> drop-tag -> rollback -> compact -> rebucket ->
 expire -> vacuum (pins are adjusted first so expiration honors them;
@@ -55,6 +56,10 @@ def main() -> None:
     p.add_argument("--vacuum-orphans-grace", type=float, default=None,
                    help="reclaim crashed-write files older than this many "
                         "seconds that no retained manifest references")
+    p.add_argument("--report", action="store_true",
+                   help="append an operational health report (head, "
+                        "retention, per-bucket generation stats) — runs "
+                        "LAST so it reflects this invocation's operations")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -88,6 +93,8 @@ def main() -> None:
         out["vacuumed"] = lake.vacuum_orphans(
             grace_seconds=args.vacuum_orphans_grace
         )
+    if args.report:
+        out["report"] = lake.report()
     print(json.dumps(out))
     spark.stop()
 

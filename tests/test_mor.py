@@ -422,3 +422,22 @@ def test_mor_crash_resume(spark, stream_dir, tmp_path, cow_digest):
     assert engine_digest(spark, root) == cow_digest
     # a third run applies nothing (fence)
     assert R.replay(spark, stream_dir, root, n_buckets=8, mode="mor").events_applied == 0
+
+
+def test_report_tracks_layering_and_compaction(spark, stream_dir, tmp_path):
+    """`LakeTable.report()` (jobs/maintain.py --report): the driver-side
+    health report shows the layered MOR picture, and compaction flattens
+    it back to one generation everywhere."""
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    lake = LakeTable(root)
+    rep = lake.report()
+    assert rep["head_epoch"] == 3 and rep["layered"]
+    assert rep["retained_snapshots"] == 4 and rep["staged_epochs"] == []
+    assert rep["max_generations"] >= 2 and rep["buckets_layered"] >= 1
+    assert rep["files"] > 0 and rep["total_bytes"] > 0
+    assert rep["stats_coverage"] == 1.0  # fresh writes all carry footer bounds
+    lake.compact(spark)
+    rep2 = lake.report()
+    assert not rep2["layered"]
+    assert rep2["max_generations"] == 1 and rep2["buckets_layered"] == 0
