@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- live CDC engine replay (non-SQL-expressible: full engine path) ----
     q["cdc_replay_state"] = _cdc_replay_state
     q["cdc_wap_staged_state"] = _cdc_wap_staged_state
+    q["cdc_branch_state"] = _cdc_branch_state
     q["cdc_read_changes"] = _cdc_read_changes
     q["cdc_changelog"] = _cdc_changelog
 
@@ -294,6 +295,31 @@ def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     log_dir = _ensure_cdc_oracle_log()
     lake_root = os.path.join(tempfile.mkdtemp(prefix="cdc_entry_"), "lake")
     replay(spark, log_dir, lake_root, n_buckets=8)
+    return (
+        LakeTable(lake_root, n_buckets=8)
+        .read_state(spark)
+        .select("repo", "path", "lsn", "content_sha256")
+    )
+
+
+def _cdc_branch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full branch lifecycle through the REAL engine: replay a prefix on
+    main, create a branch, finish the log on the branch (isolated commits
+    + data namespace), fast-forward into main, and return MAIN's state —
+    which must equal the straight full-log LWW oracle exactly (branching
+    and promotion are metadata moves; they may not change one row)."""
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    log_dir = _ensure_cdc_oracle_log()
+    lake_root = os.path.join(tempfile.mkdtemp(prefix="cdc_branch_"), "lake")
+    replay(spark, log_dir, lake_root, n_buckets=8, max_epochs=2)
+    lake = LakeTable(lake_root, n_buckets=8)
+    lake.create_branch("audit")
+    replay(spark, log_dir, lake_root, n_buckets=8, branch="audit")
+    lake.fast_forward("audit")
     return (
         LakeTable(lake_root, n_buckets=8)
         .read_state(spark)
@@ -1063,6 +1089,10 @@ def oracle_sql() -> dict[str, str]:
     # read as exactly the state publish would commit — the same full-log LWW
     # oracle as cdc_replay_state.
     o["cdc_wap_staged_state"] = o["cdc_replay_state"]
+    # branch lifecycle (branch -> isolated commits -> fast-forward) is pure
+    # metadata choreography over the same event stream: the promoted main
+    # state must equal the straight full-log LWW oracle bit-for-bit.
+    o["cdc_branch_state"] = o["cdc_replay_state"]
     # incremental scan: touched keys come from the RAW offset window (same
     # as the engine's slim scan — validity not consulted), the post-image is
     # the LWW winner over the whole log; the epoch-0 seq boundary is read

@@ -116,6 +116,33 @@ def parquet_key_stats(full_path: str) -> dict | None:
         return None
 
 
+def _validate_ref_name(name: str) -> None:
+    """Branch/ref names become path components — restrict to a safe
+    charset so a name can never traverse or collide with lake metadata."""
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
+        raise ValueError(
+            f"invalid ref name {name!r}: letters/digits/dot/underscore/dash, "
+            "max 64 chars, must not start with a separator"
+        )
+
+
+def _unlink_with_crc(full_path: str) -> None:
+    """Remove a data file AND its hidden Hadoop checksum twin
+    (.<name>.crc) — left behind, the twin keeps bucket/epoch dirs
+    non-empty forever (glob skips dotfiles), so reclamation never
+    converges."""
+    for fp in (
+        full_path,
+        os.path.join(
+            os.path.dirname(full_path), "." + os.path.basename(full_path) + ".crc"
+        ),
+    ):
+        try:
+            os.unlink(fp)
+        except FileNotFoundError:
+            pass
+
+
 def parquet_num_rows(full_path: str) -> int | None:
     """Row count from the parquet FOOTER (metadata-only read); None when
     the footer is unreadable — metadata views surface NULL, never fail."""
@@ -228,8 +255,24 @@ def _resolve_layers_window(df: DataFrame) -> DataFrame:
 
 
 class LakeTable:
-    def __init__(self, root: str, n_buckets: int = 64):
+    def __init__(self, root: str, n_buckets: int = 64, branch: str | None = None):
+        """`branch` opens a named BRANCH of the table (Iceberg branch
+        parity): same data model, same engine, but snapshots commit to
+        `_branches/<name>/_manifests` and new data files land under
+        `data/branch-<name>/` — manifest entries are root-relative paths,
+        so a branch snapshot freely references base files and readers need
+        no branch awareness. Create branches with `create_branch` on the
+        MAIN table first; opening a nonexistent branch raises."""
         self.root = root
+        self.branch = branch
+        if branch is not None:
+            _validate_ref_name(branch)
+            if not os.path.isfile(
+                os.path.join(root, "_branches", branch, "_branch.json")
+            ):
+                raise ValueError(
+                    f"branch {branch!r} does not exist (create_branch first)"
+                )
         self.n_buckets = n_buckets
         os.makedirs(self.manifests_dir, exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -245,14 +288,29 @@ class LakeTable:
 
     # ---------- layout ----------
     @property
+    def _meta_root(self) -> str:
+        """Where this table view's metadata lives: the root for main, the
+        branch dir for a branch — every metadata surface (manifests,
+        staged, sidecars, writer lease) derives from it, which is what
+        makes the ENTIRE engine (replay, tail, redrive, compaction, WAP)
+        work on a branch unchanged."""
+        if self.branch is None:
+            return self.root
+        return os.path.join(self.root, "_branches", self.branch)
+
+    @property
     def manifests_dir(self) -> str:
-        return os.path.join(self.root, "_manifests")
+        return os.path.join(self._meta_root, "_manifests")
 
     def epoch_data_dir(self, epoch: int) -> str:
-        return os.path.join(self.root, "data", f"e{epoch:06d}")
+        if self.branch is None:
+            return os.path.join(self.root, "data", f"e{epoch:06d}")
+        return os.path.join(
+            self.root, "data", f"branch-{self.branch}", f"e{epoch:06d}"
+        )
 
     def sidecar_dir(self, name: str, epoch: int) -> str:
-        return os.path.join(self.root, name, f"e{epoch:06d}")
+        return os.path.join(self._meta_root, name, f"e{epoch:06d}")
 
     # ---------- snapshots ----------
     def committed_epochs(self) -> list[int]:
@@ -378,6 +436,11 @@ class LakeTable:
         a tag is a pin other systems may hold (a corpus manifest, a report),
         so moving it silently would un-reproduce their reads. Drop + create
         is the explicit two-step for that."""
+        if self.branch is not None:
+            raise ValueError(
+                "tags pin MAIN-lineage snapshots; fast_forward the branch "
+                "first, then tag on the main table"
+            )
         if epoch is None:
             m = self.current_manifest()
             if m is None:
@@ -426,6 +489,176 @@ class LakeTable:
             raise ValueError(f"unknown tag {ref!r}")
         return int(epoch)
 
+    # ---------- branches (Iceberg branch analog) ----------
+    #
+    # A branch is a named snapshot chain diverging from a main snapshot:
+    # `_branches/<name>/` holds its own `_manifests/` (seeded with a COPY
+    # of the base manifest), `_staged/`, sidecars and writer lease; its
+    # data files land under `data/branch-<name>/`. Because manifest
+    # entries are root-relative paths, a branch snapshot freely references
+    # base (main) files and no reader needs branch awareness — the entire
+    # engine (replay, tail, redrive, compaction, WAP, time travel within
+    # the branch chain) runs on `LakeTable(root, branch=name)` unchanged.
+    # `fast_forward` promotes a branch whose base is still the main head:
+    # metadata-only EEXIST-safe hardlinks of its manifests (a crash midway
+    # finishes on retry), so promotion costs the same at 100 TB as at
+    # 100 MB. A branch that diverged (main advanced) is refused — rebuild
+    # the branch from the new head; there is no merge, matching Iceberg's
+    # fast-forward-only `publish` semantics. Tags stay main-lineage pins.
+
+    def branches(self) -> list[str]:
+        out = []
+        for p in glob.glob(os.path.join(self.root, "_branches", "*", "_branch.json")):
+            out.append(os.path.basename(os.path.dirname(p)))
+        return sorted(out)
+
+    def branch_meta(self, name: str) -> dict:
+        with open(os.path.join(self.root, "_branches", name, "_branch.json")) as f:
+            return json.load(f)
+
+    def create_branch(self, name: str, from_epoch: int | str | None = None) -> int:
+        """Create a branch at snapshot `from_epoch` (int, tag name, or
+        None = current head). Built in a temp dir and atomically renamed
+        into place, so a crashed create never leaves a half-branch; an
+        existing branch name raises. Returns the base epoch."""
+        if self.branch is not None:
+            raise ValueError("create branches from the MAIN table view")
+        _validate_ref_name(name)
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError("cannot branch an empty lake")
+        base = m["epoch"] if from_epoch is None else self.resolve_ref(from_epoch)
+        base_manifest = self.manifest(base)  # raises if expired/unknown
+        bdir = os.path.join(self.root, "_branches", name)
+        if os.path.isdir(bdir):
+            raise ValueError(f"branch {name!r} already exists")
+        import uuid as _uuid
+        from datetime import datetime, timezone
+
+        tmp = os.path.join(self.root, "_branches", f".tmp-{name}-{_uuid.uuid4().hex}")
+        os.makedirs(os.path.join(tmp, "_manifests"))
+        with open(
+            os.path.join(tmp, "_manifests", f"manifest-{base:06d}.json"), "w"
+        ) as f:
+            json.dump(base_manifest, f, indent=1)
+        with open(os.path.join(tmp, "_branch.json"), "w") as f:
+            json.dump(
+                {
+                    "name": name,
+                    "base_epoch": base,
+                    "created_at": datetime.now(timezone.utc).isoformat(),
+                },
+                f,
+            )
+        try:
+            os.rename(tmp, bdir)  # atomic: the branch appears fully-formed
+        except OSError:
+            import shutil as _shutil
+
+            _shutil.rmtree(tmp, ignore_errors=True)
+            raise ValueError(f"branch {name!r} already exists")
+        return base
+
+    def drop_branch(self, name: str) -> dict:
+        """Delete a branch's metadata. Its `data/branch-<name>/` files
+        become orphans reclaimed by `vacuum_orphans` (unless fast_forward
+        promoted them into main manifests, which keeps them referenced)."""
+        import shutil as _shutil
+
+        bdir = os.path.join(self.root, "_branches", name)
+        existed = os.path.isdir(bdir)
+        _shutil.rmtree(bdir, ignore_errors=True)
+        return {"dropped": existed, "name": name}
+
+    def fast_forward(self, name: str) -> dict:
+        """Promote branch `name` into main: valid only while the main head
+        IS the branch's base snapshot (no main commits since divergence —
+        refused otherwise; Iceberg `fast_forward` semantics). Metadata-only:
+        each branch manifest past the base hardlinks into main's
+        `_manifests/` (EEXIST = already promoted, so a crash mid-promotion
+        completes on re-run) and the branch's sidecar parquet hardlinks
+        beside it so main's lineage/metrics/quarantine history stays
+        continuous. Runs under the MAIN writer lease."""
+        if self.branch is not None:
+            raise ValueError("fast_forward from the MAIN table view")
+        bt = LakeTable(self.root, branch=name)
+        base = self.branch_meta(name)["base_epoch"]
+        lease = self.acquire_writer_lease("fast_forward")
+        try:
+            head = self.current_manifest()
+            head_ep = head["epoch"] if head else None
+            if head_ep != base:
+                # crash-retry window: a previous fast_forward died midway,
+                # main's head is already one of the branch's own manifests
+                # (same inode) — resume the promotion instead of refusing
+                src = (
+                    os.path.join(bt.manifests_dir, f"manifest-{head_ep:06d}.json")
+                    if head_ep is not None
+                    else ""
+                )
+                dst = os.path.join(
+                    self.manifests_dir, f"manifest-{head_ep:06d}.json"
+                ) if head_ep is not None else ""
+                resuming = (
+                    head_ep is not None
+                    and head_ep > base
+                    and os.path.exists(src)
+                    and os.path.samefile(src, dst)
+                )
+                if not resuming:
+                    raise ValueError(
+                        f"cannot fast-forward {name!r}: main head is "
+                        f"{head_ep}, branch base is {base} "
+                        f"— main advanced since the branch was created"
+                    )
+            promoted = []
+            for ep in bt.committed_epochs():
+                if ep <= base:
+                    continue
+                src = os.path.join(bt.manifests_dir, f"manifest-{ep:06d}.json")
+                dst = os.path.join(self.manifests_dir, f"manifest-{ep:06d}.json")
+                try:
+                    os.link(src, dst)
+                except FileExistsError:
+                    pass  # crash-retry: this epoch already promoted
+                for side in ("_lineage", "_metrics", "_quarantine", "_redrive_keys"):
+                    sdir = bt.sidecar_dir(side, ep)
+                    if not os.path.isdir(sdir):
+                        continue
+                    mdir = self.sidecar_dir(side, ep)
+                    os.makedirs(mdir, exist_ok=True)
+                    for fp in glob.glob(os.path.join(sdir, "*")):
+                        try:
+                            os.link(fp, os.path.join(mdir, os.path.basename(fp)))
+                        except FileExistsError:
+                            pass
+                promoted.append(ep)
+            m = self.current_manifest()
+            if m is not None and m.get("n_buckets"):
+                self.n_buckets = int(m["n_buckets"])
+            return {"branch": name, "base": base, "promoted": promoted}
+        finally:
+            self.release_writer_lease(lease)
+
+    def _referenced_paths_other_chains(self) -> set[str]:
+        """Data files referenced by every snapshot chain EXCEPT this
+        view's own — main (when self is a branch), every other branch,
+        including their staged snapshots. Expiration and vacuum treat
+        these as pinned: no chain may reclaim files another chain's
+        snapshots still reference (the branch analog of tag pins)."""
+        out: set[str] = set()
+        others: list[LakeTable] = []
+        if self.branch is not None:
+            others.append(LakeTable(self.root))
+        for b in self.branches():
+            if b != self.branch:
+                others.append(LakeTable(self.root, branch=b))
+        for t in others:
+            for ep in set(t.committed_epochs()) | set(t.staged_epochs()):
+                for entries in t.manifest(ep)["buckets"].values():
+                    out.update(e["path"] for e in entries)
+        return out
+
     # ---------- write-audit-publish staging (Iceberg WAP analog) ----------
     #
     # The architecture makes staging nearly free: data files are invisible
@@ -445,7 +678,7 @@ class LakeTable:
 
     @property
     def staged_dir(self) -> str:
-        return os.path.join(self.root, "_staged")
+        return os.path.join(self._meta_root, "_staged")
 
     def _staged_manifest_path(self, epoch: int) -> str:
         return os.path.join(self.staged_dir, f"manifest-{epoch:06d}.json")
@@ -689,7 +922,11 @@ class LakeTable:
 
     @property
     def _lease_path(self) -> str:
-        return os.path.join(self.root, "_writer.lock")
+        # branch-scoped: a branch writer and the main writer may run
+        # concurrently (they commit to disjoint manifest chains and data
+        # namespaces); fast_forward takes the MAIN lease to serialize
+        # promotion against a live main writer
+        return os.path.join(self._meta_root, "_writer.lock")
 
     def acquire_writer_lease(
         self, owner: str = "writer", ttl_sec: float = 3600.0
@@ -829,6 +1066,11 @@ class LakeTable:
             for ep in keep:
                 for entries in self.manifest(ep)["buckets"].values():
                     referenced.update(e["path"] for e in entries)
+            # other chains (main/branches, incl. their staged snapshots)
+            # pin their files exactly like tags pin manifests: a branch
+            # base references main files, and a promoted branch's files
+            # appear in main manifests — neither side may reclaim them
+            referenced |= self._referenced_paths_other_chains()
             candidates = set()
             for ep in drop:
                 for entries in self.manifest(ep)["buckets"].values():
@@ -841,10 +1083,17 @@ class LakeTable:
         for rel in sorted(candidates - referenced):
             full = os.path.join(self.root, rel)
             if os.path.exists(full):
-                os.unlink(full)
+                _unlink_with_crc(full)
                 n_deleted += 1
         # prune now-empty bucket dirs (epoch dirs keep their _SUCCESS marker)
-        for bdir in glob.glob(os.path.join(self.root, "data", "e*", "bucket_p=*")):
+        _data_glob = (
+            os.path.join(self.root, "data", "e*", "bucket_p=*")
+            if self.branch is None
+            else os.path.join(
+                self.root, "data", f"branch-{self.branch}", "e*", "bucket_p=*"
+            )
+        )
+        for bdir in glob.glob(_data_glob):
             if not os.listdir(bdir):
                 os.rmdir(bdir)
         return {"manifests_dropped": len(drop), "files_deleted": n_deleted}
@@ -948,6 +1197,8 @@ class LakeTable:
         for ep in committed:
             for entries in self.manifest(ep)["buckets"].values():
                 referenced.update(e["path"] for e in entries)
+        # branch/main cross-references pin files exactly like staged ones
+        referenced |= self._referenced_paths_other_chains()
         cutoff = _time.time() - grace_seconds
 
         def _old(path: str) -> bool:
@@ -957,17 +1208,30 @@ class LakeTable:
                 return False
 
         n_files, n_dirs, n_kept_grace = 0, 0, 0
-        for edir in sorted(glob.glob(os.path.join(self.root, "data", "e*"))):
+        if self.branch is None:
+            # main also sweeps branch namespaces: a DROPPED branch leaves
+            # its data dirs with no chain referencing them
+            edirs = sorted(glob.glob(os.path.join(self.root, "data", "e*"))) + sorted(
+                glob.glob(os.path.join(self.root, "data", "branch-*", "e*"))
+            )
+        else:
+            edirs = sorted(
+                glob.glob(
+                    os.path.join(self.root, "data", f"branch-{self.branch}", "e*")
+                )
+            )
+        for edir in edirs:
             m = re.match(r"e(\d{6})$", os.path.basename(edir))
             if not m:
                 continue
-            ep = int(m.group(1))
             # whole epoch dir is orphaned when no manifest references ANY of
             # its files: either the epoch never committed, or compaction/
             # rebucket superseded it and expire_snapshots emptied it
-            dir_refs = any(
-                r.startswith(f"data/e{ep:06d}/") for r in referenced
-            )
+            _prefix = os.path.relpath(edir, self.root) + "/"
+            dir_refs = any(r.startswith(_prefix) for r in referenced)
+            # age the DIR before touching its contents: deleting files
+            # below bumps its mtime and would defer removal one vacuum
+            edir_was_old = _old(edir)
             for tdir in glob.glob(os.path.join(edir, "_temporary")):
                 if _old(tdir):
                     shutil.rmtree(tdir, ignore_errors=True)
@@ -979,14 +1243,22 @@ class LakeTable:
                 if rel in referenced or os.path.isdir(fp):
                     continue
                 if _old(fp):
-                    os.unlink(fp)
+                    _unlink_with_crc(fp)
                     n_files += 1
                 else:
                     n_kept_grace += 1
+            # hidden checksum twins whose companion is gone (deleted just
+            # above, or by an expire that predates crc-aware deletion)
+            for fp in glob.glob(os.path.join(edir, "bucket_p=*", ".*.crc")):
+                comp = os.path.join(
+                    os.path.dirname(fp), os.path.basename(fp)[1:-4]
+                )
+                if not os.path.exists(comp) and _old(fp):
+                    os.unlink(fp)
             for bdir in glob.glob(os.path.join(edir, "bucket_p=*")):
                 if not os.listdir(bdir):
                     os.rmdir(bdir)
-            if not dir_refs and _old(edir):
+            if not dir_refs and edir_was_old:
                 # only marker/empty content can remain at this point
                 leftovers = [
                     p for p in glob.glob(os.path.join(edir, "*"))
@@ -996,7 +1268,7 @@ class LakeTable:
                     shutil.rmtree(edir, ignore_errors=True)
                     n_dirs += 1
         for side in ("_lineage", "_metrics", "_quarantine", "_checkpoint"):
-            for sdir in glob.glob(os.path.join(self.root, side, "e*")):
+            for sdir in glob.glob(os.path.join(self._meta_root, side, "e*")):
                 m = re.match(r"e(\d{6})$", os.path.basename(sdir))
                 if not m or int(m.group(1)) in committed:
                     continue
@@ -1798,6 +2070,10 @@ class LakeTable:
             "retained_snapshots": len(self.committed_epochs()),
             "staged_epochs": self.staged_epochs(),
             "tags": dict(sorted(self.refs()["tags"].items())),
+            "branch": self.branch,
+            "branches": {
+                b: self.branch_meta(b)["base_epoch"] for b in self.branches()
+            },
         }
         if head:
             gens_per_bucket = [

@@ -47,7 +47,8 @@ from . import replay as R
 
 
 def _ledger_path(lake: LakeTable) -> str:
-    return os.path.join(lake.root, "_redrive_ledger.json")
+    # _meta_root: a branch's redrives fence in the branch's own ledger
+    return os.path.join(lake._meta_root, "_redrive_ledger.json")
 
 
 def read_ledger(lake: LakeTable) -> dict:

@@ -733,8 +733,13 @@ def replay(
     auto_compact_layers: int | None = None,
     elide_noops: bool = False,
     stage: bool = False,
+    branch: str | None = None,
 ) -> ReplayResult:
     """Tail the log from the current checkpoint to its head.
+
+    ``branch`` runs the identical loop against a named branch of the lake
+    (`LakeTable(root, branch=...)`): commits land on the branch chain and
+    its data namespace, main stays untouched until `fast_forward`.
 
     ``stage`` (write-audit-publish): run exactly ONE pending epoch through
     the identical pipeline but park its manifest in `_staged/` instead of
@@ -757,7 +762,7 @@ def replay(
     winner reduce.
     """
     log = EventLog(log_dir)
-    lake = LakeTable(lake_root, n_buckets=n_buckets)
+    lake = LakeTable(lake_root, n_buckets=n_buckets, branch=branch)
     lease = lake.acquire_writer_lease("replay")
     try:
         return _replay_locked(

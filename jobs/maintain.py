@@ -6,7 +6,8 @@ Usage:
         [--tag NAME [--tag-at E]] [--drop-tag NAME] \
         [--rollback-to E|TAG] [--compact] [--tombstone-horizon-lsn N] \
         [--expire-keep-last K] [--rebucket N] [--vacuum-orphans-grace SEC] \
-        [--report]
+        [--report] [--branch NAME] [--create-branch NAME [--branch-at REF]] \
+        [--drop-branch NAME] [--fast-forward NAME]
 
 Order when combined: tag -> drop-tag -> rollback -> compact -> rebucket ->
 expire -> vacuum (pins are adjusted first so expiration honors them;
@@ -33,6 +34,19 @@ from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--lake-root", required=True)
+    p.add_argument("--branch", default=None,
+                   help="operate on this BRANCH view of the table "
+                        "(compact/expire/vacuum/report scoped to its chain)")
+    p.add_argument("--create-branch", default=None,
+                   help="create a branch at --branch-at (default: head)")
+    p.add_argument("--branch-at", default=None,
+                   help="snapshot (epoch or tag) --create-branch starts from")
+    p.add_argument("--drop-branch", default=None,
+                   help="delete a branch's metadata; unpromoted data files "
+                        "become vacuumable orphans")
+    p.add_argument("--fast-forward", default=None,
+                   help="promote a branch into main (refused if main "
+                        "advanced since the branch was created)")
     p.add_argument("--tag", default=None,
                    help="pin a snapshot against expiration under this name "
                         "(default target: the current snapshot)")
@@ -65,8 +79,19 @@ def main() -> None:
 
     spark = build_session(app_name="cdc-maintain", master=args.master)
     ship_engine_package(spark)
-    lake = LakeTable(args.lake_root)
+    lake = LakeTable(args.lake_root, branch=args.branch)
     out: dict = {"lake": args.lake_root, "n_buckets": lake.n_buckets}
+    if args.branch is not None:
+        out["branch"] = args.branch
+    if args.create_branch is not None:
+        out["created_branch"] = {
+            "name": args.create_branch,
+            "base": lake.create_branch(args.create_branch, args.branch_at),
+        }
+    if args.drop_branch is not None:
+        out["dropped_branch"] = lake.drop_branch(args.drop_branch)
+    if args.fast_forward is not None:
+        out["fast_forwarded"] = lake.fast_forward(args.fast_forward)
     if args.tag is not None:
         out["tagged"] = {"name": args.tag, "epoch": lake.create_tag(args.tag, args.tag_at)}
     if args.drop_tag is not None:

@@ -55,6 +55,11 @@ def main() -> None:
                         "--publish-staged or drop with --discard-staged")
     p.add_argument("--compact", action="store_true",
                    help="run LakeTable.compact() after the replay")
+    p.add_argument("--branch", default=None,
+                   help="replay onto a named BRANCH of the lake (created "
+                        "with jobs/maintain.py --create-branch): commits "
+                        "land on the branch chain, main is untouched until "
+                        "--fast-forward promotes it")
     p.add_argument("--metrics-out", default=None,
                    help="write Prometheus text-exposition counters here "
                         "after the run (the scrape-endpoint payload)")
@@ -117,8 +122,9 @@ def main() -> None:
         auto_compact_layers=args.auto_compact_layers,
         elide_noops=args.elide_noops,
         stage=args.stage,
+        branch=args.branch,
     )
-    lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
+    lake = LakeTable(args.lake_root, n_buckets=args.n_buckets, branch=args.branch)
     if args.compact:
         lake.compact(spark)
     R.write_checkpoint_table(spark, lake)

@@ -1,0 +1,165 @@
+"""Branches (Iceberg branch parity): isolated writes on a named snapshot
+chain via the UNCHANGED engine, metadata-only fast-forward promotion,
+cross-chain file pinning, and orphan reclamation after a drop.
+
+Reference analog: the producer re-scrapes a date range into a fresh
+staging collection before swapping it live
+(/root/reference/docs/components/producer.md) — a branch generalizes
+that to any number of audited commits before promotion."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest
+
+E = 3_000
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("branch_stream"))
+    gen.build_stream(E, 4, d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def full_digest(spark, stream_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("full") / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    return engine_digest(spark, root)
+
+
+def test_branch_write_isolated_then_fast_forward(
+    spark, stream_dir, tmp_path, full_digest
+):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=2)
+    lake = LakeTable(root)
+    before = engine_digest(spark, root)
+    base = lake.create_branch("exp")
+    assert base == 1 and lake.branches() == ["exp"]
+
+    # the engine runs on the branch unchanged; main must not move
+    res = R.replay(spark, stream_dir, root, n_buckets=8, branch="exp")
+    assert sum(e.n_events for e in res.epochs) > 0
+    assert engine_digest(spark, root) == before
+    assert engine_digest(spark, root, branch="exp") == full_digest
+    # branch data files live in the branch namespace
+    bfiles = glob.glob(os.path.join(root, "data", "branch-exp", "e*", "*", "*"))
+    assert bfiles, "branch commits must write under data/branch-<name>/"
+
+    ff = lake.fast_forward("exp")
+    assert ff["promoted"] == [2, 3]
+    assert engine_digest(spark, root) == full_digest
+    # promoted epochs carry their lineage into main's sidecar surface
+    lin = LakeTable(root).read_sidecar(spark, "_lineage")
+    assert lin is not None and lin.where("epoch = 3").count() > 0
+    # the fence holds across promotion: nothing re-applies
+    res2 = R.replay(spark, stream_dir, root, n_buckets=8)
+    assert sum(e.n_events for e in res2.epochs) == 0
+
+
+def test_fast_forward_refused_when_main_advanced(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=2)
+    lake = LakeTable(root)
+    lake.create_branch("exp")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=1)  # main moves
+    R.replay(spark, stream_dir, root, n_buckets=8, branch="exp", max_epochs=1)
+    with pytest.raises(ValueError, match="main advanced"):
+        lake.fast_forward("exp")
+
+
+def test_branch_base_files_pinned_against_main_expire(
+    spark, stream_dir, tmp_path, full_digest
+):
+    """Main expiration must not reclaim files the branch's chain still
+    references, and branch expiration must not reclaim main's."""
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=2)
+    lake = LakeTable(root)
+    lake.create_branch("exp")
+    branch_before = engine_digest(spark, root, branch="exp")
+    R.replay(spark, stream_dir, root, n_buckets=8)  # main advances to head
+    lake.expire_snapshots(keep_last=1)
+    lake.vacuum_orphans(grace_seconds=0.0)
+    # the branch still reads its base snapshot bit-for-bit
+    assert engine_digest(spark, root, branch="exp") == branch_before
+    # and the reverse: branch-side maintenance keeps main intact
+    bt = LakeTable(root, branch="exp")
+    bt.expire_snapshots(keep_last=1)
+    bt.vacuum_orphans(grace_seconds=0.0)
+    assert engine_digest(spark, root) == full_digest
+
+
+def test_drop_branch_then_vacuum_reclaims_namespace(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=2)
+    lake = LakeTable(root)
+    before = engine_digest(spark, root)
+    lake.create_branch("exp")
+    R.replay(spark, stream_dir, root, n_buckets=8, branch="exp")
+    assert glob.glob(os.path.join(root, "data", "branch-exp", "e*"))
+    assert lake.drop_branch("exp")["dropped"]
+    lake.vacuum_orphans(grace_seconds=0.0)
+    assert not glob.glob(os.path.join(root, "data", "branch-exp", "e*")), (
+        "dropped branch's data files must be reclaimed"
+    )
+    assert engine_digest(spark, root) == before
+
+
+def test_fast_forward_crash_midway_resumes(spark, stream_dir, tmp_path, full_digest):
+    """Simulated crash: only the first branch manifest was hardlinked into
+    main. A re-run must detect main's head IS a branch manifest (same
+    inode) and finish the promotion instead of refusing."""
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=2)
+    lake = LakeTable(root)
+    lake.create_branch("exp")
+    R.replay(spark, stream_dir, root, n_buckets=8, branch="exp")
+    bt = LakeTable(root, branch="exp")
+    os.link(
+        os.path.join(bt.manifests_dir, "manifest-000002.json"),
+        os.path.join(lake.manifests_dir, "manifest-000002.json"),
+    )
+    ff = LakeTable(root).fast_forward("exp")
+    assert 3 in ff["promoted"]
+    assert engine_digest(spark, root) == full_digest
+
+
+def test_branch_mor_mode_and_report(spark, stream_dir, tmp_path, full_digest):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=2, mode="mor")
+    lake = LakeTable(root)
+    lake.create_branch("exp")
+    R.replay(spark, stream_dir, root, n_buckets=8, branch="exp", mode="mor")
+    assert engine_digest(spark, root, branch="exp") == full_digest
+    rep = LakeTable(root, branch="exp").report()
+    assert rep["branch"] == "exp" and rep["branches"] == {"exp": 1}
+    lake.fast_forward("exp")
+    assert engine_digest(spark, root) == full_digest
+
+
+def test_branch_name_validation_and_missing(spark, tmp_path, stream_dir):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=1)
+    lake = LakeTable(root)
+    with pytest.raises(ValueError, match="invalid ref name"):
+        lake.create_branch("../evil")
+    with pytest.raises(ValueError, match="does not exist"):
+        LakeTable(root, branch="nope")
+    lake.create_branch("ok")
+    with pytest.raises(ValueError, match="already exists"):
+        lake.create_branch("ok")
+    with pytest.raises(ValueError, match="MAIN table view"):
+        LakeTable(root, branch="ok").create_branch("other")
+    with pytest.raises(ValueError, match="MAIN-lineage"):
+        LakeTable(root, branch="ok").create_tag("t")

@@ -7,8 +7,10 @@ import pandas as pd
 from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
 
 
-def engine_live_pdf(spark, lake_root: str, epoch: int | None = None) -> pd.DataFrame:
-    lake = LakeTable(lake_root)
+def engine_live_pdf(
+    spark, lake_root: str, epoch: int | None = None, branch: str | None = None
+) -> pd.DataFrame:
+    lake = LakeTable(lake_root, branch=branch)
     df = lake.read_state(spark, epoch=epoch).drop("bucket")
     return (
         df.toPandas()
@@ -17,10 +19,12 @@ def engine_live_pdf(spark, lake_root: str, epoch: int | None = None) -> pd.DataF
     )
 
 
-def engine_digest(spark, lake_root: str) -> tuple[str, int]:
+def engine_digest(
+    spark, lake_root: str, branch: str | None = None
+) -> tuple[str, int]:
     """Canonical digest over live rows using the engine-maintained
     content_sha256 (matches tests.oracle.table_digest on oracle frames)."""
-    pdf = engine_live_pdf(spark, lake_root)
+    pdf = engine_live_pdf(spark, lake_root, branch=branch)
     h = hashlib.sha256()
     for row in pdf.itertuples(index=False):
         c = row.content_sha256 or ""
