@@ -1979,6 +1979,18 @@ class LakeTable:
                 [(t, int(e)) for t, e in tags], "tag string, epoch long"
             ).createOrReplaceTempView(name)
             views.append(name)
+        brs = self.branches()
+        if brs:
+            name = f"{prefix}_branches"
+            spark.createDataFrame(
+                [
+                    (b, int(m["base_epoch"]), m.get("created_at"))
+                    for b in brs
+                    for m in (self.branch_meta(b),)
+                ],
+                "branch string, base_epoch long, created_at string",
+            ).createOrReplaceTempView(name)
+            views.append(name)
         # staged (write-audit-publish) snapshots awaiting an audit verdict
         staged = [
             (

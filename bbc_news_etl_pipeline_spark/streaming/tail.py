@@ -125,6 +125,7 @@ def tail(
     mode: str = "cow",
     auto_compact_layers: int | None = None,
     elide_noops: bool = False,
+    branch: str | None = None,
 ) -> TailResult:
     """Tail `log_dir` with Structured Streaming until the source is drained
     (availableNow), applying each micro-batch through the merge core.
@@ -140,7 +141,7 @@ def tail(
     existing rebase path (durable batch_id->epoch map) re-homes it — the
     same machinery that already handles batch replays between tail runs.
     """
-    lake = LakeTable(lake_root, n_buckets=n_buckets)
+    lake = LakeTable(lake_root, n_buckets=n_buckets, branch=branch)
     lease = lake.acquire_writer_lease("tail")
     try:
         return _tail_locked(

@@ -43,6 +43,9 @@ def main() -> None:
     p.add_argument("--auto-compact-layers", type=int, default=None,
                    help="MOR read-amplification bound: targeted-compact "
                    "in-loop when any bucket exceeds this many layers")
+    p.add_argument("--branch", default=None,
+                   help="tail onto a named BRANCH of the lake (see "
+                        "jobs/maintain.py --create-branch/--fast-forward)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -59,10 +62,11 @@ def main() -> None:
         mode=args.mode,
         auto_compact_layers=args.auto_compact_layers,
         elide_noops=args.elide_noops,
+        branch=args.branch,
     )
     from pyspark.sql import functions as F
 
-    lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
+    lake = LakeTable(args.lake_root, n_buckets=args.n_buckets, branch=args.branch)
     agg = lake.read_state(spark).agg(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(

@@ -163,3 +163,25 @@ def test_branch_name_validation_and_missing(spark, tmp_path, stream_dir):
         LakeTable(root, branch="ok").create_branch("other")
     with pytest.raises(ValueError, match="MAIN-lineage"):
         LakeTable(root, branch="ok").create_tag("t")
+
+
+def test_tailer_on_branch_and_sql_view(spark, stream_dir, tmp_path, full_digest):
+    """The Structured Streaming tailer drives a branch like any lake view,
+    and `cdc_branches` surfaces the ref in the SQL facade."""
+    from bbc_news_etl_pipeline_spark.streaming.tail import tail
+
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=2)
+    lake = LakeTable(root)
+    before = engine_digest(spark, root)
+    lake.create_branch("live")
+    tail(
+        spark, stream_dir, root, str(tmp_path / "ckpt"),
+        n_buckets=8, timeout_sec=300.0, branch="live",
+    )
+    assert engine_digest(spark, root) == before
+    assert engine_digest(spark, root, branch="live") == full_digest
+    views = lake.register_views(spark)
+    assert "cdc_branches" in views
+    row = spark.sql("SELECT branch, base_epoch FROM cdc_branches").first()
+    assert row["branch"] == "live" and row["base_epoch"] == 1
