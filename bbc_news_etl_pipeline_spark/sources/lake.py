@@ -334,8 +334,19 @@ class LakeTable:
                 with open(final) as f:
                     return json.load(f)
             except FileNotFoundError:
-                with open(self._staged_manifest_path(epoch)) as f:
-                    return json.load(f)
+                try:
+                    with open(self._staged_manifest_path(epoch)) as f:
+                        return json.load(f)
+                except FileNotFoundError:
+                    # shared ancestry (Iceberg branch model): a branch's
+                    # history BEFORE its base epoch is main's — time travel
+                    # and read_changes across the fork point resolve there
+                    if (
+                        self.branch is not None
+                        and epoch <= self.branch_meta(self.branch)["base_epoch"]
+                    ):
+                        return LakeTable(self.root).manifest(epoch)
+                    raise
 
         return with_backoff(_read)
 
@@ -1825,6 +1836,10 @@ class LakeTable:
             if not counts.get("redrive_sources"):
                 continue
             d = self.sidecar_dir("_redrive_keys", ep)
+            if not os.path.isdir(d) and self.branch is not None:
+                # shared ancestry: pre-base redrive epochs' sidecars live
+                # under main (same fallback as `manifest`)
+                d = LakeTable(self.root).sidecar_dir("_redrive_keys", ep)
             if os.path.isdir(d):
                 key_dirs.append(d)
             else:

@@ -34,7 +34,11 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 # the live-engine entry builds its own stream; benched separately below
-SKIP = {"cdc_replay_state"}
+# engine-lifecycle contract queries (full replay through a temp lake):
+# correctness-gate material, but their cost is sf-independent replay
+# throughput — measured properly by the cdc block below, so timing them
+# per-sf would only double the bench wall without information
+SKIP = {"cdc_replay_state", "cdc_wap_staged_state", "cdc_branch_state"}
 
 
 def _sf_of(sf_dir: str) -> float:

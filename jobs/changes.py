@@ -40,12 +40,14 @@ def main() -> None:
     p.add_argument("--changelog", action="store_true",
                    help="before-image view: insert/update/delete + pre-image")
     p.add_argument("--out", required=True)
+    p.add_argument("--branch", default=None,
+                   help="diff snapshots of this BRANCH's chain instead of main")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
     spark = build_session(app_name="cdc-changes", master=args.master)
     ship_engine_package(spark)
-    lake = LakeTable(args.lake_root)
+    lake = LakeTable(args.lake_root, branch=args.branch)
     ch = lake.read_changes(
         spark,
         EventLog(args.log_dir),

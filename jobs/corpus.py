@@ -58,6 +58,8 @@ def main() -> None:
     src.add_argument("--docs", default=None)
     src.add_argument("--lake", default=None,
                      help="cut the corpus from a CDC lake's live state")
+    p.add_argument("--lake-branch", default=None,
+                   help="cut from this BRANCH view of the lake")
     p.add_argument("--lake-epoch", default=None,
                    help="time-travel snapshot to cut from — an epoch number "
                         "or a tag name (default: current)")
@@ -97,7 +99,7 @@ def main() -> None:
     if args.lake:
         from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
 
-        lake = LakeTable(args.lake)
+        lake = LakeTable(args.lake, branch=args.lake_branch)
         epoch = args.lake_epoch
         if args.snapshot_tag is not None:
             # pin the snapshot being read so the cut stays reproducible:

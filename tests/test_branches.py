@@ -185,3 +185,31 @@ def test_tailer_on_branch_and_sql_view(spark, stream_dir, tmp_path, full_digest)
     assert "cdc_branches" in views
     row = spark.sql("SELECT branch, base_epoch FROM cdc_branches").first()
     assert row["branch"] == "live" and row["base_epoch"] == 1
+
+
+def test_read_changes_across_fork_point(spark, stream_dir, tmp_path, full_digest):
+    """Shared ancestry: a branch's incremental scan with `from_epoch`
+    BEFORE its base resolves pre-base manifests from main, and the diff
+    equals the same window computed on a straight (unbranched) lake."""
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+
+    straight = str(tmp_path / "straight")
+    R.replay(spark, stream_dir, straight, n_buckets=8)
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=2)
+    lake = LakeTable(root)
+    lake.create_branch("exp")
+    R.replay(spark, stream_dir, root, n_buckets=8, branch="exp")
+
+    def diff_pdf(lk):
+        return (
+            lk.read_changes(spark, EventLog(stream_dir), from_epoch=0)
+            .select("repo", "path", "lsn", "content_sha256", "change")
+            .toPandas()
+            .sort_values(["repo", "path"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    got = diff_pdf(LakeTable(root, branch="exp"))
+    want = diff_pdf(LakeTable(straight))
+    assert got.equals(want), "cross-fork diff must match the straight lake's"
