@@ -213,3 +213,32 @@ def test_read_changes_across_fork_point(spark, stream_dir, tmp_path, full_digest
     got = diff_pdf(LakeTable(root, branch="exp"))
     want = diff_pdf(LakeTable(straight))
     assert got.equals(want), "cross-fork diff must match the straight lake's"
+
+
+def test_wap_stage_audit_publish_on_a_branch(spark, stream_dir, tmp_path, full_digest):
+    """Write-audit-publish composes with branches unchanged: stage the next
+    epoch ON the branch (invisible to both the branch head and main),
+    audit it via branch time travel, publish it onto the branch chain,
+    then fast-forward the whole audited chain into main."""
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=3)
+    lake = LakeTable(root)
+    main_digest = engine_digest(spark, root)
+    lake.create_branch("exp")
+    bt = LakeTable(root, branch="exp")
+
+    res = R.replay(spark, stream_dir, root, n_buckets=8, branch="exp", stage=True)
+    assert len(res.epochs) == 1 and not res.epochs[0].skipped
+    n = bt.staged_epochs()[0]
+    # invisible on the branch AND on main; staged audit == final state
+    assert engine_digest(spark, root, branch="exp") == main_digest
+    assert engine_digest(spark, root) == main_digest
+    assert lake.staged_epochs() == []  # main's staging area is untouched
+    from .util import engine_live_pdf
+
+    staged_pdf = engine_live_pdf(spark, root, epoch=n, branch="exp")
+    assert bt.publish_staged(n) == {"published": True, "epoch": n}
+    assert engine_digest(spark, root, branch="exp") == full_digest
+    assert engine_live_pdf(spark, root, branch="exp").equals(staged_pdf)
+    lake.fast_forward("exp")
+    assert engine_digest(spark, root) == full_digest
