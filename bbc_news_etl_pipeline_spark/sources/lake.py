@@ -302,15 +302,26 @@ class LakeTable:
     def manifests_dir(self) -> str:
         return os.path.join(self._meta_root, "_manifests")
 
-    def epoch_data_dir(self, epoch: int) -> str:
+    def epoch_data_dir(self, epoch: int, staged: bool = False) -> str:
+        """``staged=True`` namespaces a write-audit-publish run's data under
+        `e{N}s/` — physically disjoint from the committed `e{N}/` dir, so a
+        maintenance commit (compaction, rebucket) or an independent replay
+        that consumes the same epoch NUMBER can never clobber a parked
+        snapshot's files. Manifest entries are root-relative paths, so a
+        later publish/cherrypick references the staged dir as-is — no data
+        moves at promotion time."""
+        leaf = f"e{epoch:06d}s" if staged else f"e{epoch:06d}"
         if self.branch is None:
-            return os.path.join(self.root, "data", f"e{epoch:06d}")
-        return os.path.join(
-            self.root, "data", f"branch-{self.branch}", f"e{epoch:06d}"
-        )
+            return os.path.join(self.root, "data", leaf)
+        return os.path.join(self.root, "data", f"branch-{self.branch}", leaf)
 
-    def sidecar_dir(self, name: str, epoch: int) -> str:
-        return os.path.join(self._meta_root, name, f"e{epoch:06d}")
+    def sidecar_dir(self, name: str, epoch: int, staged: bool = False) -> str:
+        """``staged=True``: a write-audit-publish run's sidecars park under
+        the `e{N}s` leaf (like its data) so an independent commit consuming
+        the same epoch number never clobbers the audit trail; publish
+        renames them onto the committed leaf."""
+        leaf = f"e{epoch:06d}s" if staged else f"e{epoch:06d}"
+        return os.path.join(self._meta_root, name, leaf)
 
     # ---------- snapshots ----------
     def committed_epochs(self) -> list[int]:
@@ -730,7 +741,7 @@ class LakeTable:
             return False
         return True
 
-    def publish_staged(self, epoch: int) -> dict:
+    def publish_staged(self, epoch: int, rebase: bool = False) -> dict:
         """Promote a staged snapshot to the committed head. Metadata-only —
         one `os.link` of the staged manifest into `_manifests/` (atomic,
         EEXIST-safe: it can never clobber a manifest a writer committed
@@ -750,7 +761,13 @@ class LakeTable:
         if self.has_epoch(epoch):
             if os.path.samefile(staged, final):  # crashed publish: finish it
                 os.unlink(staged)
+                self._promote_staged_sidecars(epoch)
                 return {"published": False, "already_committed": True, "epoch": epoch}
+            if rebase:
+                # a maintenance commit (compaction) may have consumed the
+                # NUMBER; cherrypick decides whether the move was
+                # source-neutral and rebases, else raises
+                return self.cherrypick_staged(epoch)
             raise ValueError(
                 f"epoch {epoch} was committed independently of the staged "
                 f"snapshot (a concurrent writer/rollback consumed the epoch "
@@ -759,9 +776,13 @@ class LakeTable:
         committed = self.committed_epochs()
         head = committed[-1] if committed else epoch - 1
         if head != epoch - 1:
+            if rebase:
+                return self.cherrypick_staged(epoch)
             raise ValueError(
                 f"staged epoch {epoch} is stale: head moved to {head} since "
-                f"it was staged; discard_staged and re-stage on the new head"
+                f"it was staged; cherrypick_staged (publish --rebase) if the "
+                f"head moved by maintenance only, else discard_staged and "
+                f"re-stage on the new head"
             )
         try:
             os.link(staged, final)
@@ -771,14 +792,221 @@ class LakeTable:
                 f"and re-stage"
             ) from None
         os.unlink(staged)
+        self._promote_staged_sidecars(epoch)
         return {"published": True, "epoch": epoch}
+
+    def _promote_staged_sidecars(self, epoch: int) -> None:
+        """Rename a published run's parked sidecar dirs (`e{N}s`) onto the
+        committed leaf. The epoch just committed from OUR staged manifest,
+        so any pre-existing unstaged dir is a never-committed attempt's
+        orphan debris — replaced. Idempotent (missing source = done)."""
+        import shutil
+
+        for side in ("_lineage", "_metrics", "_quarantine", "_checkpoint"):
+            src = self.sidecar_dir(side, epoch, staged=True)
+            if not os.path.isdir(src):
+                continue
+            dst = self.sidecar_dir(side, epoch)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst, ignore_errors=True)
+            os.rename(src, dst)
+
+    def _migrate_sidecars(self, from_epoch: int, to_epoch: int) -> None:
+        """Re-home a staged run's sidecar dirs onto the cherrypicked epoch
+        number, rewriting the `epoch` column so the SQL sidecar views stay
+        consistent with the manifest history. Driver-side pyarrow over a
+        handful of small files; idempotent (overwrites the target)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for side in ("_lineage", "_metrics", "_quarantine", "_checkpoint"):
+            src = self.sidecar_dir(side, from_epoch, staged=True)
+            if not os.path.isdir(src):
+                continue
+            dst = self.sidecar_dir(side, to_epoch)
+            os.makedirs(dst, exist_ok=True)
+            for fp in sorted(glob.glob(os.path.join(src, "*.parquet"))):
+                t = pq.read_table(fp)
+                if "epoch" in t.column_names:
+                    i = t.column_names.index("epoch")
+                    col = t.column(i)
+                    t = t.set_column(
+                        i,
+                        t.field(i),
+                        pa.array(
+                            [to_epoch if v == from_epoch else v for v in col.to_pylist()],
+                            type=col.type,
+                        ),
+                    )
+                pq.write_table(t, os.path.join(dst, os.path.basename(fp)))
+
+    def cherrypick_staged(self, epoch: int) -> dict:
+        """Iceberg `cherrypick_snapshot` parity: publish a staged snapshot
+        whose head moved under it — METADATA-ONLY, valid exactly when every
+        intervening commit is source-neutral and resolution-invariant
+        (today: `compact`). Compaction only collapses a bucket's layer
+        stack into one generation with the same LWW-resolved content, so
+        the staged epoch's merge output is still correct over the new head:
+
+        - a bucket the stage run APPENDED to (MOR: its entry list mixes
+          carried and staged files) re-appends the staged generation on top
+          of the new head's stack;
+        - a bucket the stage run REPLACED (COW: all entries under the
+          staged namespace) still replaces — resolved(old layers + winners)
+          == resolved(compacted layer + winners).
+
+        Any other intervening kind is refused: an `append`/`redrive`
+        consumed source or mutated keys the staged merge never saw, a
+        `rollback` regressed the base the winners were elided against, a
+        `rebucket` changed the hash layout the staged files are bucketed
+        by — for those, discard and re-stage on the new head. The staged
+        data files never move (entries are root-relative into the `e{N}s`
+        staged namespace); sidecars re-home onto the new epoch number.
+        Crash-idempotent: a re-run after the commit finishes the cleanup."""
+        staged_path = self._staged_manifest_path(epoch)
+        committed = self.committed_epochs()
+        head = committed[-1] if committed else None
+        # crash recovery: the cherrypicked manifest committed but cleanup
+        # (staged unlink / sidecar removal) didn't finish — detect by the
+        # provenance counts and finish
+        for ep in reversed(committed):
+            if ep < epoch:
+                break
+            c = self.manifest(ep).get("counts") or {}
+            if c.get("mode") == "cherrypick" and c.get("cherrypicked_from") == epoch:
+                if os.path.exists(staged_path):
+                    os.unlink(staged_path)
+                for side in ("_lineage", "_metrics", "_quarantine", "_checkpoint"):
+                    sdir = self.sidecar_dir(side, epoch, staged=True)
+                    if os.path.isdir(sdir):
+                        import shutil
+
+                        shutil.rmtree(sdir, ignore_errors=True)
+                return {"published": False, "already_committed": True, "epoch": ep}
+        if not os.path.exists(staged_path):
+            raise ValueError(f"no staged snapshot for epoch {epoch}")
+        if head is None or head == epoch - 1:
+            return self.publish_staged(epoch)
+        # read the staged manifest FILE directly: when the epoch number was
+        # consumed by an intervening commit, `manifest(epoch)` would return
+        # the committed one instead
+        with open(staged_path) as f:
+            s = json.load(f)
+        m_head = self.manifest(head)
+        between = [ep for ep in committed if epoch <= ep <= head]
+        bad = [
+            ep
+            for ep in between
+            if (self.manifest(ep).get("counts") or {}).get("mode") != "compact"
+        ]
+        if bad:
+            kinds = {
+                ep: (self.manifest(ep).get("counts") or {}).get("mode", "append")
+                for ep in bad
+            }
+            raise ValueError(
+                f"cannot cherrypick staged epoch {epoch}: intervening "
+                f"commit(s) {kinds} are not source-neutral compactions; "
+                f"discard_staged and re-stage on the new head"
+            )
+        if (s.get("counts") or {}).get("redrive_sources"):
+            raise ValueError(
+                "cannot cherrypick a redrive snapshot; re-run the redrive"
+            )
+        if int(m_head.get("n_buckets", self.n_buckets)) != int(
+            s.get("n_buckets", self.n_buckets)
+        ):
+            raise ValueError("bucket layout changed since staging; re-stage")
+        if m_head["seq_hi"] != s["seq_lo"]:
+            raise ValueError(
+                f"source window moved since staging (head seq_hi "
+                f"{m_head['seq_hi']} != staged seq_lo {s['seq_lo']}); re-stage"
+            )
+        if int(m_head["schema_version"]) > int(s["schema_version"]):
+            raise ValueError("schema registry advanced since staging; re-stage")
+        staged_prefix = (
+            os.path.relpath(self.epoch_data_dir(epoch, staged=True), self.root) + "/"
+        )
+        new_epoch = head + 1
+        buckets: dict[str, list[dict]] = {
+            b: list(entries) for b, entries in m_head["buckets"].items()
+        }
+        for b, entries in s["buckets"].items():
+            own = [e for e in entries if e["path"].startswith(staged_prefix)]
+            if not own:
+                continue  # carried-forward bucket: the head's view stands
+            for e in own:
+                full = os.path.join(self.root, e["path"])
+                if not os.path.exists(full):
+                    raise ValueError(
+                        f"staged file {e['path']} is missing; discard_staged "
+                        f"and re-stage"
+                    )
+            head_entries = buckets.get(b, [])
+            if len(own) == len(entries) and head_entries:
+                # COW replacement: the staged rewrite already resolved the
+                # bucket; compaction didn't change its resolved content
+                buckets[b] = [{**e, "layer": 0} for e in own]
+            else:
+                gen = 1 + max(
+                    (pe.get("layer", i) for i, pe in enumerate(head_entries)),
+                    default=-1,
+                )
+                buckets[b] = head_entries + [{**e, "layer": gen} for e in own]
+        lsn_pairs = [
+            (m.get("lsn_lo"), m.get("lsn_hi")) for m in (m_head, s)
+        ]
+        los = [lo for lo, _ in lsn_pairs if lo is not None]
+        his = [hi for _, hi in lsn_pairs if hi is not None]
+        from datetime import datetime, timezone
+
+        manifest = {
+            "epoch": new_epoch,
+            "seq_lo": s["seq_lo"],
+            "seq_hi": s["seq_hi"],
+            "lsn_lo": min(los) if los else None,
+            "lsn_hi": max(his) if his else None,
+            "schema_version": s["schema_version"],
+            "n_buckets": int(s.get("n_buckets", self.n_buckets)),
+            "layered": any(bucket_generations(e) > 1 for e in buckets.values()),
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+            "counts": {
+                **(s.get("counts") or {}),
+                "mode": "cherrypick",
+                "cherrypicked_from": epoch,
+                "rebased_over": between,
+            },
+            "buckets": buckets,
+        }
+        self._migrate_sidecars(epoch, new_epoch)
+        if not self.commit(manifest):
+            raise ValueError(
+                f"epoch {new_epoch} was committed concurrently; retry "
+                f"cherrypick_staged against the new head"
+            )
+        os.unlink(staged_path)
+        import shutil
+
+        for side in ("_lineage", "_metrics", "_quarantine", "_checkpoint"):
+            sdir = self.sidecar_dir(side, epoch, staged=True)
+            if os.path.isdir(sdir):
+                shutil.rmtree(sdir, ignore_errors=True)
+        return {
+            "published": True,
+            "epoch": new_epoch,
+            "cherrypicked_from": epoch,
+            "rebased_over": between,
+        }
 
     def discard_staged(self, epoch: int) -> dict:
         """Drop a staged snapshot: unlink the staged manifest, then delete
-        the epoch's OWN data files and sidecars (carried-forward entries
-        point at older committed epochs' files and are untouched). Safe by
-        the same rule as vacuum: nothing referenced by a committed manifest
-        is deleted. Idempotent."""
+        the stage run's OWN data files (the `e{N}s` staged namespace —
+        carried-forward entries point at committed epochs' files and are
+        untouched) and sidecars. Safe by the same rule as vacuum: nothing
+        referenced by a committed manifest is deleted — in particular a
+        CHERRYPICKED snapshot keeps referencing the staged dir after its
+        staged manifest is gone, so the referenced check guards it.
+        Idempotent."""
         import shutil
 
         staged = self._staged_manifest_path(epoch)
@@ -786,25 +1014,31 @@ class LakeTable:
         if existed:
             os.unlink(staged)
         n_files = 0
-        if not self.has_epoch(epoch):
-            referenced: set[str] = set()
-            for ep in self.committed_epochs():
-                for entries in self.manifest(ep)["buckets"].values():
-                    referenced.update(e["path"] for e in entries)
-            edir = self.epoch_data_dir(epoch)
-            prefix = f"data/e{epoch:06d}/"
-            if any(r.startswith(prefix) for r in referenced):
-                # defensive: some file under this epoch dir is shared with a
-                # committed snapshot (cannot happen through the engine's own
-                # paths) — delete file-by-file, keep what is referenced
-                for fp in glob.glob(os.path.join(edir, "bucket_p=*", "*")):
-                    if os.path.relpath(fp, self.root) not in referenced:
-                        os.unlink(fp)
-                        n_files += 1
-            else:
-                n_files = len(glob.glob(os.path.join(edir, "bucket_p=*", "*")))
-                shutil.rmtree(edir, ignore_errors=True)
-            for side in ("_lineage", "_metrics", "_quarantine", "_checkpoint"):
+        referenced: set[str] = set()
+        for ep in self.committed_epochs():
+            for entries in self.manifest(ep)["buckets"].values():
+                referenced.update(e["path"] for e in entries)
+        edir = self.epoch_data_dir(epoch, staged=True)
+        prefix = os.path.relpath(edir, self.root) + "/"
+        if any(r.startswith(prefix) for r in referenced):
+            # a committed snapshot (publish/cherrypick) references files in
+            # the staged namespace — delete file-by-file, keep what is
+            # referenced
+            for fp in glob.glob(os.path.join(edir, "bucket_p=*", "*")):
+                if os.path.relpath(fp, self.root) not in referenced:
+                    _unlink_with_crc(fp)
+                    n_files += 1
+        else:
+            n_files = len(glob.glob(os.path.join(edir, "bucket_p=*", "*")))
+            shutil.rmtree(edir, ignore_errors=True)
+        for side in ("_lineage", "_metrics", "_quarantine", "_checkpoint"):
+            sdir = self.sidecar_dir(side, epoch, staged=True)
+            if os.path.isdir(sdir):
+                shutil.rmtree(sdir, ignore_errors=True)
+            if not self.has_epoch(epoch):
+                # legacy layout / pre-namespace stage runs parked sidecars
+                # on the committed leaf; only safe to drop when no committed
+                # epoch owns that leaf
                 sdir = self.sidecar_dir(side, epoch)
                 if os.path.isdir(sdir):
                     shutil.rmtree(sdir, ignore_errors=True)
@@ -1232,7 +1466,11 @@ class LakeTable:
                 )
             )
         for edir in edirs:
-            m = re.match(r"e(\d{6})$", os.path.basename(edir))
+            # `e{N}s` = a write-audit-publish run's staged namespace: its
+            # files are pinned via the staged manifest while parked and by
+            # the committed manifest after publish/cherrypick; a crashed
+            # stage-writer's dir (no manifest) sweeps like any orphan
+            m = re.match(r"e(\d{6})s?$", os.path.basename(edir))
             if not m:
                 continue
             # whole epoch dir is orphaned when no manifest references ANY of
@@ -1280,7 +1518,7 @@ class LakeTable:
                     n_dirs += 1
         for side in ("_lineage", "_metrics", "_quarantine", "_checkpoint"):
             for sdir in glob.glob(os.path.join(self._meta_root, side, "e*")):
-                m = re.match(r"e(\d{6})$", os.path.basename(sdir))
+                m = re.match(r"e(\d{6})s?$", os.path.basename(sdir))
                 if not m or int(m.group(1)) in committed:
                     continue
                 if _old(sdir):
@@ -2159,10 +2397,12 @@ class LakeTable:
             return 0, -1, 1
         return m["epoch"] + 1, m["seq_hi"], m["schema_version"]
 
-    def list_epoch_files(self, epoch: int) -> dict[int, list[dict]]:
+    def list_epoch_files(
+        self, epoch: int, staged: bool = False
+    ) -> dict[int, list[dict]]:
         """Scan an epoch's data dir -> {bucket: [entry]} with paths relative
         to the table root (what goes into the manifest)."""
-        ddir = self.epoch_data_dir(epoch)
+        ddir = self.epoch_data_dir(epoch, staged=staged)
         out: dict[int, list[dict]] = {}
         for bdir in sorted(glob.glob(os.path.join(ddir, "bucket_p=*"))):
             b = int(os.path.basename(bdir).split("=", 1)[1])

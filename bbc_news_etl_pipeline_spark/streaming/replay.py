@@ -397,7 +397,11 @@ def apply_events(
         _obs = None
     valid, quarantine = M.split_valid_quarantine(events)
     prev_manifest = lake.current_manifest()
-    epoch_dir = lake.epoch_data_dir(epoch)
+    # a write-audit-publish run parks its data in the `e{N}s` staged
+    # namespace so a maintenance commit consuming the same epoch number can
+    # never clobber the parked files (publish/cherrypick reference them
+    # in place — entries are root-relative)
+    epoch_dir = lake.epoch_data_dir(epoch, staged=stage_only)
 
     if _obs is not None and not touched and n_total > 0:
         # all-invalid epoch under the narrow counts: no payload scan will
@@ -556,7 +560,7 @@ def apply_events(
         live = [r for r in bucket_rows if r["n_valid"] > 0]
         with _timed(f"e{epoch} lineage-sidecar"):
             _write_sidecar(
-                lake.sidecar_dir("_lineage", epoch),
+                lake.sidecar_dir("_lineage", epoch, staged=stage_only),
                 {
                     "epoch": [epoch] * len(live),
                     "partition_id": [int(r["bucket"]) for r in live],
@@ -593,11 +597,15 @@ def apply_events(
             quarantine.select(
                 F.lit(epoch).cast("long").alias("epoch"), "event_json", "error"
             ).coalesce(1).write.mode("overwrite").parquet(
-                lake.sidecar_dir("_quarantine", epoch)
+                lake.sidecar_dir("_quarantine", epoch, staged=stage_only)
             )
 
     with _timed(f"e{epoch} list-epoch-files"):
-        new_files = lake.list_epoch_files(epoch) if write_buckets else {}
+        new_files = (
+            lake.list_epoch_files(epoch, staged=stage_only)
+            if write_buckets
+            else {}
+        )
     bytes_written = sum(
         os.path.getsize(os.path.join(lake.root, e["path"]))
         for entries in new_files.values()
@@ -606,7 +614,7 @@ def apply_events(
 
     wall = time.perf_counter() - t0
     _write_sidecar(
-        lake.sidecar_dir("_metrics", epoch),
+        lake.sidecar_dir("_metrics", epoch, staged=stage_only),
         {
             "epoch": [epoch],
             "events_applied_total": [n_valid],

@@ -61,6 +61,14 @@ def main() -> None:
                    help="promote a staged (write-audit-publish) snapshot to "
                         "the committed head — metadata-only, refused if the "
                         "head moved since it was staged")
+    p.add_argument("--rebase", action="store_true",
+                   help="with --publish-staged: if the head moved by "
+                        "maintenance-only commits (compaction), cherrypick "
+                        "the staged snapshot onto it instead of refusing "
+                        "(Iceberg cherrypick_snapshot parity, metadata-only)")
+    p.add_argument("--cherrypick-staged", type=int, default=None,
+                   help="rebase-publish staged snapshot E over a "
+                        "compaction-moved head (metadata-only)")
     p.add_argument("--discard-staged", type=int, default=None,
                    help="drop a staged snapshot and its data files")
     p.add_argument("--compact", action="store_true")
@@ -103,7 +111,11 @@ def main() -> None:
             "to": rb["counts"].get("rolled_back_to"),
         }
     if args.publish_staged is not None:
-        out["published"] = lake.publish_staged(args.publish_staged)
+        out["published"] = lake.publish_staged(
+            args.publish_staged, rebase=args.rebase
+        )
+    if args.cherrypick_staged is not None:
+        out["published"] = lake.cherrypick_staged(args.cherrypick_staged)
     if args.discard_staged is not None:
         out["discarded"] = lake.discard_staged(args.discard_staged)
     if args.compact:

@@ -122,7 +122,11 @@ def test_independent_commit_refuses_publish_and_discard_keeps_its_files(
     with pytest.raises(ValueError, match="committed independently"):
         lake.publish_staged(n)
     d = lake.discard_staged(n)
-    assert d["discarded"] and d["files_deleted"] == 0  # committed files kept
+    # the staged run's own files (parked in the e{N}s namespace, so the
+    # independent commit never clobbered them) are reclaimed; the committed
+    # epoch's files under e{N} are untouched
+    assert d["discarded"] and d["files_deleted"] > 0
+    assert not os.path.isdir(lake.epoch_data_dir(n, staged=True))
     assert lake.staged_epochs() == []
     assert engine_digest(spark, root) == head_digest
 
@@ -150,10 +154,10 @@ def test_discard_staged_deletes_files_and_replay_regenerates(
     R.replay(spark, stream_dir, root, n_buckets=8, stage=True)
     lake = LakeTable(root, n_buckets=8)
     (n,) = lake.staged_epochs()
-    assert os.path.isdir(lake.epoch_data_dir(n))
+    assert os.path.isdir(lake.epoch_data_dir(n, staged=True))
     d = lake.discard_staged(n)
     assert d["discarded"] and d["files_deleted"] > 0
-    assert not os.path.isdir(lake.epoch_data_dir(n))
+    assert not os.path.isdir(lake.epoch_data_dir(n, staged=True))
     for side in ("_lineage", "_metrics"):
         assert not os.path.isdir(lake.sidecar_dir(side, n))
     # idempotent
@@ -303,3 +307,121 @@ def test_audit_gate_target_resolution_errors(spark, stream_dir, tmp_path):
         lake.audit_staged(spark, EventLog(stream_dir))
     with pytest.raises(ValueError, match="not staged"):
         lake.audit_staged(spark, EventLog(stream_dir), staged_epoch=99)
+
+
+def test_compact_cannot_clobber_staged_files_and_cherrypick_rebases(
+    spark, stream_dir, head_digest, tmp_path
+):
+    """The WAP-vs-maintenance race: an auto-compact fires between stage and
+    publish, consuming the staged snapshot's epoch NUMBER. The staged data
+    (parked in the e{N}s namespace) must survive byte-for-byte, and
+    `cherrypick_staged` (Iceberg cherrypick_snapshot parity) must rebase the
+    parked snapshot onto the compacted head — metadata-only — reaching the
+    same digest as a straight replay."""
+    import glob as _glob
+
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor",
+             max_epochs=N_EPOCHS - 1)
+    lake = LakeTable(root, n_buckets=8)
+    assert lake.current_manifest()["layered"]
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor", stage=True)
+    (n,) = lake.staged_epochs()
+    sdir = lake.epoch_data_dir(n, staged=True)
+    staged_files = {
+        p: os.path.getsize(p)
+        for p in _glob.glob(os.path.join(sdir, "bucket_p=*", "*.parquet"))
+    }
+    assert staged_files
+
+    cm = lake.compact(spark)  # consumes epoch number n
+    assert cm["epoch"] == n and cm["counts"]["mode"] == "compact"
+    # parked files untouched by the compaction's overwrite
+    assert {
+        p: os.path.getsize(p)
+        for p in _glob.glob(os.path.join(sdir, "bucket_p=*", "*.parquet"))
+    } == staged_files
+
+    with pytest.raises(ValueError, match="committed independently"):
+        lake.publish_staged(n)
+    out = lake.publish_staged(n, rebase=True)
+    assert out["published"] and out["cherrypicked_from"] == n
+    new_epoch = out["epoch"]
+    assert new_epoch == n + 1 and out["rebased_over"] == [n]
+    assert lake.staged_epochs() == []
+
+    # the rebased head reads exactly like a straight replay of the full log
+    assert engine_digest(spark, root) == head_digest
+    # the staged generation sits on top of the compacted one
+    m = lake.manifest(new_epoch)
+    assert m["counts"]["mode"] == "cherrypick"
+    assert m["seq_hi"] == lake.resume_point()[1]
+    from bbc_news_etl_pipeline_spark.sources.lake import bucket_generations
+
+    assert any(bucket_generations(e) == 2 for e in m["buckets"].values())
+    # sidecars re-homed onto the new epoch number
+    assert os.path.isdir(lake.sidecar_dir("_metrics", new_epoch))
+    assert not os.path.isdir(lake.sidecar_dir("_metrics", n, staged=True))
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(lake.sidecar_dir("_metrics", new_epoch))
+    )
+    assert t.column("epoch").to_pylist() == [new_epoch]
+    # nothing pending: the source window was consumed exactly once
+    res = R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    assert res.epochs == []
+    # a later compaction flattens the rebased layer, digest invariant
+    lake.compact(spark)
+    assert engine_digest(spark, root) == head_digest
+
+
+def test_cherrypick_refuses_source_consuming_or_rollback_intervening(
+    spark, stream_dir, tmp_path
+):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, max_epochs=N_EPOCHS - 1)
+    R.replay(spark, stream_dir, root, n_buckets=8, stage=True)
+    lake = LakeTable(root, n_buckets=8)
+    (n,) = lake.staged_epochs()
+    # an independent replay consumes the same source window (append kind)
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    with pytest.raises(ValueError, match="not source-neutral"):
+        lake.cherrypick_staged(n)
+    lake.discard_staged(n)
+
+    root2 = str(tmp_path / "lake2")
+    R.replay(spark, stream_dir, root2, n_buckets=8, max_epochs=N_EPOCHS - 1)
+    R.replay(spark, stream_dir, root2, n_buckets=8, stage=True)
+    lake2 = LakeTable(root2, n_buckets=8)
+    (n2,) = lake2.staged_epochs()
+    lake2.rollback(1)  # rollback kind consumes the number: base regressed
+    with pytest.raises(ValueError, match="not source-neutral"):
+        lake2.publish_staged(n2, rebase=True)
+
+
+def test_cherrypick_crash_between_commit_and_cleanup_finishes_on_retry(
+    spark, stream_dir, head_digest, tmp_path
+):
+    import shutil
+
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor",
+             max_epochs=N_EPOCHS - 1)
+    lake = LakeTable(root, n_buckets=8)
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor", stage=True)
+    (n,) = lake.staged_epochs()
+    staged_copy = str(tmp_path / "staged-manifest.json")
+    shutil.copy(lake._staged_manifest_path(n), staged_copy)
+    lake.compact(spark)
+    out = lake.cherrypick_staged(n)
+    assert out["published"]
+    # simulate the crash window: commit landed, staged unlink didn't
+    shutil.copy(staged_copy, lake._staged_manifest_path(n))
+    retry = lake.cherrypick_staged(n)
+    assert retry == {
+        "published": False, "already_committed": True, "epoch": out["epoch"],
+    }
+    assert lake.staged_epochs() == []
+    assert lake.current_manifest()["epoch"] == out["epoch"]
+    assert engine_digest(spark, root) == head_digest
