@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_branch_state"] = _cdc_branch_state
     q["cdc_read_changes"] = _cdc_read_changes
     q["cdc_changelog"] = _cdc_changelog
+    q["cdc_debezium_state"] = _cdc_debezium_state
 
     # ---- streaming-analytics plan (same code the watermarked stream runs) ----
     q["cdc_windowed_counts"] = _cdc_windowed_counts
@@ -294,6 +295,42 @@ def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log_dir = _ensure_cdc_oracle_log()
     lake_root = os.path.join(tempfile.mkdtemp(prefix="cdc_entry_"), "lake")
+    replay(spark, log_dir, lake_root, n_buckets=8)
+    return (
+        LakeTable(lake_root, n_buckets=8)
+        .read_state(spark)
+        .select("repo", "path", "lsn", "content_sha256")
+    )
+
+
+def _ensure_debezium_dump() -> str:
+    """Deterministic Debezium ndjson rendering of the SAME canonical oracle
+    stream (one envelope per event, schema'd wrapper, op c/u/d, commit LSN
+    under source.lsn) — cached like the parquet stream."""
+    from bbc_news_etl_pipeline_spark.fixtures.generator import ensure_cached_debezium
+
+    return ensure_cached_debezium(_CDC_ORACLE_EVENTS, _CDC_ORACLE_EPOCHS)
+
+
+def _cdc_debezium_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard-CDC on-ramp, end to end through the REAL engine: a
+    Debezium envelope dump (the wire format an actual binlog tailer emits)
+    is columnarized into an engine event log (`sources/debezium.py`
+    adapter: map-only from_json parse, deterministic per-file arrival
+    ranks), then replayed epoch-by-epoch through merge/commit/fence. The
+    DuckDB oracle computes the LWW final state straight off the very same
+    ndjson envelopes."""
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.sources.debezium import ingest_debezium
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    dump = _ensure_debezium_dump()
+    work = tempfile.mkdtemp(prefix="cdc_dbz_entry_")
+    log_dir = os.path.join(work, "log")
+    ingest_debezium(spark, dump, log_dir)
+    lake_root = os.path.join(work, "lake")
     replay(spark, log_dir, lake_root, n_buckets=8)
     return (
         LakeTable(lake_root, n_buckets=8)
@@ -1093,6 +1130,35 @@ def oracle_sql() -> dict[str, str]:
     # metadata choreography over the same event stream: the promoted main
     # state must equal the straight full-log LWW oracle bit-for-bit.
     o["cdc_branch_state"] = o["cdc_replay_state"]
+    # Debezium on-ramp: the oracle parses the SAME ndjson envelope dump the
+    # engine ingests (dump -> columnarize -> replay) and computes LWW state
+    # declaratively — op c/r are inserts, u updates, d deletes with the key
+    # in `before`; the winning lsn comes from source.lsn.
+    _dbz_row = (
+        'STRUCT(repo VARCHAR, path VARCHAR, "commit" VARCHAR, lang VARCHAR, '
+        "content VARCHAR, size_bytes BIGINT, license VARCHAR)"
+    )
+    _dbz_glob = os.path.join(_ensure_debezium_dump(), "*.ndjson")
+    o["cdc_debezium_state"] = (
+        f"WITH raw AS (SELECT payload FROM read_ndjson('{_dbz_glob}', "
+        f"  columns={{'schema': 'JSON', 'payload': 'STRUCT(before {_dbz_row}, "
+        f"after {_dbz_row}, op VARCHAR, ts_ms BIGINT, "
+        f"source STRUCT(lsn BIGINT, ts_ms BIGINT))'}})), "
+        "ev AS (SELECT payload.source.lsn AS lsn, payload.op AS op, "
+        "  CASE WHEN payload.op='d' THEN payload.before.repo "
+        "       ELSE payload.after.repo END AS repo, "
+        "  CASE WHEN payload.op='d' THEN payload.before.path "
+        "       ELSE payload.after.path END AS path, "
+        "  CASE WHEN payload.op='d' THEN NULL "
+        "       ELSE payload.after.content END AS content "
+        "  FROM raw WHERE payload.op IN ('c','r','u','d')), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev "
+        "  WHERE repo IS NOT NULL AND path IS NOT NULL AND lsn IS NOT NULL "
+        "    AND (op = 'd' OR content IS NOT NULL)) "
+        "SELECT repo, path, lsn, sha256(content) AS content_sha256 "
+        "FROM ranked WHERE rn = 1 AND op <> 'd'"
+    )
     # incremental scan: touched keys come from the RAW offset window (same
     # as the engine's slim scan — validity not consulted), the post-image is
     # the LWW winner over the whole log; the epoch-0 seq boundary is read

@@ -319,3 +319,81 @@ def ensure_cached_stream(n_events: int, n_epochs: int, seed: int = SEED) -> str:
         shutil.rmtree(d, ignore_errors=True)
         build_stream(n_events, n_epochs, d, seed)
     return d
+
+
+def write_debezium_dump(df: pd.DataFrame, out_dir: str, wrap: bool = True) -> list[str]:
+    """Render a canonical event stream as a Debezium ndjson dump (what a
+    kafka-console-consumer writes from a Debezium topic): one file per
+    epoch, arrival order within the file, one envelope per line.
+
+    Semantics mirror the public Debezium wire format: op c/u/d, row image
+    in `after` (upserts) / key-only `before` (deletes — REPLICA IDENTITY
+    DEFAULT), commit LSN + timestamps under `source`. ``wrap=True`` adds
+    the `{"schema": ..., "payload": ...}` converter wrapper (the default
+    JsonConverter config); both shapes parse identically in the adapter.
+    Deterministic: fixed key order, compact separators, no wall clock."""
+    _OP = {"insert": "c", "update": "u", "delete": "d"}
+    os.makedirs(out_dir, exist_ok=True)
+    files = []
+    for ep, g in df.groupby("epoch", sort=True):
+        fname = os.path.join(out_dir, f"epoch-{int(ep):05d}.ndjson")
+        with open(fname, "w") as fh:
+            for r in g.sort_values("arrival_seq").itertuples(index=False):
+                ts_ms = int(pd.Timestamp(r.ts).value // 10**6)
+                row = {
+                    "repo": r.repo,
+                    "path": r.path,
+                    "commit": r.commit if pd.notna(r.commit) else None,
+                    "lang": r.lang if pd.notna(r.lang) else None,
+                    "content": r.content if pd.notna(r.content) else None,
+                    "size_bytes": int(r.size_bytes) if pd.notna(r.size_bytes) else None,
+                    "license": (
+                        r.license
+                        if "license" in df.columns and pd.notna(r.license)
+                        else None
+                    ),
+                }
+                if r.op == "delete":
+                    before = {**{k: None for k in row}, "repo": r.repo, "path": r.path}
+                    after = None
+                else:
+                    before, after = None, row
+                payload = {
+                    "before": before,
+                    "after": after,
+                    "op": _OP[r.op],
+                    "ts_ms": ts_ms,
+                    "source": {"lsn": int(r.lsn), "ts_ms": ts_ms},
+                }
+                env = (
+                    {"schema": {"type": "struct", "optional": False}, "payload": payload}
+                    if wrap
+                    else payload
+                )
+                fh.write(json.dumps(env, separators=(",", ":")) + "\n")
+        files.append(fname)
+    return files
+
+
+def ensure_cached_debezium(
+    n_events: int, n_epochs: int, seed: int = SEED, wrap: bool = True
+) -> str:
+    """Render-once cache for a Debezium dump of the canonical stream, keyed
+    like `ensure_cached_stream` (size/seed + module source hash)."""
+    import tempfile
+
+    with open(__file__, "rb") as f:
+        src = hashlib.sha1(f.read()).hexdigest()[:10]
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_dbz_{n_events}x{n_epochs}_s{seed}_w{int(wrap)}_g{src}",
+    )
+    if not os.path.exists(os.path.join(d, "_done")):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        spec = StreamSpec(n_events=n_events, n_epochs=n_epochs, seed=seed)
+        write_debezium_dump(generate_events(spec), d, wrap=wrap)
+        with open(os.path.join(d, "_done"), "w") as f:
+            f.write("ok")
+    return d

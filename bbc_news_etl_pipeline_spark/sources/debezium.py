@@ -1,0 +1,284 @@
+"""Debezium envelope adapter: standard CDC change events -> the engine's
+canonical event frame.
+
+Debezium is the de-facto open-source binlog/WAL tailer (MySQL/Postgres/
+Mongo connectors -> Kafka); its JSON envelope is the wire format a real
+deployment of this engine would most likely be fed. The reference's
+collector writes its own webhook-style jsonl
+(/root/reference/docs/components/producer.md:31-38); this module is the
+generalized on-ramp: a directory of Debezium ndjson (e.g. a
+kafka-console-consumer dump, one envelope per line) becomes either
+
+- a DataFrame in the engine's canonical `change_events` shape
+  (`events_from_debezium` + `split_debezium`) — feed it straight to
+  `apply_events`; or
+- a columnarized engine event log (`ingest_debezium`) — parquet segments +
+  `_segments.json`, after which the ENTIRE engine (replay, tail, WAP,
+  branches, redrive) runs downstream unchanged.
+
+Envelope handling (public Debezium semantics):
+
+- `op`: `c` (create) and `r` (snapshot read) -> `insert`; `u` -> `update`;
+  `d` -> `delete`. Unknown codes pass through untranslated so the engine's
+  own validity split labels them `invalid op` with the full envelope in the
+  DLQ record — never a task failure.
+- row images: key + payload from `after` (upserts) / key from `before`
+  (deletes; canonical deletes carry NULL payload, FIXTURES.md section 2).
+- `source.lsn` is the commit LSN (the LWW total order); `ts_ms` becomes
+  the event timestamp.
+- both the schema'd envelope (`{"schema": ..., "payload": {...}}`) and the
+  flattened one (`{"op": ..., "after": ...}`) parse — one coalesce per
+  field, so converter config differences don't matter.
+- a Kafka TOMBSTONE (literal `null` value) or a malformed line fails the
+  ENVELOPE parse (no op / no lsn); `split_debezium` diverts those to the
+  engine's DLQ shape `(event_json, error)` with the raw line preserved —
+  the Kafka Connect dead-letter-queue behavior, expressed at the adapter.
+
+Everything is `from_json` + column expressions: JVM-side, codegen'd,
+map-only — the adapter adds no shuffle and no Python to the scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans import schema_registry as reg
+
+#: row image of the source-code table as a Debezium connector emits it
+#: (the BASELINE.json input_hint columns + the registry's evolution columns)
+DEBEZIUM_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("license", T.StringType()),
+    ]
+)
+
+_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+)
+
+_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("before", DEBEZIUM_ROW_SCHEMA),
+        T.StructField("after", DEBEZIUM_ROW_SCHEMA),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("source", _SOURCE_SCHEMA),
+    ]
+)
+
+#: canonical change_events columns (FIXTURES.md section 2), arrival_seq-less
+EVENT_COLUMNS = [
+    "lsn", "event_id", "op", "repo", "path", "commit", "lang", "content",
+    "size_bytes", "license", "ts", "schema_version",
+]
+
+
+def envelope_schema() -> T.StructType:
+    """Schema'd AND flat envelopes in one parse: the wrapped fields live
+    under `payload`, the flat ones at the root; `events_from_debezium`
+    coalesces pairwise."""
+    return T.StructType(
+        [T.StructField("payload", _PAYLOAD_SCHEMA)] + list(_PAYLOAD_SCHEMA)
+    )
+
+
+def events_from_debezium(
+    raw: DataFrame,
+    value_col: str = "value",
+    schema_version: int | None = None,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Raw envelope lines (one JSON string per row, e.g. `spark.read.text`
+    or a Kafka `value`) -> canonical `change_events` columns plus
+    `_parse_error` (NULL when the envelope parsed) and the raw line in
+    `_raw`; `keep` passes provenance columns through. Use `split_debezium`
+    to divert failures and drop the helpers. `schema_version` stamps the
+    registry version the collector is registered at (default: latest) —
+    Debezium's `source` block versions the CONNECTOR, not the registry."""
+    ver = reg.LATEST_VERSION if schema_version is None else schema_version
+    v = F.col(value_col)
+    e = F.from_json(v, envelope_schema())
+
+    def pick(field: str):
+        return F.coalesce(e["payload"][field], e[field])
+
+    op_raw = pick("op")
+    op = (
+        F.when(op_raw.isin("c", "r"), F.lit("insert"))
+        .when(op_raw == "u", F.lit("update"))
+        .when(op_raw == "d", F.lit("delete"))
+        .otherwise(op_raw)
+    )
+    after, before = pick("after"), pick("before")
+    lsn = pick("source")["lsn"]
+    is_del = op_raw == "d"
+    key = F.when(is_del, F.coalesce(before, after)).otherwise(
+        F.coalesce(after, before)
+    )
+    parse_error = (
+        F.when(op_raw.isNull(), F.lit("envelope missing op"))
+        .when(lsn.isNull(), F.lit("envelope missing source.lsn"))
+    )
+    return raw.select(
+        lsn.alias("lsn"),
+        # deterministic surrogate id: the envelope line is unique per event
+        F.sha2(v, 256).alias("event_id"),
+        op.alias("op"),
+        key["repo"].alias("repo"),
+        key["path"].alias("path"),
+        # canonical deletes carry a NULL payload (FIXTURES.md section 2)
+        F.when(is_del, F.lit(None)).otherwise(after["commit"]).alias("commit"),
+        F.when(is_del, F.lit(None)).otherwise(after["lang"]).alias("lang"),
+        F.when(is_del, F.lit(None)).otherwise(after["content"]).alias("content"),
+        F.when(is_del, F.lit(None).cast("long"))
+        .otherwise(after["size_bytes"])
+        .alias("size_bytes"),
+        F.when(is_del, F.lit(None)).otherwise(after["license"]).alias("license"),
+        F.timestamp_millis(F.coalesce(pick("ts_ms"), pick("source")["ts_ms"])).alias(
+            "ts"
+        ),
+        F.lit(ver).cast("int").alias("schema_version"),
+        parse_error.alias("_parse_error"),
+        v.alias("_raw"),
+        *[F.col(c) for c in keep],
+    )
+
+
+def split_debezium(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(canonical events, DLQ rows). DLQ rows match the engine's quarantine
+    shape `(event_json, error)` — the raw envelope line is the record, so
+    nothing is lost to a converter failure (Kafka Connect DLQ semantics).
+    Semantically-invalid but parseable events (unknown op code, null key)
+    pass THROUGH to the engine's own validity split, which labels them
+    precisely with the full decoded event."""
+    ok = F.col("_parse_error").isNull()
+    keep = [c for c in parsed.columns if c not in ("_parse_error", "_raw")]
+    return (
+        parsed.where(ok).select(*keep),
+        parsed.where(~ok).select(
+            F.col("_raw").alias("event_json"),
+            F.concat(F.lit("unparseable debezium envelope: "), "_parse_error").alias(
+                "error"
+            ),
+        ),
+    )
+
+
+def read_debezium_dump(spark: SparkSession, dump_dir: str) -> DataFrame:
+    """A directory of ndjson envelope files -> raw lines with a `_file`
+    provenance column (basis of the deterministic arrival order)."""
+    return spark.read.text(os.path.join(dump_dir, "*.ndjson")).withColumn(
+        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+
+
+def ingest_debezium(
+    spark: SparkSession,
+    dump_dir: str,
+    log_dir: str,
+    schema_version: int | None = None,
+) -> dict:
+    """Columnarize a Debezium ndjson dump into an engine event log: one
+    parquet segment per dump file, `_segments.json` index — after which
+    replay/tail/WAP all run unchanged (this IS the collector-compaction
+    step the streaming tailer's columnar guard demands).
+
+    Arrival order must be deterministic for exactly-once replans:
+    `arrival_seq` = rank by (dump file name, lsn, event_id). Per-file bases
+    come from one count aggregation (driver state is O(dump files), never
+    O(events)); within-file ranks are a window partitioned BY FILE — the
+    shuffle is per-file, not global. LWW state is
+    arrival-permutation-invariant (tests/test_property_lww.py), so any
+    deterministic order is correct; file-major matches how a per-partition
+    Kafka dump arrives anyway. At 100 TB a dump is many files, so the
+    per-file rank parallelizes; one giant file would serialize the rank and
+    should be split upstream.
+
+    Unparseable lines land in `<log_dir>/_malformed/` (ndjson, line
+    preserved) rather than failing the ingest or silently dropping.
+    Idempotent: re-ingesting the same dump rewrites identical segments.
+    Returns {events, malformed, segments}.
+    """
+    from pyspark.sql import Window
+
+    ver = reg.LATEST_VERSION if schema_version is None else schema_version
+    raw = read_debezium_dump(spark, dump_dir)
+    parsed = events_from_debezium(raw, schema_version=ver, keep=("_file",))
+    events, dlq = split_debezium(parsed)
+
+    n_malformed = 0
+    mal_dir = os.path.join(log_dir, "_malformed")
+    dlq = dlq.cache()
+    try:
+        n_malformed = dlq.count()
+        if n_malformed:
+            dlq.select(F.to_json(F.struct("event_json", "error")).alias("value")).coalesce(
+                1
+            ).write.mode("overwrite").text(mal_dir)
+
+        files = sorted(r["_file"] for r in raw.select("_file").distinct().collect())
+        counts = {
+            r["_file"]: r["n"]
+            for r in events.groupBy("_file").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        base, bases = -1, {}
+        for f in files:
+            bases[f] = base
+            base += counts.get(f, 0)
+        base_col = F.create_map(
+            *[x for f in files for x in (F.lit(f), F.lit(bases[f]))]
+        )
+        w = Window.partitionBy("_file").orderBy(
+            F.col("lsn").asc_nulls_last(), "event_id"
+        )
+        seq = events.withColumn(
+            "arrival_seq", (base_col[F.col("_file")] + F.row_number().over(w)).cast("long")
+        )
+        os.makedirs(log_dir, exist_ok=True)
+        segments = []
+        for i, f in enumerate(files):
+            if not counts.get(f, 0):
+                continue
+            seg = f"segment-{i:05d}.parquet"
+            (
+                seq.where(F.col("_file") == f)
+                .select("arrival_seq", *EVENT_COLUMNS)
+                .repartition(1)
+                .sortWithinPartitions("arrival_seq")
+                .write.mode("overwrite")
+                .parquet(os.path.join(log_dir, seg))
+            )
+            segments.append(
+                {
+                    "file": seg,
+                    "epoch": len(segments),
+                    "schema_version": ver,
+                    "format": "parquet",
+                    "seq_lo": bases[f] + 1,
+                    "seq_hi": bases[f] + counts[f],
+                    "n_events": counts[f],
+                }
+            )
+    finally:
+        dlq.unpersist()
+    with open(os.path.join(log_dir, "_segments.json"), "w") as fh:
+        json.dump(segments, fh, indent=1)
+    return {
+        "events": sum(s["n_events"] for s in segments),
+        "malformed": n_malformed,
+        "segments": segments,
+    }

@@ -1,0 +1,63 @@
+"""spark-submit entry point: columnarize a Debezium ndjson dump into an
+engine event log — the on-ramp from the standard open-source CDC wire
+format (Debezium -> Kafka -> console/S3 dump) onto this engine, after
+which `jobs/replay.py` / `jobs/tail.py` run unchanged on `--log-dir`.
+
+Usage:
+    spark-submit --master local[32] jobs/ingest_debezium.py \
+        --dump-dir /data/dbz_topic_dump --log-dir /tmp/log \
+        [--schema-version 3]
+
+The dump is a directory of `*.ndjson` files, one Debezium envelope per
+line (schema'd `{"schema":...,"payload":...}` or flat; op c/r/u/d; commit
+LSN under `source.lsn`). Unparseable lines (Kafka tombstones, converter
+garbage) are preserved under `<log-dir>/_malformed/` — Kafka Connect DLQ
+semantics — and counted in the output. Prints one JSON line:
+{events, malformed, segments}.
+
+The generalization of the reference's collector writing its webhook jsonl
+(/root/reference/docs/components/producer.md:31-38) to the format a real
+binlog tailer actually emits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_package  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.debezium import ingest_debezium  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dump-dir", required=True,
+                   help="directory of Debezium envelope ndjson files")
+    p.add_argument("--log-dir", required=True,
+                   help="engine event log to write (segments + index)")
+    p.add_argument("--schema-version", type=int, default=None,
+                   help="registry version the collector is registered at "
+                        "(default: latest)")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    spark = build_session(app_name="cdc-ingest-debezium", master=args.master)
+    ship_engine_package(spark)
+    res = ingest_debezium(
+        spark, args.dump_dir, args.log_dir, schema_version=args.schema_version
+    )
+    print(json.dumps({
+        "events": res["events"],
+        "malformed": res["malformed"],
+        "segments": len(res["segments"]),
+        "log_dir": args.log_dir,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

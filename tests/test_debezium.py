@@ -1,0 +1,164 @@
+"""Debezium envelope adapter (sources/debezium.py): the standard CDC wire
+format parses to the engine's canonical event frame map-only; unparseable
+lines get Kafka-Connect-DLQ treatment (preserved, never a task failure);
+a columnarized dump replays — and TAILS — through the unchanged engine to
+the same digest as the native log of the same events."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.operators import merge as M
+from bbc_news_etl_pipeline_spark.sources import debezium as dz
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest
+
+_WRAP = {"schema": {"type": "struct", "optional": False}}
+
+
+def _line(op, lsn, repo="o/r", path="a.py", content="x = 1", wrap=True, **kw):
+    row = {
+        "repo": repo, "path": path, "commit": "c" * 40, "lang": "py",
+        "content": content, "size_bytes": len(content), "license": None,
+    }
+    payload = {
+        "before": {**{k: None for k in row}, "repo": repo, "path": path}
+        if op == "d"
+        else None,
+        "after": None if op == "d" else row,
+        "op": op,
+        "ts_ms": 1_767_225_600_000 + lsn,
+        "source": {"lsn": lsn, "ts_ms": 1_767_225_600_000 + lsn},
+        **kw,
+    }
+    return json.dumps({**_WRAP, "payload": payload} if wrap else payload)
+
+
+def _parse(spark, lines):
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    return dz.events_from_debezium(raw)
+
+
+def test_envelope_matrix_ops_and_wrappers(spark):
+    rows = {
+        r["lsn"]: r
+        for r in _parse(
+            spark,
+            [
+                _line("c", 1),                      # create, wrapped
+                _line("r", 2),                      # snapshot read
+                _line("u", 3, content="x = 2", wrap=False),  # flat envelope
+                _line("d", 4),                      # delete, key in before
+            ],
+        ).collect()
+    }
+    assert rows[1]["op"] == "insert" and rows[2]["op"] == "insert"
+    assert rows[3]["op"] == "update" and rows[3]["content"] == "x = 2"
+    d = rows[4]
+    assert d["op"] == "delete" and (d["repo"], d["path"]) == ("o/r", "a.py")
+    # canonical deletes carry a NULL payload
+    assert d["content"] is None and d["commit"] is None and d["size_bytes"] is None
+    for r in rows.values():
+        assert r["_parse_error"] is None
+        assert r["ts"] is not None and r["event_id"] is not None
+        assert r["schema_version"] == 3
+
+
+def test_tombstone_and_malformed_lines_divert_not_fail(spark):
+    bad = [
+        "null",                                   # Kafka tombstone
+        "{definitely not json",                   # converter garbage
+        json.dumps({"payload": {"op": None}}),    # missing op
+        _line("u", 0).replace('"lsn": 0', '"lsn": null'),  # missing lsn
+    ]
+    events, dlq = dz.split_debezium(_parse(spark, bad + [_line("c", 9)]))
+    assert events.count() == 1 and events.first()["lsn"] == 9
+    got = dlq.collect()
+    assert len(got) == 4
+    # the raw line is the DLQ record — nothing lost to a converter failure
+    assert {r["event_json"] for r in got} == set(bad)
+    assert all(r["error"].startswith("unparseable debezium envelope") for r in got)
+
+
+def test_unknown_op_code_reaches_engine_validity_split(spark):
+    events, dlq = dz.split_debezium(_parse(spark, [_line("t", 5), _line("c", 6)]))
+    assert dlq.count() == 0  # parseable: adapter passes it through
+    valid, quar = M.split_valid_quarantine(events)
+    assert valid.count() == 1
+    q = quar.first()
+    assert q["error"] == "invalid op" and '"op":"t"' in q["event_json"].replace(" ", "")
+
+
+def test_ingest_replay_digest_matches_native_log(spark, tmp_path):
+    dump = gen.ensure_cached_debezium(2000, 2, seed=7)
+    log = str(tmp_path / "log")
+    res = dz.ingest_debezium(spark, dump, log)
+    assert res["malformed"] == 0 and res["events"] == 2000
+    R.replay(spark, log, str(tmp_path / "lake"), n_buckets=8)
+
+    native = gen.ensure_cached_stream(2000, 2, seed=7)
+    R.replay(spark, native, str(tmp_path / "lake2"), n_buckets=8)
+    assert engine_digest(spark, str(tmp_path / "lake")) == engine_digest(
+        spark, str(tmp_path / "lake2")
+    )
+
+
+def test_ingest_is_deterministic_and_preserves_malformed(spark, tmp_path):
+    dump = str(tmp_path / "dump")
+    os.makedirs(dump)
+    with open(os.path.join(dump, "part-0.ndjson"), "w") as f:
+        f.write(_line("c", 2) + "\n" + _line("u", 1) + "\n" + "null\n")
+    with open(os.path.join(dump, "part-1.ndjson"), "w") as f:
+        f.write(_line("d", 3) + "\n")
+
+    def digest(log):
+        import duckdb
+
+        return duckdb.connect().execute(
+            "SELECT md5(string_agg(arrival_seq||'|'||lsn||'|'||op, E'\n' "
+            "ORDER BY arrival_seq)), count(*) FROM read_parquet(?)",
+            [os.path.join(log, "segment-*.parquet", "*.parquet")],
+        ).fetchone()
+
+    log1, log2 = str(tmp_path / "log1"), str(tmp_path / "log2")
+    r1 = dz.ingest_debezium(spark, dump, log1)
+    r2 = dz.ingest_debezium(spark, dump, log2)
+    assert r1["events"] == r2["events"] == 3
+    assert r1["malformed"] == 1
+    assert r1["segments"] == r2["segments"]
+    assert digest(log1) == digest(log2)
+    # arrival order is (file, lsn): lsn 1 before lsn 2 within part-0
+    import duckdb
+
+    order = duckdb.connect().execute(
+        "SELECT lsn FROM read_parquet(?) ORDER BY arrival_seq",
+        [os.path.join(log1, "segment-*.parquet", "*.parquet")],
+    ).fetchall()
+    assert [r[0] for r in order] == [1, 2, 3]
+    # the malformed line is preserved verbatim under _malformed/
+    mal = open(
+        [os.path.join(log1, "_malformed", p)
+         for p in os.listdir(os.path.join(log1, "_malformed"))
+         if p.startswith("part-")][0]
+    ).read()
+    assert "null" in mal and "unparseable" in mal
+
+
+def test_streaming_tail_runs_on_ingested_log(spark, tmp_path):
+    """Ingest IS the collector-compaction step the tailer's columnar guard
+    demands — a Debezium dump becomes a tailable log."""
+    from bbc_news_etl_pipeline_spark.streaming.tail import tail
+
+    dump = gen.ensure_cached_debezium(2000, 2, seed=7)
+    log = str(tmp_path / "log")
+    dz.ingest_debezium(spark, dump, log)
+    root = str(tmp_path / "lake")
+    tail(spark, log, root, str(tmp_path / "ckpt"), n_buckets=8, timeout_sec=300)
+    R.replay(spark, gen.ensure_cached_stream(2000, 2, seed=7),
+             str(tmp_path / "lake2"), n_buckets=8)
+    assert engine_digest(spark, root) == engine_digest(spark, str(tmp_path / "lake2"))
