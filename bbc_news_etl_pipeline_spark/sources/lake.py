@@ -1055,6 +1055,7 @@ class LakeTable:
         max_quarantine_frac: float | None = None,
         publish_on_pass: bool = False,
         discard_on_fail: bool = False,
+        rebase_on_publish: bool = False,
     ) -> dict:
         """The write-audit-publish GATE: validate a staged snapshot against
         declarative thresholds, then (optionally) publish or discard it.
@@ -1093,7 +1094,11 @@ class LakeTable:
             )
 
         head_m = self.current_manifest()
-        staged_m = self.manifest(target)
+        # read the staged manifest FILE: if a maintenance commit consumed
+        # the epoch number since staging, `manifest(target)` would return
+        # the committed one and the gate would audit an empty diff
+        with open(self._staged_manifest_path(target)) as f:
+            staged_m = json.load(f)
         counts = staged_m.get("counts") or {}
         applied = int(counts.get("events_applied", 0))
         quarantined = int(counts.get("events_quarantined", 0))
@@ -1104,7 +1109,7 @@ class LakeTable:
         # live row is an upsert, tombstones are from-nothing no-ops.
         if head_m is not None:
             diff = self.read_changes(
-                spark, log, from_epoch=head_m["epoch"], to_epoch=target
+                spark, log, from_epoch=head_m["epoch"], to_manifest=staged_m
             )
             by_kind = {
                 r["change"]: r["n"]
@@ -1148,7 +1153,8 @@ class LakeTable:
         ok = not failures
         action = "none"
         if ok and publish_on_pass:
-            self.publish_staged(target)
+            out = self.publish_staged(target, rebase=rebase_on_publish)
+            checks["published_epoch"] = out.get("epoch", target)
             action = "published"
         elif not ok and discard_on_fail:
             self.discard_staged(target)
@@ -1887,6 +1893,7 @@ class LakeTable:
         from_epoch: int,
         to_epoch: int | None = None,
         include_before: bool = False,
+        to_manifest: dict | None = None,
     ) -> DataFrame:
         """Incremental scan (Iceberg `incremental read` analog): the NET
         change between two committed snapshots, as one row per key touched
@@ -1939,8 +1946,14 @@ class LakeTable:
         touched keys, never to the table.
         """
         m_from = self.manifest(from_epoch)
+        # `to_manifest` overrides the epoch-number lookup — needed when a
+        # STAGED snapshot's number was consumed by a maintenance commit
+        # (`manifest(n)` would return the committed one) and the caller
+        # wants to diff against the parked snapshot itself (the audit gate)
         m_to = (
-            self.manifest(to_epoch)
+            to_manifest
+            if to_manifest is not None
+            else self.manifest(to_epoch)
             if to_epoch is not None
             else self.current_manifest()
         )

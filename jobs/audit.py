@@ -45,6 +45,10 @@ def main() -> None:
     p.add_argument("--max-quarantine-frac", type=float, default=None)
     p.add_argument("--publish-on-pass", action="store_true")
     p.add_argument("--discard-on-fail", action="store_true")
+    p.add_argument("--rebase", action="store_true",
+                   help="with --publish-on-pass: cherrypick the audited "
+                        "snapshot onto a head that moved by maintenance "
+                        "only (compaction) instead of refusing")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -61,6 +65,7 @@ def main() -> None:
             max_quarantine_frac=args.max_quarantine_frac,
             publish_on_pass=args.publish_on_pass,
             discard_on_fail=args.discard_on_fail,
+            rebase_on_publish=args.rebase,
         )
     except ValueError as e:
         raise SystemExit(str(e))

@@ -425,3 +425,33 @@ def test_cherrypick_crash_between_commit_and_cleanup_finishes_on_retry(
     assert lake.staged_epochs() == []
     assert lake.current_manifest()["epoch"] == out["epoch"]
     assert engine_digest(spark, root) == head_digest
+
+
+def test_audit_gate_over_consumed_number_audits_staged_and_rebases(
+    spark, stream_dir, head_digest, tmp_path
+):
+    """The gate-vs-auto-compact race: compaction consumes the staged
+    snapshot's epoch NUMBER between stage and audit. The audit must still
+    evaluate the PARKED snapshot (not the compact manifest — whose window
+    is empty and would trivially pass), and `rebase_on_publish` must then
+    promote it via cherrypick."""
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor",
+             max_epochs=N_EPOCHS - 1)
+    lake = LakeTable(root, n_buckets=8)
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor", stage=True)
+    (n,) = lake.staged_epochs()
+    lake.compact(spark)  # consumes epoch number n
+    log = EventLog(stream_dir)
+
+    out = lake.audit_staged(spark, log)  # audit only, no action
+    # the staged window's keys are counted — NOT the compact's empty window
+    assert out["changed_keys"] > 0 and out["staged_epoch"] == n
+    assert out["pass"] and out["action"] == "none"
+
+    out = lake.audit_staged(
+        spark, log, publish_on_pass=True, rebase_on_publish=True
+    )
+    assert out["action"] == "published" and out["published_epoch"] == n + 1
+    assert lake.staged_epochs() == []
+    assert engine_digest(spark, root) == head_digest
