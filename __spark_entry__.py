@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_read_changes"] = _cdc_read_changes
     q["cdc_changelog"] = _cdc_changelog
     q["cdc_debezium_state"] = _cdc_debezium_state
+    q["cdc_rollup_incremental"] = _cdc_rollup_incremental
 
     # ---- streaming-analytics plan (same code the watermarked stream runs) ----
     q["cdc_windowed_counts"] = _cdc_windowed_counts
@@ -337,6 +338,30 @@ def _cdc_debezium_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .read_state(spark)
         .select("repo", "path", "lsn", "content_sha256")
     )
+
+
+def _cdc_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: build the per-(repo,
+    lang) rollup at an early snapshot, replay the rest of the log, refresh
+    the rollup by applying ONLY the changelog window (insert/update/delete
+    deltas with pre-image lang/size for exact decrements) — and the result
+    must be row-identical to the oracle's from-scratch aggregate over the
+    full-log LWW state. O(changed keys + groups), never O(table)."""
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.operators import rollup as RU
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    log_dir = _ensure_cdc_oracle_log()
+    lake_root = os.path.join(tempfile.mkdtemp(prefix="cdc_rollup_"), "lake")
+    replay(spark, log_dir, lake_root, n_buckets=8, max_epochs=1)
+    lake = LakeTable(lake_root, n_buckets=8)
+    e0 = lake.current_manifest()["epoch"]
+    base = RU.rollup_from_state(lake.read_state(spark, epoch=e0))
+    replay(spark, log_dir, lake_root, n_buckets=8)
+    return RU.refresh_rollup(spark, lake, EventLog(log_dir), base, from_epoch=e0)
 
 
 def _cdc_branch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1130,6 +1155,21 @@ def oracle_sql() -> dict[str, str]:
     # metadata choreography over the same event stream: the promoted main
     # state must equal the straight full-log LWW oracle bit-for-bit.
     o["cdc_branch_state"] = o["cdc_replay_state"]
+    # incremental rollup refresh: exact IVM means the refreshed store equals
+    # the from-scratch aggregate over the full-log LWW live state.
+    o["cdc_rollup_incremental"] = (
+        f"WITH ev AS (SELECT repo, path, lsn, op, lang, size_bytes "
+        f"  FROM read_parquet('{log_glob}', union_by_name=true) "
+        "  WHERE op IN ('insert', 'update', 'delete') AND repo IS NOT NULL "
+        "    AND path IS NOT NULL AND lsn IS NOT NULL "
+        "    AND (op = 'delete' OR content IS NOT NULL)), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev), "
+        "live AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete') "
+        "SELECT repo, lang, CAST(count(*) AS BIGINT) AS n_files, "
+        "CAST(sum(coalesce(size_bytes, 0)) AS BIGINT) AS total_bytes "
+        "FROM live GROUP BY repo, lang"
+    )
     # Debezium on-ramp: the oracle parses the SAME ndjson envelope dump the
     # engine ingests (dump -> columnarize -> replay) and computes LWW state
     # declaratively — op c/r are inserts, u updates, d deletes with the key

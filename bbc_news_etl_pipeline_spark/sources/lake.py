@@ -1894,6 +1894,7 @@ class LakeTable:
         to_epoch: int | None = None,
         include_before: bool = False,
         to_manifest: dict | None = None,
+        before_columns: tuple[str, ...] = (),
     ) -> DataFrame:
         """Incremental scan (Iceberg `incremental read` analog): the NET
         change between two committed snapshots, as one row per key touched
@@ -1994,6 +1995,12 @@ class LakeTable:
                 r["b"]
                 for r in keys.select(bucket_col(n_f).alias("b")).distinct().collect()
             )
+            # `before_columns` (changelog only): extra pre-image state
+            # columns, emitted as prev_<name> — what an incremental
+            # materialized-view consumer needs to DECREMENT the old group
+            # (e.g. prev_lang, prev_size_bytes). Opt-in so the default
+            # pre-image read stays slim (content is never touched unless
+            # asked for).
             prev = (
                 self.read_resolved(
                     spark, touched_f, m_from["schema_version"], manifest=m_from
@@ -2005,6 +2012,7 @@ class LakeTable:
                     "path",
                     F.col("lsn").alias("prev_lsn"),
                     F.col("content_sha256").alias("prev_content_sha256"),
+                    *[F.col(c).alias(f"prev_{c}") for c in before_columns],
                 )
             )
         if include_before:
@@ -2038,7 +2046,8 @@ class LakeTable:
             *[
                 F.lit(None).cast(f.dataType).alias(f.name)
                 for f in out.schema
-                if f.name not in ("repo", "path", "change", "prev_lsn", "prev_content_sha256")
+                if f.name not in ("repo", "path", "change")
+                and not f.name.startswith("prev_")
             ],
             F.lit("delete").alias("change"),
         )
