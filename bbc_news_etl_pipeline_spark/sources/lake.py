@@ -1285,13 +1285,22 @@ class LakeTable:
             return False
         return True
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 2, older_than_seconds: float | None = None
+    ) -> dict:
         """Iceberg-style snapshot expiration: drop all but the newest
         `keep_last` manifests and delete data files no surviving manifest
         references. At 100 TB, copy-on-write rewrites make storage grow by
         one epoch's touched buckets per commit — expiration is the
         reclamation half of that contract. Time travel remains available
         for the kept snapshots.
+
+        ``older_than_seconds`` is the Iceberg `expire_snapshots(older_than,
+        retain_last)` age guard: a snapshot is dropped only when it is BOTH
+        beyond the newest `keep_last` AND its `committed_at` is older than
+        the cutoff — the policy an operator actually runs from cron ("keep
+        a week of time travel, always at least N snapshots"). Default None
+        = pure count-based retention (back-compatible).
 
         Safe ordering: manifests are deleted BEFORE the files they uniquely
         referenced, so a crash mid-expire leaves extra (unreferenced) files
@@ -1311,6 +1320,20 @@ class LakeTable:
             pinned = {int(e) for e in self.refs()["tags"].values()}
             keep = sorted(set(epochs[-keep_last:]) | (pinned & set(epochs)))
             drop = [e for e in epochs if e not in set(keep)]
+            if older_than_seconds is not None and drop:
+                from datetime import datetime, timezone
+
+                cutoff = datetime.now(timezone.utc).timestamp() - older_than_seconds
+                young = [
+                    ep
+                    for ep in drop
+                    if datetime.fromisoformat(
+                        self.manifest(ep)["committed_at"]
+                    ).timestamp()
+                    >= cutoff
+                ]
+                keep = sorted(set(keep) | set(young))
+                drop = [e for e in drop if e not in set(keep)]
             if not drop:
                 return {"manifests_dropped": 0, "files_deleted": 0}
             referenced = set()

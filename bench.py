@@ -38,7 +38,15 @@ if REPO_ROOT not in sys.path:
 # correctness-gate material, but their cost is sf-independent replay
 # throughput — measured properly by the cdc block below, so timing them
 # per-sf would only double the bench wall without information
-SKIP = {"cdc_replay_state", "cdc_wap_staged_state", "cdc_branch_state"}
+SKIP = {
+    "cdc_replay_state",
+    "cdc_wap_staged_state",
+    "cdc_branch_state",
+    "cdc_read_changes",
+    "cdc_changelog",
+    "cdc_debezium_state",
+    "cdc_rollup_incremental",
+}
 
 
 def _sf_of(sf_dir: str) -> float:

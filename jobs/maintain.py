@@ -74,6 +74,10 @@ def main() -> None:
     p.add_argument("--compact", action="store_true")
     p.add_argument("--tombstone-horizon-lsn", type=int, default=None)
     p.add_argument("--expire-keep-last", type=int, default=None)
+    p.add_argument("--expire-older-than", type=float, default=None,
+                   help="age guard (seconds): with --expire-keep-last, only "
+                        "snapshots older than this are dropped (Iceberg "
+                        "expire_snapshots(older_than, retain_last) parity)")
     p.add_argument("--rebucket", type=int, default=None)
     p.add_argument("--vacuum-orphans-grace", type=float, default=None,
                    help="reclaim crashed-write files older than this many "
@@ -125,7 +129,10 @@ def main() -> None:
         rm = lake.rebucket(spark, args.rebucket)
         out["rebucketed_to"] = rm["n_buckets"]
     if args.expire_keep_last is not None:
-        out["expired"] = lake.expire_snapshots(keep_last=args.expire_keep_last)
+        out["expired"] = lake.expire_snapshots(
+            keep_last=args.expire_keep_last,
+            older_than_seconds=args.expire_older_than,
+        )
     if args.vacuum_orphans_grace is not None:
         out["vacuumed"] = lake.vacuum_orphans(
             grace_seconds=args.vacuum_orphans_grace

@@ -107,6 +107,41 @@ def test_expire_snapshots(spark, tmp_path):
     assert lake.read_state(spark, epoch=1).count() > 0   # kept snapshot readable
 
 
+def test_expire_snapshots_older_than_age_guard(spark, tmp_path):
+    """Iceberg `expire_snapshots(older_than, retain_last)` parity: beyond
+    keep_last, only snapshots whose committed_at predates the cutoff drop —
+    the cron policy 'keep a week of time travel, always at least N'."""
+    import json as _json
+
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+
+    from .util import engine_digest
+
+    d = str(tmp_path / "log")
+    gen.build_stream(3_000, 3, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    before = engine_digest(spark, root)
+
+    # every snapshot is freshly committed: an age guard of 1h drops nothing
+    stats = lake.expire_snapshots(keep_last=1, older_than_seconds=3600)
+    assert stats == {"manifests_dropped": 0, "files_deleted": 0}
+    assert lake.committed_epochs() == [0, 1, 2]
+
+    # backdate snapshot 0 beyond the cutoff: it (alone) becomes expirable
+    mp = f"{lake.manifests_dir}/manifest-000000.json"
+    m = _json.load(open(mp))
+    m["committed_at"] = "2020-01-01T00:00:00+00:00"
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+    stats = lake.expire_snapshots(keep_last=1, older_than_seconds=3600)
+    assert stats["manifests_dropped"] == 1
+    assert lake.committed_epochs() == [1, 2]
+    assert engine_digest(spark, root) == before
+    assert lake.read_state(spark, epoch=1).count() > 0
+
+
 def test_shuffle_join_path_matches_broadcast(spark, tmp_path, monkeypatch):
     """Plan-strategy invariance: epochs above BROADCAST_KEYS_MAX switch the
     merge joins from broadcast to shuffle — the final state must be
