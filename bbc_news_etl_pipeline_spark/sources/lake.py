@@ -255,16 +255,37 @@ def _resolve_layers_window(df: DataFrame) -> DataFrame:
 
 
 class LakeTable:
-    def __init__(self, root: str, n_buckets: int = 64, branch: str | None = None):
+    def __init__(
+        self,
+        root: str,
+        n_buckets: int = 64,
+        branch: str | None = None,
+        target_file_rows: int | None = None,
+    ):
         """`branch` opens a named BRANCH of the table (Iceberg branch
         parity): same data model, same engine, but snapshots commit to
         `_branches/<name>/_manifests` and new data files land under
         `data/branch-<name>/` — manifest entries are root-relative paths,
         so a branch snapshot freely references base files and readers need
         no branch awareness. Create branches with `create_branch` on the
-        MAIN table first; opening a nonexistent branch raises."""
+        MAIN table first; opening a nonexistent branch raises.
+
+        ``target_file_rows`` (Iceberg `write.target-file-size-bytes`
+        analog, expressed in rows — the unit Spark's writer bounds
+        natively): every bucket writer (epoch write, compaction, rebucket)
+        caps files at this many rows via `maxRecordsPerFile`. Without it a
+        bucket writes ONE file per generation, which at 100 TB / modest
+        n_buckets means multi-TB parquet files — unsplittable units for
+        retries, compaction, and footer-stats pruning. The per-partition
+        sort means split files stay key-clustered with DISJOINT (repo,
+        path) ranges inside a generation, so file-stats pruning gets
+        strictly better. File count within a generation is layout, not
+        layering: the manifest's generation ordinal (MOR layer) is shared
+        by all of an epoch's files, so resolution semantics are
+        unchanged. None = unbounded (small-scale default)."""
         self.root = root
         self.branch = branch
+        self.target_file_rows = target_file_rows
         if branch is not None:
             _validate_ref_name(branch)
             if not os.path.isfile(
@@ -285,6 +306,13 @@ class LakeTable:
         m = self.current_manifest()
         if m is not None and m.get("n_buckets"):
             self.n_buckets = int(m["n_buckets"])
+
+    def file_size_options(self) -> dict:
+        """Writer options bounding per-file rows (see ``target_file_rows``
+        in `__init__`) — merged into every bucket writer's `.options()`."""
+        if self.target_file_rows is None:
+            return {}
+        return {"maxRecordsPerFile": str(int(self.target_file_rows))}
 
     # ---------- layout ----------
     @property
@@ -718,6 +746,7 @@ class LakeTable:
         discipline and the same idempotence fence as `commit`: False when
         the epoch is already committed OR already staged (a re-delivered
         stage run is skipped wholesale, like a re-delivered epoch)."""
+        self._embed_schema_snapshot(manifest)
         epoch = manifest["epoch"]
         if self.has_epoch(epoch):
             return False
@@ -1262,9 +1291,41 @@ class LakeTable:
             except FileNotFoundError:
                 pass
 
+    def _embed_schema_snapshot(self, manifest: dict) -> None:
+        """Iceberg metadata.json parity: every snapshot embeds the full
+        registry schema it was written under (not just the version pointer),
+        so any retained snapshot's exact column set/types resolve from the
+        manifest alone — the registry is free to move on, and `schema_at`
+        gives schema time travel without consulting code. Injected here so
+        EVERY manifest writer (epoch commit, compaction, rebucket, rollback,
+        cherrypick, WAP stage) gets it for free; pre-existing `schema` keys
+        (cherrypick/rollback copying a source manifest) pass through, and
+        older manifests without the field fall back to the code registry."""
+        ver = manifest.get("schema_version")
+        if ver is not None and "schema" not in manifest:
+            manifest["schema"] = reg.lake_schema(int(ver)).jsonValue()
+
+    def schema_at(self, ref: int | str | None = None):
+        """Lake schema (StructType) of a snapshot — the head by default, any
+        epoch/tag via `ref`. Prefers the manifest's embedded registry
+        snapshot; legacy manifests resolve through the code registry."""
+        from pyspark.sql import types as T
+
+        if ref is None:
+            m = self.current_manifest()
+            if m is None:
+                raise ValueError("empty lake: no committed snapshot")
+        else:
+            m = self.manifest(self.resolve_ref(ref))
+        snap = m.get("schema")
+        if snap is not None:
+            return T.StructType.fromJson(snap)
+        return reg.lake_schema(int(m["schema_version"]))
+
     def commit(self, manifest: dict) -> bool:
         """Atomically publish a snapshot. False if the epoch was already
         committed (idempotent re-commit — the exactly-once fence)."""
+        self._embed_schema_snapshot(manifest)
         epoch = manifest["epoch"]
         final = os.path.join(self.manifests_dir, f"manifest-{epoch:06d}.json")
         if os.path.exists(final):
@@ -1821,7 +1882,7 @@ class LakeTable:
                 .withColumn("bucket_p", F.col("bucket"))
                 .sortWithinPartitions("bucket_p", "repo", "path")
                 .write.mode("overwrite")
-                .options(**PARQUET_BLOOM_OPTIONS)
+                .options(**PARQUET_BLOOM_OPTIONS, **self.file_size_options())
                 .partitionBy("bucket_p")
                 .parquet(self.epoch_data_dir(epoch))
             )
@@ -2176,7 +2237,7 @@ class LakeTable:
                 .withColumn("bucket_p", F.col("bucket"))
                 .sortWithinPartitions("bucket_p", "repo", "path")
                 .write.mode("overwrite")
-                .options(**PARQUET_BLOOM_OPTIONS)
+                .options(**PARQUET_BLOOM_OPTIONS, **self.file_size_options())
                 .partitionBy("bucket_p")
                 .parquet(self.epoch_data_dir(epoch))
             )

@@ -497,7 +497,7 @@ def apply_events(
                 merged.withColumn("bucket_p", F.col("bucket"))
                 .sortWithinPartitions("bucket_p", "repo", "path")
                 .write.mode("overwrite")
-                .options(**PARQUET_BLOOM_OPTIONS)
+                .options(**PARQUET_BLOOM_OPTIONS, **lake.file_size_options())
                 .partitionBy("bucket_p")
                 .parquet(epoch_dir)
             )
@@ -742,6 +742,7 @@ def replay(
     elide_noops: bool = False,
     stage: bool = False,
     branch: str | None = None,
+    target_file_rows: int | None = None,
 ) -> ReplayResult:
     """Tail the log from the current checkpoint to its head.
 
@@ -770,7 +771,10 @@ def replay(
     winner reduce.
     """
     log = EventLog(log_dir)
-    lake = LakeTable(lake_root, n_buckets=n_buckets, branch=branch)
+    lake = LakeTable(
+        lake_root, n_buckets=n_buckets, branch=branch,
+        target_file_rows=target_file_rows,
+    )
     lease = lake.acquire_writer_lease("replay")
     try:
         return _replay_locked(

@@ -126,6 +126,7 @@ def tail(
     auto_compact_layers: int | None = None,
     elide_noops: bool = False,
     branch: str | None = None,
+    target_file_rows: int | None = None,
 ) -> TailResult:
     """Tail `log_dir` with Structured Streaming until the source is drained
     (availableNow), applying each micro-batch through the merge core.
@@ -141,7 +142,10 @@ def tail(
     existing rebase path (durable batch_id->epoch map) re-homes it — the
     same machinery that already handles batch replays between tail runs.
     """
-    lake = LakeTable(lake_root, n_buckets=n_buckets, branch=branch)
+    lake = LakeTable(
+        lake_root, n_buckets=n_buckets, branch=branch,
+        target_file_rows=target_file_rows,
+    )
     lease = lake.acquire_writer_lease("tail")
     try:
         return _tail_locked(

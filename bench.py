@@ -153,7 +153,18 @@ def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
     cache = ensure_cached_stream(n_events, n_epochs)
     lake_root = tempfile.mkdtemp(prefix="cdc_bench_lake_")
     mor_root = tempfile.mkdtemp(prefix="cdc_bench_mor_")
+    warm_root = tempfile.mkdtemp(prefix="cdc_bench_warm_")
     try:
+        # same warmup protocol as jobs/replay.py: one tiny epoch of the REAL
+        # log through the REAL pipeline into a throwaway lake JITs codegen,
+        # the parquet writer, and the Arrow worker pool — without it epoch 0
+        # carries ~8 s of one-time session cost that a long-running ingest
+        # amortizes to zero, and the recorded events/sec mostly measures JIT
+        try:
+            replay(spark, cache, os.path.join(warm_root, "lake"),
+                   n_buckets=64, events_per_epoch=20_000, max_epochs=1)
+        except Exception:
+            pass
         res = replay(spark, cache, lake_root, n_buckets=64)
         n_live = LakeTable(lake_root, n_buckets=64).read_state(spark).count()
         # merge-on-read path on the same stream (informative; the headline
@@ -175,6 +186,7 @@ def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
     finally:
         shutil.rmtree(lake_root, ignore_errors=True)
         shutil.rmtree(mor_root, ignore_errors=True)
+        shutil.rmtree(warm_root, ignore_errors=True)
 
 
 def main() -> None:

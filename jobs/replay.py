@@ -48,6 +48,10 @@ def main() -> None:
     p.add_argument("--auto-compact-layers", type=int, default=None,
                    help="MOR read-amplification bound: targeted-compact "
                    "in-loop when any bucket exceeds this many layers")
+    p.add_argument("--target-file-rows", type=int, default=None,
+                   help="cap rows per data file on every bucket writer "
+                        "(Iceberg write.target-file-size-bytes analog); "
+                        "keeps retry/compaction/footer-prune units bounded")
     p.add_argument("--stage", action="store_true",
                    help="write-audit-publish: run the NEXT pending epoch but "
                         "park its manifest in _staged/ (invisible to readers) "

@@ -1,0 +1,90 @@
+"""Target file sizing (Iceberg write.target-file-size-bytes analog).
+
+``LakeTable(target_file_rows=N)`` caps every bucket writer's files at N
+rows via maxRecordsPerFile. The invariants under test: splitting a
+generation into several files changes LAYOUT only — layer counting,
+merge-on-read resolution, point-lookup pruning, and the final-state
+digest are all byte-identical to the unbounded run — while every data
+file actually respects the cap (the property that keeps retry /
+compaction / footer-prune units bounded at 100 TB).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable, bucket_generations
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest
+
+CAP = 120
+
+
+def _data_files(root: str) -> list[str]:
+    return [
+        p
+        for p in glob.glob(os.path.join(root, "data", "**", "*.parquet"), recursive=True)
+        if os.path.basename(p).startswith("part-")
+    ]
+
+
+def test_target_file_rows_layout_only(spark, tmp_path):
+    d = str(tmp_path / "log")
+    gen.build_stream(6_000, 3, d)
+
+    capped = str(tmp_path / "capped")
+    free = str(tmp_path / "free")
+    R.replay(spark, d, capped, n_buckets=4, mode="mor", target_file_rows=CAP)
+    R.replay(spark, d, free, n_buckets=4, mode="mor")
+
+    # digest invariant: file split is invisible to readers
+    assert engine_digest(spark, capped) == engine_digest(spark, free)
+
+    # the cap binds: every data file respects it, and at least one
+    # generation actually split (6000 events / 4 buckets >> CAP)
+    files = _data_files(capped)
+    assert files
+    assert all(pq.read_metadata(f).num_rows <= CAP for f in files)
+
+    lc, lf = LakeTable(capped, n_buckets=4), LakeTable(free, n_buckets=4)
+    mc, mf = lc.current_manifest(), lf.current_manifest()
+    some_split = False
+    for b, entries in mc["buckets"].items():
+        # layer count is generation count, not file count
+        assert bucket_generations(entries) == bucket_generations(mf["buckets"][b])
+        by_layer: dict[int, int] = {}
+        for e in entries:
+            by_layer[e["layer"]] = by_layer.get(e["layer"], 0) + 1
+        if any(n > 1 for n in by_layer.values()):
+            some_split = True
+    assert some_split, "cap never split a generation — test not exercising the path"
+
+    # point lookup resolves through split files (footer-bound pruning
+    # operates per file; sortWithinPartitions keeps ranges disjoint)
+    row = lc.read_state(spark).limit(1).collect()[0]
+    got = lc.read_key(spark, row["repo"], row["path"]).collect()
+    assert len(got) == 1 and got[0]["content_sha256"] == row["content_sha256"]
+
+
+def test_target_file_rows_survives_compaction(spark, tmp_path):
+    d = str(tmp_path / "log")
+    gen.build_stream(6_000, 3, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4, mode="mor", target_file_rows=CAP)
+    lake = LakeTable(root, n_buckets=4, target_file_rows=CAP)
+    before = engine_digest(spark, root)
+    m = lake.compact(spark)
+    assert m is not None and not m["layered"]
+    assert engine_digest(spark, root) == before
+    assert all(
+        pq.read_metadata(f).num_rows <= CAP
+        for b in m["buckets"].values()
+        for e in b
+        for f in [os.path.join(root, e["path"])]
+        if os.path.basename(f).startswith("part-")
+    )

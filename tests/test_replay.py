@@ -478,6 +478,57 @@ def test_sql_facade(spark, tmp_path):
     assert lin["n"] == 1_000
 
 
+def test_manifest_embeds_schema_snapshot(spark, tmp_path):
+    """Iceberg metadata.json parity: every committed manifest embeds the
+    FULL registry schema it was written under (not just the version
+    pointer), so `schema_at` gives schema time travel from the manifest
+    alone — the epoch written under v1 resolves size_bytes as int, the
+    head (v3) as long with the added `license` column; legacy manifests
+    without the field fall back to the code registry."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from bbc_news_etl_pipeline_spark.plans import schema_registry as reg
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+
+    d = str(tmp_path / "log")
+    gen.build_stream(3_000, 3, d)  # versions sweep v1 -> v3 across the log
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+
+    for ep in lake.committed_epochs():
+        m = lake.manifest(ep)
+        assert m.get("schema") is not None
+        assert T.StructType.fromJson(m["schema"]) == reg.lake_schema(
+            m["schema_version"]
+        )
+
+    # schema time travel: the v1-era snapshot predates the widen + add
+    m0 = lake.manifest(0)
+    assert m0["schema_version"] == 1
+    s0, s_head = lake.schema_at(0), lake.schema_at()
+    assert s0["size_bytes"].dataType == T.IntegerType()
+    assert "license" not in s0.fieldNames()
+    assert s_head["size_bytes"].dataType == T.LongType()
+    assert "license" in s_head.fieldNames()
+
+    # tags resolve; maintenance commits (rollback) embed one too
+    lake.create_tag("v1-era", 0)
+    assert lake.schema_at("v1-era") == s0
+    lake.rollback(1)
+    assert lake.current_manifest().get("schema") is not None
+
+    # legacy manifest (pre-feature): field absent -> code-registry fallback
+    mp = f"{lake.manifests_dir}/manifest-000000.json"
+    m = _json.load(open(mp))
+    del m["schema"]
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+    assert LakeTable(root, n_buckets=8).schema_at(0) == reg.lake_schema(1)
+
+
 def test_sql_facade_metadata_tables(spark, tmp_path):
     """Iceberg metadata-table parity in the SQL facade: `cdc_snapshots`
     carries the commit kind per manifest, `cdc_refs` the tags."""
