@@ -1546,13 +1546,15 @@ class LakeTable:
         if self.branch is None:
             # main also sweeps branch namespaces: a DROPPED branch leaves
             # its data dirs with no chain referencing them
-            edirs = sorted(glob.glob(os.path.join(self.root, "data", "e*"))) + sorted(
-                glob.glob(os.path.join(self.root, "data", "branch-*", "e*"))
+            edirs = sorted(
+                glob.glob(os.path.join(self.root, "data", "[ec]*"))
+            ) + sorted(
+                glob.glob(os.path.join(self.root, "data", "branch-*", "[ec]*"))
             )
         else:
             edirs = sorted(
                 glob.glob(
-                    os.path.join(self.root, "data", f"branch-{self.branch}", "e*")
+                    os.path.join(self.root, "data", f"branch-{self.branch}", "[ec]*")
                 )
             )
         for edir in edirs:
@@ -1560,7 +1562,12 @@ class LakeTable:
             # files are pinned via the staged manifest while parked and by
             # the committed manifest after publish/cherrypick; a crashed
             # stage-writer's dir (no manifest) sweeps like any orphan
-            m = re.match(r"e(\d{6})s?$", os.path.basename(edir))
+            # `c{N}-{nonce}` = an optimistic compaction's scratch namespace:
+            # pinned by the committed manifest after commit_compaction, an
+            # ordinary mtime-graced orphan while in flight or after a crash
+            m = re.match(
+                r"(e(\d{6})s?|c\d{6}-[0-9a-f]{8})$", os.path.basename(edir)
+            )
             if not m:
                 continue
             # whole epoch dir is orphaned when no manifest references ANY of
@@ -1872,26 +1879,11 @@ class LakeTable:
                 if int(b) not in tset:
                     buckets[b] = list(entries)
         if target is None or target:
-            resolved = self.read_resolved(spark, target, ver, manifest=m)
-            if tombstone_horizon_lsn is not None:
-                resolved = resolved.where(
-                    ~F.col("is_deleted") | (F.col("lsn") > F.lit(tombstone_horizon_lsn))
-                )
-            (
-                resolved.repartition("bucket")
-                .withColumn("bucket_p", F.col("bucket"))
-                .sortWithinPartitions("bucket_p", "repo", "path")
-                .write.mode("overwrite")
-                .options(**PARQUET_BLOOM_OPTIONS, **self.file_size_options())
-                .partitionBy("bucket_p")
-                .parquet(self.epoch_data_dir(epoch))
-            )
-            new_files = self.list_epoch_files(epoch)
-            for b, entries in new_files.items():
-                for e in entries:
-                    e["schema_version"] = ver
-                    e["layer"] = 0  # compacted = one fresh generation
-                buckets[str(b)] = entries
+            for b, entries in self._write_compacted(
+                spark, m, target, ver, tombstone_horizon_lsn,
+                self.epoch_data_dir(epoch),
+            ).items():
+                buckets[b] = entries
         from datetime import datetime, timezone
 
         manifest = {
@@ -1914,6 +1906,265 @@ class LakeTable:
         }
         self.commit(manifest)
         return manifest
+
+    def _write_compacted(
+        self,
+        spark: SparkSession,
+        m: dict,
+        target: list[int] | None,
+        ver: int,
+        tombstone_horizon_lsn: int | None,
+        out_dir: str,
+    ) -> dict[str, list[dict]]:
+        """Resolve `target` buckets of snapshot `m` (None = all) to one row
+        per key and write them under `out_dir` as a fresh generation-0
+        layout. Shared by the lease-held compaction (`_compact_locked`,
+        which writes straight into the next epoch's dir) and the lock-free
+        path (`prepare_compaction`, which writes into a parked scratch
+        namespace). Returns manifest-ready entries keyed by bucket."""
+        resolved = self.read_resolved(spark, target, ver, manifest=m)
+        if tombstone_horizon_lsn is not None:
+            resolved = resolved.where(
+                ~F.col("is_deleted") | (F.col("lsn") > F.lit(tombstone_horizon_lsn))
+            )
+        (
+            resolved.repartition("bucket")
+            .withColumn("bucket_p", F.col("bucket"))
+            .sortWithinPartitions("bucket_p", "repo", "path")
+            .write.mode("overwrite")
+            .options(**PARQUET_BLOOM_OPTIONS, **self.file_size_options())
+            .partitionBy("bucket_p")
+            .parquet(out_dir)
+        )
+        out: dict[str, list[dict]] = {}
+        for b, entries in self._scan_data_dir(out_dir).items():
+            for e in entries:
+                e["schema_version"] = ver
+                e["layer"] = 0  # compacted = one fresh generation
+            out[str(b)] = entries
+        return out
+
+    # ---------- lock-free (optimistic) compaction ----------
+    def prepare_compaction(
+        self, spark: SparkSession, tombstone_horizon_lsn: int | None = None
+    ) -> dict | None:
+        """Phase 1 of OPTIMISTIC compaction — the Iceberg
+        `rewrite_data_files` commit model: do ALL the heavy work (read the
+        layered buckets, resolve, rewrite) WITHOUT the writer lease, against
+        a pinned snapshot, into a parked scratch namespace
+        (`data/c{base:06d}-{nonce}/`, invisible to readers — manifest-less,
+        exactly like a crashed epoch write; `vacuum_orphans`' mtime grace is
+        what protects it while in flight, the same contract that protects a
+        live epoch writer). `commit_compaction` then validates-and-swaps
+        under a SHORT lease. At 100 TB a compaction pass can run for hours —
+        holding the single-writer lease for its duration (`compact()`) would
+        stall ingest for exactly as long; this path keeps the lease hold to
+        one manifest read + one JSON rename, whatever the rewrite size.
+
+        Returns a JSON-serializable plan (None when the head isn't layered)
+        for `commit_compaction`/`discard_compaction`."""
+        m = self.current_manifest()
+        if m is None or not m.get("layered"):
+            return None
+        ver = m["schema_version"]
+        target = (
+            None
+            if tombstone_horizon_lsn is not None
+            else sorted(
+                int(b)
+                for b, e in m["buckets"].items()
+                if bucket_generations(e) > 1
+            )
+        )
+        if target == []:
+            return None
+        import uuid
+
+        leaf = f"c{m['epoch']:06d}-{uuid.uuid4().hex[:8]}"
+        parts = ["data"] + (
+            [f"branch-{self.branch}"] if self.branch is not None else []
+        )
+        scratch_rel = os.path.join(*parts, leaf)
+        buckets = self._write_compacted(
+            spark, m, target, ver, tombstone_horizon_lsn,
+            os.path.join(self.root, scratch_rel),
+        )
+        return {
+            "base_epoch": m["epoch"],
+            "n_buckets": int(m.get("n_buckets", self.n_buckets)),
+            "schema_version": ver,
+            "scratch_rel": scratch_rel,
+            "tombstone_horizon_lsn": tombstone_horizon_lsn,
+            # None = every bucket was rewritten (horizon GC): a targeted
+            # bucket with NO output files resolved to empty and must DROP
+            # from the manifest, not carry forward
+            "targets": target,
+            "buckets": buckets,
+        }
+
+    def discard_compaction(self, plan: dict) -> None:
+        """Reclaim a prepared-but-unwanted compaction's scratch files."""
+        import shutil
+
+        scratch = os.path.join(self.root, plan["scratch_rel"])
+        if os.path.isdir(scratch):
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def commit_compaction(self, plan: dict) -> dict | None:
+        """Phase 2 of optimistic compaction: validate the prepared rewrite
+        against the CURRENT head and commit it, holding the writer lease
+        only for this metadata step.
+
+        The rebase is per-bucket by FILE IDENTITY against the base snapshot
+        (mode-agnostic — any interleaved commit is judged by what it did to
+        each bucket's file stack, not by what it called itself):
+
+        - stack unchanged since base -> the compacted generation replaces it;
+        - base stack intact with layers APPENDED on top (interleaved MOR
+          epochs, redrives, cherrypicks) -> compacted generation-0 goes
+          under them, appended generations renumber 1..m in order —
+          resolution is (lsn, layer-tiebreak) LWW, and compaction only
+          removed rows that were already losers at the base, so the winners
+          are identical;
+        - stack fully REPLACED since base (an interleaved COW rewrite or a
+          newer compaction already resolved the bucket) -> the head's view
+          stands, the prepared files for that bucket are dropped;
+        - anything else (PARTIAL rewrite of the base stack — a rollback
+          regressed it, or an unknown writer mutated history) -> ValueError:
+          discard and re-prepare on the new head. A changed bucket LAYOUT
+          (`rebucket`) or a vanished base manifest also refuses.
+
+        Returns the committed manifest; None when the head superseded the
+        whole plan (every bucket already resolved — nothing to publish).
+        The scratch namespace is cleaned of unused files either way."""
+        lease = self.acquire_writer_lease("compact-commit")
+        try:
+            return self._commit_compaction_locked(plan)
+        finally:
+            self.release_writer_lease(lease)
+
+    def _commit_compaction_locked(self, plan: dict) -> dict | None:
+        base_epoch = int(plan["base_epoch"])
+        m_head = self.current_manifest()
+        if m_head is None:
+            self.discard_compaction(plan)
+            raise ValueError("cannot commit compaction: lake has no head")
+        if int(m_head.get("n_buckets", self.n_buckets)) != int(plan["n_buckets"]):
+            self.discard_compaction(plan)
+            raise ValueError(
+                "bucket layout changed since prepare_compaction; re-prepare"
+            )
+        try:
+            m_base = self.manifest(base_epoch)
+        except FileNotFoundError:
+            self.discard_compaction(plan)
+            raise ValueError(
+                f"base snapshot {base_epoch} expired since prepare_compaction; "
+                "re-prepare"
+            ) from None
+        targets = plan.get("targets")
+        tset = None if targets is None else {int(b) for b in targets}
+        buckets: dict[str, list[dict]] = {}
+        used: list[str] = []
+        conflict: str | None = None
+        for b, head_entries in m_head["buckets"].items():
+            if tset is not None and int(b) not in tset:
+                buckets[b] = list(head_entries)
+                continue
+            # targeted bucket with no output files = resolved to empty
+            # (horizon GC dropped its last rows): it must vanish, not carry
+            comp = plan["buckets"].get(b, [])
+            base_paths = [e["path"] for e in m_base["buckets"].get(b, [])]
+            base_set = set(base_paths)
+            head_paths = [e["path"] for e in head_entries]
+            surviving = [p for p in head_paths if p in base_set]
+            if not surviving:
+                # fully replaced since base: the head already resolved it
+                buckets[b] = list(head_entries)
+                continue
+            if len(surviving) != len(base_paths) or head_paths[: len(base_paths)] != base_paths:
+                conflict = (
+                    f"bucket {b}: base stack partially rewritten since epoch "
+                    f"{base_epoch} (rollback or unknown history mutation)"
+                )
+                break
+            appended = [
+                {**e, "layer": e.get("layer", i)}
+                for i, e in enumerate(head_entries)
+                if e["path"] not in base_set
+            ]
+            start = 1 if comp else 0
+            remap = {
+                g: j + start
+                for j, g in enumerate(sorted({e["layer"] for e in appended}))
+            }
+            merged = list(comp) + [
+                {**e, "layer": remap[e["layer"]]} for e in appended
+            ]
+            if merged:
+                buckets[b] = merged
+            used.append(b)
+        if conflict is not None:
+            self.discard_compaction(plan)
+            raise ValueError(f"cannot commit compaction: {conflict}; re-prepare")
+        # prepared buckets the head no longer carries at all stay unused
+        self._prune_unused_scratch(plan, set(used))
+        if not used:
+            return None  # superseded wholesale — nothing left to publish
+        epoch = m_head["epoch"] + 1
+        from datetime import datetime, timezone
+
+        manifest = {
+            **{
+                k: m_head[k]
+                for k in ("seq_lo", "seq_hi", "lsn_lo", "lsn_hi", "n_buckets")
+            },
+            "epoch": epoch,
+            "seq_lo": m_head["seq_hi"],
+            "schema_version": m_head["schema_version"],
+            "layered": any(bucket_generations(e) > 1 for e in buckets.values()),
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+            "counts": {
+                "mode": "compact",
+                "concurrent": True,
+                "compacted_from": base_epoch,
+                "rebased_over": [
+                    ep for ep in self.committed_epochs() if base_epoch < ep
+                ],
+                "buckets_rewritten": len(used),
+                "buckets_carried": len(buckets) - len(used),
+            },
+            "buckets": buckets,
+        }
+        self.commit(manifest)
+        return manifest
+
+    def _prune_unused_scratch(self, plan: dict, used: set[str]) -> None:
+        """Delete prepared bucket dirs the rebase did not publish (the
+        bucket was superseded or vanished) so the committed scratch
+        namespace holds referenced files only."""
+        import shutil
+
+        scratch = os.path.join(self.root, plan["scratch_rel"])
+        for b in plan["buckets"]:
+            if b not in used:
+                shutil.rmtree(
+                    os.path.join(scratch, f"bucket_p={int(b)}"), ignore_errors=True
+                )
+        if not used and os.path.isdir(scratch):
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def compact_concurrent(
+        self, spark: SparkSession, tombstone_horizon_lsn: int | None = None
+    ) -> dict | None:
+        """prepare + commit in one call — `compact()` semantics without
+        holding the writer lease during the rewrite. Ingest that lands
+        between the two phases is rebased under; see `commit_compaction`
+        for the conflict matrix."""
+        plan = self.prepare_compaction(spark, tombstone_horizon_lsn)
+        if plan is None:
+            return None
+        return self.commit_compaction(plan)
 
     def read_key(
         self,
@@ -2508,7 +2759,9 @@ class LakeTable:
     ) -> dict[int, list[dict]]:
         """Scan an epoch's data dir -> {bucket: [entry]} with paths relative
         to the table root (what goes into the manifest)."""
-        ddir = self.epoch_data_dir(epoch, staged=staged)
+        return self._scan_data_dir(self.epoch_data_dir(epoch, staged=staged))
+
+    def _scan_data_dir(self, ddir: str) -> dict[int, list[dict]]:
         out: dict[int, list[dict]] = {}
         for bdir in sorted(glob.glob(os.path.join(ddir, "bucket_p=*"))):
             b = int(os.path.basename(bdir).split("=", 1)[1])

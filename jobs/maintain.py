@@ -72,6 +72,12 @@ def main() -> None:
     p.add_argument("--discard-staged", type=int, default=None,
                    help="drop a staged snapshot and its data files")
     p.add_argument("--compact", action="store_true")
+    p.add_argument("--compact-concurrent", action="store_true",
+                   help="optimistic compaction: the rewrite runs WITHOUT "
+                        "the writer lease (ingest keeps committing) and "
+                        "rebases under any interleaved appends at a short "
+                        "lease-held commit; refuses on rollback/rebucket "
+                        "interleaves — re-run on the new head")
     p.add_argument("--tombstone-horizon-lsn", type=int, default=None)
     p.add_argument("--expire-keep-last", type=int, default=None)
     p.add_argument("--expire-older-than", type=float, default=None,
@@ -124,6 +130,11 @@ def main() -> None:
         out["discarded"] = lake.discard_staged(args.discard_staged)
     if args.compact:
         cm = lake.compact(spark, tombstone_horizon_lsn=args.tombstone_horizon_lsn)
+        out["compacted"] = cm["epoch"] if cm else None
+    if args.compact_concurrent:
+        cm = lake.compact_concurrent(
+            spark, tombstone_horizon_lsn=args.tombstone_horizon_lsn
+        )
         out["compacted"] = cm["epoch"] if cm else None
     if args.rebucket is not None:
         rm = lake.rebucket(spark, args.rebucket)

@@ -1,0 +1,184 @@
+"""Optimistic (lock-free) compaction — the Iceberg `rewrite_data_files`
+commit model: `prepare_compaction` does the whole rewrite WITHOUT the
+writer lease against a pinned snapshot; `commit_compaction` validates and
+swaps under a short lease, rebasing under any ingest that landed in
+between. Invariants: state digest is untouched in every outcome (commit,
+rebase, supersede, refusal), conflicts REFUSE rather than corrupt, and the
+scratch namespace never leaks files.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable, bucket_generations
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest
+
+E = 4_000
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cc_stream"))
+    gen.build_stream(E, 4, d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def full_digest(spark, stream_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cc_cow") / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)
+    return engine_digest(spark, root)
+
+
+def _scratch_dirs(root: str) -> list[str]:
+    return glob.glob(os.path.join(root, "data", "c*"))
+
+
+def test_concurrent_compact_without_interleave(spark, stream_dir, tmp_path, full_digest):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    lake = LakeTable(root, n_buckets=8)
+
+    cm = lake.compact_concurrent(spark)
+    assert cm is not None and cm["layered"] is False
+    assert cm["counts"]["mode"] == "compact" and cm["counts"]["concurrent"] is True
+    assert cm["counts"]["rebased_over"] == []
+    assert engine_digest(spark, root) == full_digest
+    # committed entries point into the scratch namespace, and the files exist
+    comp_paths = [
+        e["path"]
+        for v in cm["buckets"].values()
+        for e in v
+        if e["path"].startswith("data/c")
+    ]
+    assert comp_paths and all(
+        os.path.exists(os.path.join(root, p)) for p in comp_paths
+    )
+    # a follow-up replay has nothing to do (no offsets consumed)
+    assert R.replay(spark, stream_dir, root, n_buckets=8, mode="mor").events_applied == 0
+    # vacuum with no grace keeps every referenced scratch file
+    lake.vacuum_orphans(grace_seconds=0)
+    assert all(os.path.exists(os.path.join(root, p)) for p in comp_paths)
+    assert engine_digest(spark, root) == full_digest
+
+
+def test_concurrent_compact_rebases_over_interleaved_append(
+    spark, stream_dir, tmp_path, full_digest
+):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor", max_epochs=2)
+    lake = LakeTable(root, n_buckets=8)
+    base = lake.current_manifest()
+
+    plan = lake.prepare_compaction(spark)
+    assert plan is not None and plan["base_epoch"] == base["epoch"]
+
+    # ingest keeps running while the (lease-free) rewrite is "in flight"
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    mid_digest = engine_digest(spark, root)
+    assert mid_digest == full_digest
+
+    cm = lake.commit_compaction(plan)
+    assert cm is not None
+    assert cm["counts"]["rebased_over"], "interleaved epochs must be recorded"
+    assert engine_digest(spark, root) == full_digest
+
+    # rebased buckets: compacted generation 0 under the appended layers,
+    # appended generations renumbered 1..m — never more generations than
+    # 1 + what landed after the base snapshot
+    head = lake.current_manifest()
+    for b, entries in head["buckets"].items():
+        layers = sorted({e["layer"] for e in entries})
+        assert layers == list(range(len(layers))), f"bucket {b}: {layers}"
+        if any(e["path"].startswith("data/c") for e in entries):
+            appended = [e for e in entries if not e["path"].startswith("data/c")]
+            assert all(e["layer"] >= 1 for e in appended)
+    # the stack still collapses cleanly afterwards
+    assert lake.compact(spark) is None or engine_digest(spark, root) == full_digest
+    assert engine_digest(spark, root) == full_digest
+
+
+def test_concurrent_compact_superseded_returns_none(spark, stream_dir, tmp_path, full_digest):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    lake = LakeTable(root, n_buckets=8)
+
+    plan = lake.prepare_compaction(spark)
+    lake.compact(spark)  # someone else compacts first
+    after = engine_digest(spark, root)
+    head = lake.current_manifest()["epoch"]
+
+    assert lake.commit_compaction(plan) is None
+    assert lake.current_manifest()["epoch"] == head, "no-op must not commit"
+    assert engine_digest(spark, root) == after == full_digest
+    assert not _scratch_dirs(root), "superseded scratch must be reclaimed"
+
+
+def test_concurrent_compact_refuses_rollback_and_rebucket(
+    spark, stream_dir, tmp_path, full_digest
+):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    lake = LakeTable(root, n_buckets=8)
+
+    plan = lake.prepare_compaction(spark)
+    lake.rollback(1)
+    rolled = engine_digest(spark, root)
+    with pytest.raises(ValueError, match="partially rewritten|re-prepare"):
+        lake.commit_compaction(plan)
+    assert engine_digest(spark, root) == rolled
+    assert not _scratch_dirs(root), "refused scratch must be reclaimed"
+
+    # reconverge, then a rebucket invalidates the layout outright
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    plan2 = lake.prepare_compaction(spark)
+    if plan2 is not None:  # reconverged head may or may not be layered
+        lake.rebucket(spark, 16)
+        with pytest.raises(ValueError, match="layout changed"):
+            lake.commit_compaction(plan2)
+    assert engine_digest(spark, root) == full_digest
+
+
+def test_concurrent_compact_tombstone_horizon(spark, tmp_path):
+    from .test_skew_quarantine_lww import _mk_events
+
+    ev = _mk_events([
+        {"lsn": 1, "op": "insert", "content": "a1", "path": "a.py", "epoch": 0},
+        {"lsn": 2, "op": "delete", "path": "a.py", "epoch": 0},
+        {"lsn": 8, "op": "insert", "content": "b8", "path": "b.py", "epoch": 1},
+        {"lsn": 9, "op": "delete", "path": "b.py", "epoch": 1},
+    ])
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4, mode="mor")
+    lake = LakeTable(root, n_buckets=4)
+
+    cm = lake.compact_concurrent(spark, tombstone_horizon_lsn=5)
+    assert cm is not None
+    raw = lake.read_buckets(spark, None, cm["schema_version"]).toPandas()
+    assert list(raw[raw["is_deleted"]]["path"]) == ["b.py"]
+
+
+def test_crashed_prepare_scratch_is_vacuumable(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    lake = LakeTable(root, n_buckets=8)
+
+    plan = lake.prepare_compaction(spark)
+    assert plan is not None and _scratch_dirs(root)
+    before = engine_digest(spark, root)
+    # grace protects the in-flight rewrite ...
+    lake.vacuum_orphans(grace_seconds=3600)
+    assert _scratch_dirs(root)
+    # ... and a crashed one (never committed) sweeps once the grace lapses
+    lake.vacuum_orphans(grace_seconds=0)
+    assert not _scratch_dirs(root)
+    assert engine_digest(spark, root) == before
