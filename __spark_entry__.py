@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_changelog"] = _cdc_changelog
     q["cdc_debezium_state"] = _cdc_debezium_state
     q["cdc_rollup_incremental"] = _cdc_rollup_incremental
+    q["cdc_dml_state"] = _cdc_dml_state
 
     # ---- streaming-analytics plan (same code the watermarked stream runs) ----
     q["cdc_windowed_counts"] = _cdc_windowed_counts
@@ -428,6 +429,39 @@ def _corpus_incremental_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
         hint_broadcast=True,
     )
     return upd["retained"].select("doc_id", "lang")
+
+
+def _cdc_dml_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML through the log (operators/dml.py): replay the
+    canonical stream, then UPDATE ... SET license WHERE lang='go' and
+    DELETE WHERE lang='py' — each compiled to a synthesized-event segment
+    and applied by an ordinary replay. The DuckDB oracle reproduces both
+    statements declaratively over the ORIGINAL (unmutated) segments: LWW
+    live state, matching rows re-stamped with the batch commit lsns
+    (update = max(lsn)+1, delete removes), license rewritten. The engine
+    works on a COPY of the cached log — DML appends segments."""
+    import shutil
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.operators.dml import synthesize_dml_segment
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    work = tempfile.mkdtemp(prefix="cdc_dml_")
+    log_dir = os.path.join(work, "log")
+    shutil.copytree(_ensure_cdc_oracle_log(), log_dir)
+    lake_root = os.path.join(work, "lake")
+    replay(spark, log_dir, lake_root, n_buckets=8)
+    lake = LakeTable(lake_root, n_buckets=8)
+    synthesize_dml_segment(
+        spark, lake, log_dir, "lang = 'go'", set_exprs={"license": "'MIT-DML'"}
+    )
+    replay(spark, log_dir, lake_root, n_buckets=8)
+    synthesize_dml_segment(spark, lake, log_dir, "lang = 'py'")
+    replay(spark, log_dir, lake_root, n_buckets=8)
+    return lake.read_state(spark).select(
+        "repo", "path", "lsn", "content_sha256", "license"
+    )
 
 
 def _cdc_wap_staged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1157,6 +1191,29 @@ def oracle_sql() -> dict[str, str]:
     o["cdc_branch_state"] = o["cdc_replay_state"]
     # incremental rollup refresh: exact IVM means the refreshed store equals
     # the from-scratch aggregate over the full-log LWW live state.
+    # row-level DML compiled to log events: the oracle reproduces the two
+    # statements declaratively over the ORIGINAL segments — LWW live state,
+    # UPDATE rows re-stamped with the batch commit lsn (max lsn + 1) and the
+    # new license, DELETE rows removed. The engine's delete batch takes
+    # max+2 (it runs after the applied update advanced lsn_hi), but deleted
+    # rows carry no lsn into the result, so the oracle never needs it.
+    o["cdc_dml_state"] = (
+        f"WITH ev AS (SELECT repo, path, lsn, op, content, lang, license "
+        f"  FROM read_parquet('{log_glob}', union_by_name=true) "
+        "  WHERE op IN ('insert', 'update', 'delete') AND repo IS NOT NULL "
+        "    AND path IS NOT NULL AND lsn IS NOT NULL "
+        "    AND (op = 'delete' OR content IS NOT NULL)), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev), "
+        "live AS (SELECT repo, path, lsn, content, lang, license "
+        "  FROM ranked WHERE rn = 1 AND op <> 'delete'), "
+        "mx AS (SELECT max(lsn) AS hi FROM ev) "
+        "SELECT repo, path, "
+        "  CASE WHEN lang = 'go' THEN hi + 1 ELSE lsn END AS lsn, "
+        "  sha256(content) AS content_sha256, "
+        "  CASE WHEN lang = 'go' THEN 'MIT-DML' ELSE license END AS license "
+        "FROM live, mx WHERE lang IS DISTINCT FROM 'py'"
+    )
     o["cdc_rollup_incremental"] = (
         f"WITH ev AS (SELECT repo, path, lsn, op, lang, size_bytes "
         f"  FROM read_parquet('{log_glob}', union_by_name=true) "

@@ -1,0 +1,172 @@
+"""Row-level DML (DELETE FROM / UPDATE ... WHERE) compiled to CDC events.
+
+Delta/Iceberg expose row-level `DELETE`/`UPDATE` as table operations that
+rewrite files under a transaction. This engine's source of truth is the
+EVENT LOG — every replica, branch, rollback self-heal, and changelog
+derives from it — so a DML statement that mutated lake files directly
+would fork history: a rollback + re-replay would silently resurrect the
+deleted rows. Instead, DML here SYNTHESIZES ordinary change events (one
+per matched live row) and appends them to the log as a new segment; the
+ordinary replay/tail pipeline applies them with the exact same
+exactly-once fence, LWW resolution, time travel, changelog visibility,
+and rollback self-healing as any source event. (The reference analog:
+operator-initiated deletes go through the producer queue like scraped
+updates, /root/reference/src/clients/mongo/producer_repository.py:93-135 —
+never straight at the warehouse.)
+
+Semantics — a DML batch is ONE logical commit:
+
+- The predicate evaluates against the CURRENT live state (head snapshot).
+- Every synthesized event carries the same ``lsn = head lsn_hi + 1`` —
+  like a transaction's single commit LSN. Keys are distinct within the
+  batch, so LWW per-key resolution is unaffected by the shared lsn.
+- Source events that arrive LATER with a higher lsn win over the DML (a
+  re-scrape legitimately resurrects a deleted key); in-flight source
+  events the DML snapshot never saw also win if their lsn is higher —
+  standard snapshot-vs-writer races under LWW, decided by commit order,
+  never by mutual overwrite.
+- ``update`` events carry the matched row's full payload with the SET
+  expressions applied (content must stay non-NULL — deleting content IS
+  `delete`); when ``content`` is set and ``size_bytes`` is not, the
+  engine's size mirror is maintained automatically.
+
+Scale: the matched set writes through one global `arrival_seq` rank —
+acceptable for a maintenance operation (the rank is over MATCHED rows
+only, and the predicate/projection push into the state scan); the write
+itself is an ordinary bucketed epoch downstream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import schema_registry as reg
+from ..sources.lake import LakeTable
+
+
+def _next_segment(log_dir: str) -> tuple[list[dict], int, int]:
+    """Current segment index -> (entries, next file ordinal, next seq)."""
+    with open(os.path.join(log_dir, "_segments.json")) as f:
+        segs = json.load(f)
+    nums = [
+        int(m.group(1))
+        for s in segs
+        for m in [re.match(r"segment-(\d+)\.(parquet|jsonl)$", s["file"])]
+        if m
+    ]
+    seq_base = max((s["seq_hi"] for s in segs), default=-1)
+    return segs, (max(nums) + 1 if nums else 0), seq_base
+
+
+def synthesize_dml_segment(
+    spark: SparkSession,
+    lake: LakeTable,
+    log_dir: str,
+    where: str,
+    set_exprs: dict[str, str] | None = None,
+) -> dict:
+    """Append one log segment of synthesized ``delete`` (``set_exprs is
+    None``) or ``update`` events for every live row matching the SQL
+    predicate ``where``. Returns ``{op, matched, lsn, segment, seq_lo,
+    seq_hi}`` (``segment`` None when nothing matched — no empty segments).
+    The caller applies it with an ordinary replay/tail run."""
+    from pyspark.sql import Window
+
+    m = lake.current_manifest()
+    if m is None:
+        raise ValueError("empty lake: nothing to match a DML predicate against")
+    ver = int(m["schema_version"])
+    payload = [n for n, _ in reg.payload_fields(ver)]
+    if set_exprs:
+        unknown = sorted(set(set_exprs) - set(payload))
+        if unknown:
+            raise ValueError(
+                f"SET targets {unknown} are not payload columns of schema "
+                f"version {ver} ({payload}); keys/lsn are immutable"
+            )
+    op = "delete" if set_exprs is None else "update"
+    lsn = int(m.get("lsn_hi") or 0) + 1
+
+    matched = lake.read_state(spark).where(F.expr(where))
+    cols = [
+        F.lit(lsn).cast("long").alias("lsn"),
+        F.concat(
+            F.lit(f"dml-{lsn}-"), F.md5(F.concat_ws("|", "repo", "path"))
+        ).alias("event_id"),
+        F.lit(op).alias("op"),
+        F.col("repo"),
+        F.col("path"),
+    ]
+    for name in payload:
+        typ = dict(reg.payload_fields(ver))[name].simpleString()
+        if op == "delete":
+            cols.append(F.lit(None).cast(typ).alias(name))
+        elif set_exprs and name in set_exprs:
+            cols.append(F.expr(set_exprs[name]).cast(typ).alias(name))
+        elif (
+            name == "size_bytes" and set_exprs and "content" in set_exprs
+        ):
+            # keep the engine's size mirror intact when content changes
+            cols.append(
+                F.octet_length(F.expr(set_exprs["content"]))
+                .cast(typ)
+                .alias(name)
+            )
+        else:
+            cols.append(F.col(name).cast(typ).alias(name))
+    cols += [
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(ver).cast("int").alias("schema_version"),
+    ]
+    events = matched.select(*cols)
+
+    segs, ordinal, seq_base = _next_segment(log_dir)
+    w = Window.orderBy("repo", "path")  # deterministic batch order
+    seq = events.withColumn(
+        "arrival_seq", (F.lit(seq_base) + F.row_number().over(w)).cast("long")
+    ).select(*[f.name for f in reg.event_schema(ver).fields])
+
+    seg_name = f"segment-{ordinal:05d}.parquet"
+    out = os.path.join(log_dir, seg_name)
+    (
+        seq.repartition(1)
+        .sortWithinPartitions("arrival_seq")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    n = sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in _glob.glob(os.path.join(out, "*.parquet"))
+    )
+    if n == 0:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        return {"op": op, "matched": 0, "lsn": lsn, "segment": None,
+                "seq_lo": None, "seq_hi": None}
+    entry = {
+        "file": seg_name,
+        "epoch": len(segs),
+        "schema_version": ver,
+        "format": "parquet",
+        "seq_lo": seq_base + 1,
+        "seq_hi": seq_base + n,
+        "n_events": n,
+    }
+    segs.append(entry)
+    tmp = os.path.join(log_dir, "_segments.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(segs, fh, indent=1)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, os.path.join(log_dir, "_segments.json"))
+    return {"op": op, "matched": n, "lsn": lsn, "segment": seg_name,
+            "seq_lo": entry["seq_lo"], "seq_hi": entry["seq_hi"]}

@@ -1,0 +1,103 @@
+"""spark-submit entry point: row-level DML over the lake, through the log.
+
+Usage:
+    spark-submit --master local[32] jobs/dml.py \
+        --lake-root /tmp/lake --log-dir /tmp/log \
+        --where "lang = 'python' AND size_bytes > 1000" \
+        [--set "license='MIT'" --set "content=upper(content)"] \
+        [--no-apply] [--mode cow|mor] [--n-buckets N] [--branch NAME]
+
+Without ``--set`` this is ``DELETE FROM lake WHERE ...``; with it,
+``UPDATE lake SET col=expr[, ...] WHERE ...``. The statement compiles to
+one synthesized-event segment appended to the log (see
+`operators/dml.py` for why DML never mutates lake files directly) and is
+then applied by an ordinary replay run — exactly-once fenced, visible in
+time travel and the changelog, rolled forward by rollback self-heal like
+any source events. ``--no-apply`` only appends the segment (a tailer or
+the next scheduled replay picks it up).
+
+Prints one JSON line: {op, matched, lsn, segment, events_applied,
+live_rows, state_digest}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bbc_news_etl_pipeline_spark.operators.dml import synthesize_dml_segment  # noqa: E402
+from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_package  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
+
+
+def _parse_set(items: list[str]) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for it in items:
+        col, eq, expr = it.partition("=")
+        if not eq or not col.strip():
+            raise SystemExit(f"--set expects col=EXPR, got {it!r}")
+        out[col.strip()] = expr.strip()
+    return out
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--lake-root", required=True)
+    p.add_argument("--log-dir", required=True)
+    p.add_argument("--where", required=True,
+                   help="SQL predicate over the live state")
+    p.add_argument("--set", action="append", default=[],
+                   help="col=EXPR (repeatable); absent = DELETE")
+    p.add_argument("--no-apply", action="store_true",
+                   help="append the segment only; don't run the replay")
+    p.add_argument("--mode", default="cow", choices=["cow", "mor"])
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--branch", default=None)
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    spark = build_session(app_name="cdc-dml", master=args.master)
+    ship_engine_package(spark)
+    lake = LakeTable(args.lake_root, n_buckets=args.n_buckets, branch=args.branch)
+    res = synthesize_dml_segment(
+        spark,
+        lake,
+        args.log_dir,
+        args.where,
+        set_exprs=_parse_set(args.set) if args.set else None,
+    )
+    out = dict(res)
+    if res["matched"] and not args.no_apply:
+        from pyspark.sql import functions as F
+
+        from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+        rr = replay(
+            spark,
+            args.log_dir,
+            args.lake_root,
+            n_buckets=args.n_buckets,
+            mode=args.mode,
+            branch=args.branch,
+        )
+        out["events_applied"] = rr.events_applied
+        agg = lake.read_state(spark).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                F.xxhash64(
+                    "repo", "path", "lsn", F.coalesce("content_sha256", F.lit(""))
+                )
+            ).alias("x"),
+        ).first()
+        out["live_rows"] = agg["n"]
+        out["state_digest"] = f"{agg['n']}:{agg['x']}"
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

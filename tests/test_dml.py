@@ -1,0 +1,194 @@
+"""Row-level DML (delete_where / update_where) compiled to CDC events.
+
+The invariants: a DML batch is one logical commit (shared lsn = head
+lsn_hi + 1) appended to the LOG, so the ordinary pipeline gives it
+exactly-once application, changelog visibility, LWW interplay with source
+events, and rollback self-healing — and the lake's digest is always
+reproducible from the log alone.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.operators.dml import synthesize_dml_segment
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest, engine_live_pdf
+
+E = 3_000
+PRED = "lang = 'py'"
+
+
+def _fresh(spark, tmp_path, mode="cow"):
+    d = str(tmp_path / "log")
+    gen.build_stream(E, 3, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8, mode=mode)
+    return d, LakeTable(root, n_buckets=8), root
+
+
+def test_delete_where_applies_exactly_once(spark, tmp_path):
+    d, lake, root = _fresh(spark, tmp_path)
+    before = engine_live_pdf(spark, root)
+    n_match = int((before["lang"] == "py").sum())
+    assert n_match > 0
+    lsn_hi = lake.current_manifest()["lsn_hi"]
+
+    res = synthesize_dml_segment(spark, lake, d, PRED)
+    assert res["op"] == "delete" and res["matched"] == n_match
+    assert res["lsn"] == lsn_hi + 1
+    rr = R.replay(spark, d, root, n_buckets=8)
+    assert rr.events_applied == n_match
+
+    after = engine_live_pdf(spark, root)
+    assert (after["lang"] != "py").all() and len(after) == len(before) - n_match
+    # untouched rows are byte-identical
+    keep = before[before["lang"] != "py"].sort_values(["repo", "path"]).reset_index(drop=True)
+    got = after.sort_values(["repo", "path"]).reset_index(drop=True)
+    assert keep[["repo", "path", "lsn", "content_sha256"]].equals(
+        got[["repo", "path", "lsn", "content_sha256"]]
+    )
+
+    # idempotent surface: nothing matches now -> no segment, no new events
+    res2 = synthesize_dml_segment(spark, lake, d, PRED)
+    assert res2["matched"] == 0 and res2["segment"] is None
+    assert R.replay(spark, d, root, n_buckets=8).events_applied == 0
+
+
+def test_update_where_shared_lsn_and_payload(spark, tmp_path):
+    d, lake, root = _fresh(spark, tmp_path, mode="mor")
+    before = engine_live_pdf(spark, root)
+    lsn = lake.current_manifest()["lsn_hi"] + 1
+
+    res = synthesize_dml_segment(
+        spark, lake, d, "lang = 'go'", set_exprs={"license": "'MIT-DML'"}
+    )
+    assert res["op"] == "update" and res["matched"] > 0
+    R.replay(spark, d, root, n_buckets=8, mode="mor")
+    after = engine_live_pdf(spark, root)
+    hit = after[after["lang"] == "go"]
+    assert (hit["license"] == "MIT-DML").all()
+    assert (hit["lsn"] == lsn).all(), "a DML batch is ONE logical commit"
+    # content untouched -> engine-maintained sha unchanged
+    merged = hit.merge(
+        before[before["lang"] == "go"][["repo", "path", "content_sha256"]],
+        on=["repo", "path"],
+    )
+    assert (merged["content_sha256_x"] == merged["content_sha256_y"]).all()
+    # non-matching rows untouched
+    others = after[after["lang"] != "go"].merge(
+        before[before["lang"] != "go"][["repo", "path", "lsn"]], on=["repo", "path"]
+    )
+    assert (others["lsn_x"] == others["lsn_y"]).all()
+
+
+def test_update_content_maintains_size_mirror(spark, tmp_path):
+    d, lake, root = _fresh(spark, tmp_path)
+    res = synthesize_dml_segment(
+        spark, lake, d, "lang = 'rs'",
+        set_exprs={"content": "concat(content, '-patched')"},
+    )
+    assert res["matched"] > 0
+    R.replay(spark, d, root, n_buckets=8)
+    after = engine_live_pdf(spark, root)
+    hit = after[after["lang"] == "rs"]
+    assert hit["content"].str.endswith("-patched").all()
+    assert (
+        hit["size_bytes"] == hit["content"].str.encode("utf-8").str.len()
+    ).all(), "size mirror must track the SET content"
+    # engine recomputed the sha for the new content
+    import hashlib
+
+    expect = hit["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    assert (hit["content_sha256"] == expect).all()
+
+
+def test_lww_interplay_with_source_events(spark, tmp_path):
+    """A later (higher-lsn) source event resurrects a DML-deleted key; an
+    earlier (lower-lsn) late arrival stays masked by the DML tombstone."""
+    d, lake, root = _fresh(spark, tmp_path)
+    state = engine_live_pdf(spark, root)
+    k = state[state["lang"] == "py"].iloc[0]
+    res = synthesize_dml_segment(
+        spark, lake, d, f"repo = '{k.repo}' AND path = '{k.path}'"
+    )
+    assert res["matched"] == 1
+    R.replay(spark, d, root, n_buckets=8)
+    assert lake.read_key(spark, k.repo, k.path).count() == 0
+
+    # craft two source events around the DML lsn in a second log, then
+    # splice the segment into the main log (collector-append mechanics)
+    from .test_skew_quarantine_lww import _mk_events
+
+    ev = _mk_events([
+        {"lsn": res["lsn"] - 1, "op": "update", "content": "too-late",
+         "path": "ignored", "epoch": 0},
+        {"lsn": res["lsn"] + 1, "op": "insert", "content": "resurrected",
+         "path": "ignored", "epoch": 0},
+    ])
+    ev["repo"], ev["path"] = k.repo, k.path
+    d2 = str(tmp_path / "log2")
+    gen.write_event_log(ev, d2)
+    seg = json.load(open(os.path.join(d2, "_segments.json")))[0]
+    segs = json.load(open(os.path.join(d, "_segments.json")))
+    hi = max(s["seq_hi"] for s in segs)
+    name = f"segment-{len(segs):05d}.parquet"
+    shutil.move(os.path.join(d2, seg["file"]), os.path.join(d, name))
+    segs.append({**seg, "file": name, "epoch": len(segs),
+                 "seq_lo": hi, "seq_hi": hi + 2})
+    json.dump(segs, open(os.path.join(d, "_segments.json"), "w"))
+    # splice needs contiguous arrival_seq: rewrite the moved segment's seqs
+    import pandas as pd
+
+    pdf = pd.read_parquet(os.path.join(d, name))
+    pdf["arrival_seq"] = [hi + 1, hi + 2]
+    pdf.to_parquet(os.path.join(d, name, "data.parquet") if os.path.isdir(
+        os.path.join(d, name)) else os.path.join(d, name),
+        coerce_timestamps="us")
+
+    R.replay(spark, d, root, n_buckets=8)
+    got = lake.read_key(spark, k.repo, k.path).toPandas()
+    assert len(got) == 1 and got.iloc[0]["lsn"] == res["lsn"] + 1
+    assert got.iloc[0]["content"] == "resurrected", (
+        "higher-lsn source event must win over the DML tombstone"
+    )
+
+
+def test_dml_changelog_and_rollback_selfheal(spark, tmp_path):
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+
+    d, lake, root = _fresh(spark, tmp_path)
+    pre_epoch = lake.current_manifest()["epoch"]
+    synthesize_dml_segment(spark, lake, d, PRED)
+    R.replay(spark, d, root, n_buckets=8)
+    post = engine_digest(spark, root)
+
+    # the DML window reads as deletes in the changelog
+    ch = lake.read_changes(
+        spark, EventLog(d), from_epoch=pre_epoch, include_before=True
+    ).toPandas()
+    assert set(ch["change"]) == {"delete"}
+    assert ch["prev_lsn"].notna().all()
+
+    # rollback erases the DML... and replay re-applies it FROM THE LOG —
+    # the property a file-mutating DML implementation would break
+    lake.rollback(pre_epoch)
+    assert engine_digest(spark, root) != post
+    R.replay(spark, d, root, n_buckets=8)
+    assert engine_digest(spark, root) == post
+
+
+def test_dml_validation(spark, tmp_path):
+    d, lake, root = _fresh(spark, tmp_path)
+    with pytest.raises(ValueError, match="not payload columns"):
+        synthesize_dml_segment(spark, lake, d, "true", set_exprs={"lsn": "99"})
+    empty = LakeTable(str(tmp_path / "nolake"), n_buckets=8)
+    with pytest.raises(ValueError, match="empty lake"):
+        synthesize_dml_segment(spark, empty, d, "true")
