@@ -1,0 +1,213 @@
+"""Key erasure — GDPR right-to-be-forgotten over a CDC lake AND its log.
+
+Row-level DML (`operators/dml.py`) tombstones a key in the CURRENT state,
+but the content survives in three places a deletion request legally
+covers: the retained LOG segments (replay/rollback would resurrect it),
+older SNAPSHOTS (time travel), and the QUARANTINE sidecars (a DLQ record
+embeds the full event payload). Delta/Iceberg's answer is "wait out the
+retention window"; an erasure request needs it gone NOW. `erase_keys`
+composes the engine's existing primitives into a complete, verifiable
+purge:
+
+1. **Log scrub** — every retained segment row for the erased keys gets
+   `content = '[ERASED]'` (size mirror maintained). The rewrite keeps
+   `arrival_seq`/`lsn`/ops byte-stable for every OTHER row, so epoch
+   replans, the exactly-once fence, and cross-key digests are untouched;
+   a from-scratch replay of the scrubbed log now converges to the
+   post-erasure state (rollback self-heal can never resurrect the
+   content). Affected segments are found with ONE Spark scan
+   (input_file_name + broadcast semi-join); only those files rewrite.
+2. **State tombstone** — a DML delete batch through the log (ordinary
+   replay applies it), then compaction if the lake is layered (a MOR
+   layer below the tombstone still holds the content bytes).
+3. **History drop** — `expire_snapshots(keep_last=1)` + orphan vacuum:
+   erasure implies forfeiting time travel into pre-erasure snapshots,
+   exactly like Delta's VACUUM-after-retention, just immediately.
+4. **Sidecar scrub** — quarantine records whose event_json names an
+   erased key get the content field redacted in place.
+
+Completeness is REFUSED, not silently approximated: snapshot tags, parked
+WAP snapshots, and branches all pin files the purge cannot see through —
+`erase_keys` raises and names them unless the caller resolved them first.
+Debezium `_malformed/` lines are raw unparseable bytes; they are reported
+(`malformed_files`) for manual review, never silently trusted to match a
+key predicate. Scale: one log scan + rewrites proportional to affected
+segments; the lake side is one ordinary DML epoch + targeted compaction.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.lake import LakeTable
+
+REDACTED = "[ERASED]"
+
+
+def _blockers(lake: LakeTable) -> list[str]:
+    out = []
+    tags = lake.refs()["tags"]
+    if tags:
+        out.append(f"tags pin snapshots: {sorted(tags)} (drop_tag first)")
+    staged = lake.staged_epochs()
+    if staged:
+        out.append(f"staged WAP snapshots pin files: {staged} (publish or discard)")
+    bdir = os.path.join(lake.root, "_branches")
+    branches = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
+    if branches:
+        out.append(
+            f"branches hold independent references: {branches} (drop or erase there too)"
+        )
+    return out
+
+
+def _scrub_parquet_file(path: str, keys: set[tuple[str, str]]) -> int:
+    """Redact content for matching (repo, path) rows in ONE parquet file,
+    preserving the physical schema byte-for-byte for other columns.
+    Returns rows redacted (0 = file untouched, not rewritten)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    names = set(t.schema.names)
+    if not {"repo", "path", "content"} <= names:
+        return 0
+    df = t.to_pandas(types_mapper=None)
+    mask = [
+        (r, p) in keys and c is not None
+        for r, p, c in zip(df["repo"], df["path"], df["content"])
+    ]
+    import numpy as np
+
+    mask = np.array(mask, dtype=bool)
+    n = int(mask.sum())
+    if n == 0:
+        return 0
+    df.loc[mask, "content"] = REDACTED
+    if "size_bytes" in names:
+        df.loc[mask, "size_bytes"] = len(REDACTED)
+    out = pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
+    pq.write_table(out, path, coerce_timestamps="us")
+    return n
+
+
+def _scrub_quarantine(lake: LakeTable, keys: set[tuple[str, str]]) -> int:
+    """Redact `content` inside quarantine DLQ records (event_json) whose
+    repo/path name an erased key. Driver-side: DLQ volume tracks error
+    rate, not table size."""
+    import pandas as pd
+
+    n = 0
+    for fp in glob.glob(
+        os.path.join(lake._meta_root, "_quarantine", "e*", "*.parquet")
+    ):
+        df = pd.read_parquet(fp)
+        changed = False
+        for i, raw in enumerate(df["event_json"]):
+            try:
+                ev = json.loads(raw)
+            except (TypeError, ValueError):
+                continue
+            if (ev.get("repo"), ev.get("path")) in keys and ev.get("content"):
+                ev["content"] = REDACTED
+                if "size_bytes" in ev:
+                    ev["size_bytes"] = len(REDACTED)
+                df.loc[i, "event_json"] = json.dumps(ev)
+                changed = True
+                n += 1
+        if changed:
+            df.to_parquet(fp, index=False)
+    return n
+
+
+def erase_keys(
+    spark: SparkSession,
+    lake: LakeTable,
+    log_dir: str,
+    keys: list[tuple[str, str]],
+    mode: str = "cow",
+    vacuum_grace_seconds: float = 0.0,
+    force: bool = False,
+) -> dict:
+    """Purge `keys` (repo, path pairs) from the log, the live state, all
+    retained snapshots, and the DLQ. Raises unless the lake is free of
+    tags/staged/branches (see module docstring) or ``force=True`` — a
+    forced run reports the blockers it could not see through instead."""
+    from .dml import synthesize_dml_segment
+    from ..streaming.replay import replay
+
+    blockers = _blockers(lake)
+    if blockers and not force:
+        raise ValueError(
+            "erasure cannot be complete: " + "; ".join(blockers)
+        )
+    kset = {(r, p) for r, p in keys}
+
+    # -- 1. find affected segment part files with ONE scan, scrub them
+    with open(os.path.join(log_dir, "_segments.json")) as f:
+        segs = json.load(f)
+    jsonl = [s["file"] for s in segs if s.get("format", "parquet") == "jsonl"]
+    if jsonl:
+        raise ValueError(
+            f"jsonl segments cannot be scrubbed in place: {jsonl}; "
+            "columnarize them first (collector compaction / batch replay)"
+        )
+    key_df = spark.createDataFrame(
+        list(kset), "repo string, path string"
+    )
+    seg_paths = [os.path.join(log_dir, s["file"]) for s in segs]
+    affected = [] if not seg_paths else [
+        r["f"]
+        for r in spark.read.parquet(*seg_paths)
+        .select("repo", "path", F.input_file_name().alias("f"))
+        .join(F.broadcast(key_df), ["repo", "path"], "left_semi")
+        .select("f")
+        .distinct()
+        .collect()
+    ]
+    rows_redacted = 0
+    from urllib.parse import unquote, urlparse
+
+    for uri in affected:
+        rows_redacted += _scrub_parquet_file(unquote(urlparse(uri).path), kset)
+
+    # -- 2. tombstone the keys in the live state via ordinary DML
+    pred = " OR ".join(
+        "(repo = '{}' AND path = '{}')".format(r.replace("'", "''"), p.replace("'", "''"))
+        for r, p in sorted(kset)
+    )
+    res = synthesize_dml_segment(spark, lake, log_dir, pred)
+    if res["matched"]:
+        replay(spark, log_dir, lake.root, n_buckets=lake.n_buckets,
+               mode=mode, branch=lake.branch)
+
+    # -- 3. collapse layers (content bytes below the tombstone), drop
+    #       pre-erasure time travel, reclaim the superseded files
+    m = lake.current_manifest()
+    if m is not None and m.get("layered"):
+        lake.compact(spark)
+    expired = lake.expire_snapshots(keep_last=1)
+    vac = lake.vacuum_orphans(grace_seconds=vacuum_grace_seconds)
+
+    # -- 4. DLQ scrub + report the layers the purge cannot decide on
+    q_redacted = _scrub_quarantine(lake, kset)
+    malformed = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(log_dir, "_malformed", "*"))
+    )
+    return {
+        "keys": len(kset),
+        "segments_scrubbed": len(affected),
+        "log_rows_redacted": rows_redacted,
+        "state_tombstoned": res["matched"],
+        "quarantine_rows_redacted": q_redacted,
+        "snapshots_expired": expired,
+        "vacuum": vac,
+        "blockers_forced_past": blockers if force else [],
+        "malformed_files": malformed,
+    }

@@ -1,0 +1,74 @@
+"""spark-submit entry point: GDPR key erasure — purge (repo, path) keys
+from the log, the live state, every retained snapshot, and the DLQ.
+
+Usage:
+    spark-submit --master local[32] jobs/erase.py \
+        --lake-root /tmp/lake --log-dir /tmp/log \
+        --key 'github.com/org/repo|src/a.py' [--key ...] \
+        [--keys-parquet /path/keys.parquet]  # columns: repo, path
+        [--mode cow|mor] [--vacuum-grace SEC] [--force]
+
+See `operators/erasure.py` for what "complete" means and why the run
+REFUSES while tags / staged WAP snapshots / branches pin files it cannot
+see through (override with --force to purge what it can and report the
+rest). Prints one JSON line with the purge report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bbc_news_etl_pipeline_spark.operators.erasure import erase_keys  # noqa: E402
+from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_package  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--lake-root", required=True)
+    p.add_argument("--log-dir", required=True)
+    p.add_argument("--key", action="append", default=[],
+                   help="'repo|path' (repeatable)")
+    p.add_argument("--keys-parquet", default=None,
+                   help="parquet file with repo, path columns")
+    p.add_argument("--mode", default="cow", choices=["cow", "mor"])
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--vacuum-grace", type=float, default=0.0)
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    keys: list[tuple[str, str]] = []
+    for k in args.key:
+        repo, sep, path = k.partition("|")
+        if not sep:
+            raise SystemExit(f"--key expects 'repo|path', got {k!r}")
+        keys.append((repo, path))
+    if args.keys_parquet:
+        import pandas as pd
+
+        kdf = pd.read_parquet(args.keys_parquet, columns=["repo", "path"])
+        keys.extend(map(tuple, kdf.itertuples(index=False)))
+    if not keys:
+        raise SystemExit("no keys: pass --key and/or --keys-parquet")
+
+    spark = build_session(app_name="cdc-erase", master=args.master)
+    ship_engine_package(spark)
+    lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
+    report = erase_keys(
+        spark, lake, args.log_dir, keys,
+        mode=args.mode,
+        vacuum_grace_seconds=args.vacuum_grace,
+        force=args.force,
+    )
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""GDPR key erasure: after `erase_keys`, the purged keys' content exists
+NOWHERE under the log or the lake — not in segments, not in any retained
+snapshot's data files, not in the DLQ — while every other key's state is
+untouched, the exactly-once fence still holds, and a from-scratch replay
+of the scrubbed log can never resurrect the content."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.operators.erasure import REDACTED, erase_keys
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_live_pdf
+
+E = 3_000
+
+
+def _all_contents(root: str) -> set[str]:
+    """Every non-null `content` value in any parquet file under root."""
+    out: set[str] = set()
+    for fp in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True):
+        try:
+            df = pd.read_parquet(fp)
+        except Exception:
+            continue
+        if "content" in df.columns:
+            out |= set(df["content"].dropna())
+        if "event_json" in df.columns:
+            for raw in df["event_json"].dropna():
+                try:
+                    c = json.loads(raw).get("content")
+                except ValueError:
+                    continue
+                if c is not None:
+                    out.add(c)
+    return out
+
+
+def _fresh(spark, tmp_path, mode="mor"):
+    d = str(tmp_path / "log")
+    gen.build_stream(E, 3, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8, mode=mode)
+    return d, LakeTable(root, n_buckets=8), root
+
+
+def test_erase_purges_log_lake_and_history(spark, tmp_path):
+    d, lake, root = _fresh(spark, tmp_path, mode="mor")
+    before = engine_live_pdf(spark, root)
+    victims = [tuple(r) for r in before[["repo", "path"]].head(2).itertuples(index=False)]
+    vset = set(victims)
+
+    # the content bytes the request covers: every version of the key that
+    # ever hit the log (not just the live winner)
+    erased_contents = {
+        c
+        for fp in [os.path.join(d, s["file"]) for s in json.load(open(os.path.join(d, "_segments.json")))]
+        for _, row in pd.read_parquet(fp).iterrows()
+        if (row["repo"], row["path"]) in vset and row["content"] is not None
+        for c in [row["content"]]
+    }
+    assert erased_contents
+
+    report = erase_keys(spark, lake, d, victims)
+    assert report["state_tombstoned"] == 2
+    assert report["log_rows_redacted"] >= len(erased_contents)
+    assert report["segments_scrubbed"] >= 1
+
+    # gone from the live state; every other key untouched
+    after = engine_live_pdf(spark, root)
+    assert not set(map(tuple, after[["repo", "path"]].itertuples(index=False))) & vset
+    keep = before[~before.apply(lambda r: (r["repo"], r["path"]) in vset, axis=1)]
+    merged = keep.merge(after, on=["repo", "path"], suffixes=("_b", "_a"))
+    assert len(merged) == len(keep) == len(after)
+    assert (merged["lsn_b"] == merged["lsn_a"]).all()
+    assert (merged["content_sha256_b"] == merged["content_sha256_a"]).all()
+
+    # the content exists NOWHERE under the log or the lake
+    leftover = (_all_contents(d) | _all_contents(root)) & erased_contents
+    assert not leftover, f"content survived erasure: {len(leftover)} values"
+
+    # exactly-once fence after the purge
+    assert R.replay(spark, d, root, n_buckets=8, mode="mor").events_applied == 0
+
+    # a from-scratch replay of the SCRUBBED log (the rollback/DR path)
+    # converges to the same live set — erased keys stay dead, and the only
+    # content it could ever materialize for them is the redaction marker
+    root2 = str(tmp_path / "lake2")
+    R.replay(spark, d, root2, n_buckets=8)
+    replayed = engine_live_pdf(spark, root2)
+    assert not set(map(tuple, replayed[["repo", "path"]].itertuples(index=False))) & vset
+    assert not (_all_contents(root2) & erased_contents)
+
+
+def test_erase_refuses_pins_then_forces(spark, tmp_path):
+    d, lake, root = _fresh(spark, tmp_path, mode="cow")
+    k = engine_live_pdf(spark, root)[["repo", "path"]].iloc[0]
+    lake.create_tag("keepme", 0)
+    with pytest.raises(ValueError, match="tags pin"):
+        erase_keys(spark, lake, d, [(k.repo, k.path)])
+    report = erase_keys(spark, lake, d, [(k.repo, k.path)], force=True)
+    assert any("tags pin" in b for b in report["blockers_forced_past"])
+    assert lake.read_key(spark, k.repo, k.path).count() == 0
+
+
+def test_erase_scrubs_quarantined_payload(spark, tmp_path):
+    from .test_skew_quarantine_lww import _mk_events
+
+    ev = _mk_events([
+        {"lsn": 1, "op": "insert", "content": "ok-row", "path": "a.py", "epoch": 0},
+        {"lsn": 2, "op": "upsert", "content": "secret-payload", "path": "b.py",
+         "epoch": 0},
+    ])
+    d = str(tmp_path / "log")
+    gen.write_event_log(ev, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=4)
+    lake = LakeTable(root, n_buckets=4)
+    qdir = os.path.join(lake._meta_root, "_quarantine")
+    assert glob.glob(os.path.join(qdir, "e*", "*.parquet")), "fixture: no DLQ row"
+    repo = ev["repo"].iloc[1]
+
+    report = erase_keys(spark, lake, d, [(repo, "b.py")])
+    assert report["quarantine_rows_redacted"] == 1
+    qs = _all_contents(root)
+    assert "secret-payload" not in qs and REDACTED in qs
+    assert "ok-row" in _all_contents(root) or "ok-row" in _all_contents(d)
