@@ -232,3 +232,206 @@ class EventLog:
             if s["seq_hi"] > seq_lo and s["seq_lo"] <= seq_hi
         ]
         return min(max(vers), reg.LATEST_VERSION) if vers else 1
+
+
+def compact_log(
+    spark: SparkSession,
+    log: "EventLog",
+    lake,
+    to_epoch: int | None = None,
+    force: bool = False,
+) -> dict:
+    """Log retention — the Kafka compacted-topic analog, checkpointed by
+    the lake: collapse every segment the OLDEST RETAINED snapshot has fully
+    consumed into one SEED segment of per-key LWW winners (tombstone
+    winners kept as delete events, originally-invalid rows preserved
+    verbatim so a disaster-recovery replay still reproduces their DLQ
+    records). Without this the log grows forever and a from-scratch replay
+    pays O(every event ever); with it, the log holds |live keys| + the
+    un-expired tail — while every SUPPORTED read keeps working:
+
+    - resumed replay/tail: the checkpoint sits at the head manifest's
+      seq_hi >= the compaction bound, entirely in the kept tail;
+    - rollback self-heal + read_changes: both need events strictly AFTER
+      some retained snapshot's seq_hi, and the bound is the OLDEST
+      retained snapshot's — every such window is in the kept tail;
+    - from-scratch replay (DR): seed winners carry their ORIGINAL lsn and
+      arrival_seq, and LWW is permutation/redelivery-invariant, so the
+      final state is bit-identical to replaying the uncompacted log
+      (the dropped rows are exactly the prefix's per-key LWW losers).
+
+    `to_epoch` must be the oldest retained epoch (the default) — any
+    OLDER retained snapshot would lose its self-heal window; pass
+    ``force=True`` only after expiring those snapshots elsewhere. Branch
+    chains replay this same log: compaction refuses while any branch's
+    oldest retained manifest sits behind the bound.
+
+    Crash-safe by the engine's own redelivery contract: the seed is
+    renamed into the `segment-*` namespace BEFORE the index swap, so the
+    only crash artifacts are byte-identical duplicate rows (the streaming
+    tail's glob may transiently read prefix rows twice — LWW dedup absorbs
+    exactly that) or unreferenced dropped files; a `_log_compaction.json`
+    marker makes the next run finish the swap/cleanup idempotently.
+    Run it under the lake's maintenance cadence (the writer lease
+    serializes it against replay/tail/redrive)."""
+    import glob as _glob
+
+    marker_path = os.path.join(log.log_dir, "_log_compaction.json")
+
+    def _finish(marker: dict) -> None:
+        tmp, final = marker["seed_tmp"], marker["seed_final"]
+        if os.path.exists(tmp) and not os.path.exists(final):
+            os.rename(tmp, final)
+        if os.path.exists(final) and marker.get("index"):
+            itmp = os.path.join(log.log_dir, "_segments.json.tmp")
+            with open(itmp, "w") as fh:
+                json.dump(marker["index"], fh, indent=1)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.rename(itmp, os.path.join(log.log_dir, "_segments.json"))
+        for f in marker["dropped"]:
+            p = os.path.join(log.log_dir, f)
+            if os.path.isdir(p):
+                import shutil
+
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                os.unlink(p)
+        os.unlink(marker_path)
+
+    if os.path.exists(marker_path):
+        with open(marker_path) as f:
+            _finish(json.load(f))
+
+    committed = lake.committed_epochs()
+    if not committed:
+        raise ValueError("empty lake: no retained snapshot to bound retention")
+    oldest = committed[0]
+    if to_epoch is None:
+        to_epoch = oldest
+    if to_epoch > oldest and not force:
+        raise ValueError(
+            f"retained snapshot {oldest} predates to_epoch {to_epoch}: its "
+            f"rollback/read_changes windows need the events this would drop; "
+            f"expire_snapshots first (or force=True)"
+        )
+    bound = lake.manifest(to_epoch)["seq_hi"]
+    bdir = os.path.join(lake.root, "_branches")
+    for name in sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []:
+        btable = type(lake)(lake.root, n_buckets=lake.n_buckets, branch=name)
+        beps = btable.committed_epochs()
+        try:
+            b_oldest = beps[0] if beps else btable.branch_meta(name)["base_epoch"]
+            b_seq = btable.manifest(b_oldest)["seq_hi"]
+        except FileNotFoundError:
+            b_seq = -1  # unreadable oldest/base: assume it is behind
+        if b_seq < bound and not force:
+            raise ValueError(
+                f"branch {name!r}'s oldest retained snapshot is behind "
+                f"the compaction bound; fast-forward or drop it first "
+                f"(or force=True if its chain is known-converged)"
+            )
+
+    segs = log.segments()
+    dropped = [s for s in segs if s["seq_hi"] <= bound]
+    if not dropped:
+        return {"dropped_segments": 0, "seed_events": 0, "bound": bound}
+    eff_bound = max(s["seq_hi"] for s in dropped)
+    kept = [s for s in segs if s["seq_hi"] > eff_bound]
+    ver = min(
+        max(s["schema_version"] for s in segs), reg.LATEST_VERSION
+    )
+
+    from ..operators.merge import unknown_column_clause, valid_predicate
+
+    prefix = log.read_range(spark, -1, eff_bound, ver)
+    if "_unknown_json" in prefix.columns:
+        if prefix.where(F.col("_unknown_json").isNotNull()).limit(1).count():
+            raise ValueError(
+                "prefix carries unregistered-column data; resolve the "
+                "unknown-column quarantine (register + redrive) before "
+                "compacting the log"
+            )
+        prefix = prefix.drop("_unknown_json")
+    is_valid = F.coalesce(valid_predicate() & unknown_column_clause(prefix), F.lit(False))
+    valid = prefix.where(is_valid)
+    invalid = prefix.where(~is_valid)
+
+    # per-key LWW winner: salted slim two-stage max on lsn, then the
+    # earliest arrival_seq among that lsn's (byte-identical, by the log's
+    # redelivery contract) copies — deterministic seed bytes, payload never
+    # enters an aggregate (same shape as operators/merge.salted_winner_keys)
+    win_lsn = (
+        valid.select("repo", "path", "lsn")
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col("lsn")), F.lit(16)).cast("int"))
+        .groupBy("repo", "path", "_salt")
+        .agg(F.max("lsn").alias("lsn"))
+        .groupBy("repo", "path")
+        .agg(F.max("lsn").alias("lsn"))
+    )
+    at_lsn = valid.join(win_lsn.hint("shuffle_hash"), ["repo", "path", "lsn"], "left_semi")
+    win_seq = (
+        at_lsn.select("repo", "path", "lsn", "arrival_seq")
+        .groupBy("repo", "path", "lsn")
+        .agg(F.min("arrival_seq").alias("arrival_seq"))
+    )
+    winners = at_lsn.join(
+        win_seq.hint("shuffle_hash"),
+        ["repo", "path", "lsn", "arrival_seq"],
+        "left_semi",
+    )
+    seed = winners.unionByName(invalid)
+
+    ordinal = 0
+    existing = {s["file"] for s in segs}
+    while (
+        f"segment-{ordinal:05d}-seed.parquet" in existing
+        or os.path.exists(
+            os.path.join(log.log_dir, f"segment-{ordinal:05d}-seed.parquet")
+        )
+    ):
+        ordinal += 1
+    seed_name = f"segment-{ordinal:05d}-seed.parquet"
+    seed_tmp = os.path.join(log.log_dir, seed_name + ".tmp")
+    (
+        seed.repartition(1)
+        .sortWithinPartitions("arrival_seq")
+        .write.mode("overwrite")
+        .parquet(seed_tmp)
+    )
+    import pyarrow.parquet as _pq
+
+    n_seed = sum(
+        _pq.ParquetFile(p).metadata.num_rows
+        for p in _glob.glob(os.path.join(seed_tmp, "*.parquet"))
+    )
+    seed_entry = {
+        "file": seed_name,
+        "epoch": -1,
+        "schema_version": ver,
+        "format": "parquet",
+        "seq_lo": min(s["seq_lo"] for s in dropped),
+        "seq_hi": eff_bound,
+        "n_events": n_seed,
+        "compacted_from": [s["file"] for s in dropped],
+    }
+    marker = {
+        "seed_tmp": seed_tmp,
+        "seed_final": os.path.join(log.log_dir, seed_name),
+        "index": [seed_entry] + kept,
+        "dropped": [s["file"] for s in dropped],
+    }
+    mtmp = marker_path + ".tmp"
+    with open(mtmp, "w") as fh:
+        json.dump(marker, fh, indent=1)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(mtmp, marker_path)
+    _finish(marker)
+    return {
+        "dropped_segments": len(dropped),
+        "dropped_events": int(sum(s["n_events"] for s in dropped)),
+        "seed_events": int(n_seed),
+        "bound": eff_bound,
+        "seed": seed_name,
+    }

@@ -79,6 +79,12 @@ def main() -> None:
                         "lease-held commit; refuses on rollback/rebucket "
                         "interleaves — re-run on the new head")
     p.add_argument("--tombstone-horizon-lsn", type=int, default=None)
+    p.add_argument("--compact-log", action="store_true",
+                   help="log retention (Kafka compacted-topic analog): "
+                        "collapse segments fully consumed by the oldest "
+                        "retained snapshot into one per-key LWW seed "
+                        "segment; requires --log-dir")
+    p.add_argument("--log-dir", default=None)
     p.add_argument("--expire-keep-last", type=int, default=None)
     p.add_argument("--expire-older-than", type=float, default=None,
                    help="age guard (seconds): with --expire-keep-last, only "
@@ -136,6 +142,17 @@ def main() -> None:
             spark, tombstone_horizon_lsn=args.tombstone_horizon_lsn
         )
         out["compacted"] = cm["epoch"] if cm else None
+    if args.compact_log:
+        if not args.log_dir:
+            raise SystemExit("--compact-log requires --log-dir")
+        from bbc_news_etl_pipeline_spark.sources.event_log import (  # noqa: E402
+            EventLog,
+            compact_log,
+        )
+
+        out["log_compaction"] = compact_log(
+            spark, EventLog(args.log_dir), lake
+        )
     if args.rebucket is not None:
         rm = lake.rebucket(spark, args.rebucket)
         out["rebucketed_to"] = rm["n_buckets"]
