@@ -464,8 +464,9 @@ class LakeTable:
             with open(self._refs_path) as f:
                 out = json.load(f)
         except (OSError, ValueError):
-            return {"tags": {}}
+            return {"tags": {}, "consumers": {}}
         out.setdefault("tags", {})
+        out.setdefault("consumers", {})
         return out
 
     def _write_refs(self, refs: dict) -> None:
@@ -521,6 +522,51 @@ class LakeTable:
         with self._refs_lock():
             refs = self.refs()
             epoch = refs["tags"].pop(name, None)
+            if epoch is not None:
+                self._write_refs(refs)
+        return epoch
+
+    # ---------- consumer cursors (Kafka consumer-group offset parity) ----------
+    def consumer_cursor(self, name: str) -> int | None:
+        """Last snapshot the named downstream consumer has applied (None =
+        never ran). A cursor is a MOVABLE TAG: it pins its snapshot through
+        `expire_snapshots` — a lagging consumer must still be able to diff
+        from where it stopped (Kafka's retention-by-consumer-lag, expressed
+        in snapshots) — and `compact_log`'s bound (the oldest RETAINED
+        snapshot) therefore never outruns any registered consumer."""
+        return self.refs().get("consumers", {}).get(name)
+
+    def advance_consumer_cursor(
+        self, name: str, to_epoch: int, expected: int | None = None
+    ) -> int:
+        """CAS-advance the cursor: `expected` must equal the stored value
+        (None = consumer never ran) or this raises — two instances of the
+        same consumer racing an advance is a deployment error that would
+        otherwise silently skip a window. Returns `to_epoch`."""
+        _validate_ref_name(name)
+        if not self.has_epoch(to_epoch):
+            raise ValueError(
+                f"cannot advance consumer {name!r} to {to_epoch}: not a "
+                f"committed snapshot"
+            )
+        with self._refs_lock():
+            refs = self.refs()
+            cur = refs.setdefault("consumers", {})
+            held = cur.get(name)
+            if held != expected:
+                raise ValueError(
+                    f"consumer {name!r} cursor moved (held={held}, "
+                    f"expected={expected}): concurrent instance?"
+                )
+            cur[name] = int(to_epoch)
+            self._write_refs(refs)
+        return int(to_epoch)
+
+    def drop_consumer(self, name: str) -> int | None:
+        """Deregister a consumer; its pinned snapshot becomes expirable."""
+        with self._refs_lock():
+            refs = self.refs()
+            epoch = refs.setdefault("consumers", {}).pop(name, None)
             if epoch is not None:
                 self._write_refs(refs)
         return epoch
@@ -1378,7 +1424,12 @@ class LakeTable:
         # finds its target already gone and raises — never a silently
         # expired pin
         with self._refs_lock():
-            pinned = {int(e) for e in self.refs()["tags"].values()}
+            _refs = self.refs()
+            # consumer cursors pin like tags: a lagging consumer must keep
+            # its diff base (Kafka retention-by-consumer-lag, in snapshots)
+            pinned = {int(e) for e in _refs["tags"].values()} | {
+                int(e) for e in _refs["consumers"].values()
+            }
             keep = sorted(set(epochs[-keep_last:]) | (pinned & set(epochs)))
             drop = [e for e in epochs if e not in set(keep)]
             if older_than_seconds is not None and drop:

@@ -33,8 +33,16 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--lake-root", required=True)
     p.add_argument("--log-dir", required=True)
-    p.add_argument("--from-epoch", required=True,
+    p.add_argument("--from-epoch", default=None,
                    help="snapshot the consumer has applied (epoch or tag)")
+    p.add_argument("--consumer", default=None,
+                   help="named cursor (Kafka consumer-group offset parity): "
+                        "first run exports the FULL live state as upserts "
+                        "(bootstrap), later runs export the window since the "
+                        "stored cursor; the cursor advances only after a "
+                        "successful export (crash = same window re-exports, "
+                        "at-least-once with idempotent-by-key apply) and PINS "
+                        "its snapshot against expiration while it lags")
     p.add_argument("--to-epoch", default=None,
                    help="snapshot to reach (epoch or tag; default current)")
     p.add_argument("--changelog", action="store_true",
@@ -45,21 +53,50 @@ def main() -> None:
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
+    if (args.from_epoch is None) == (args.consumer is None):
+        raise SystemExit("pass exactly one of --from-epoch or --consumer")
     spark = build_session(app_name="cdc-changes", master=args.master)
     ship_engine_package(spark)
-    lake = LakeTable(args.lake_root, branch=args.branch)
-    ch = lake.read_changes(
-        spark,
-        EventLog(args.log_dir),
-        from_epoch=lake.resolve_ref(args.from_epoch),
-        to_epoch=(
-            lake.resolve_ref(args.to_epoch) if args.to_epoch is not None else None
-        ),
-        include_before=args.changelog,
-    )
-    ch.write.mode("overwrite").parquet(args.out)
     from pyspark.sql import functions as F
 
+    lake = LakeTable(args.lake_root, branch=args.branch)
+    to_epoch = (
+        lake.resolve_ref(args.to_epoch) if args.to_epoch is not None else None
+    )
+    cursor, bootstrap = None, False
+    if args.consumer is not None:
+        cursor = lake.consumer_cursor(args.consumer)
+        head = to_epoch if to_epoch is not None else lake.current_manifest()["epoch"]
+        if cursor is not None and cursor == head:
+            print(json.dumps({
+                "lake": args.lake_root, "consumer": args.consumer,
+                "from": cursor, "to": head, "rows": 0, "by_change": {},
+                "out": None, "note": "cursor already at target snapshot",
+            }))
+            spark.stop()
+            return
+        bootstrap = cursor is None
+        from_epoch = cursor
+    else:
+        from_epoch = lake.resolve_ref(args.from_epoch)
+
+    if bootstrap:
+        # first run of a named consumer: full live state as upserts — the
+        # standard CDC bootstrap (snapshot, then windows)
+        ch = (
+            lake.read_state(spark, epoch=to_epoch)
+            .drop("bucket")
+            .withColumn("change", F.lit("upsert"))
+        )
+    else:
+        ch = lake.read_changes(
+            spark,
+            EventLog(args.log_dir),
+            from_epoch=from_epoch,
+            to_epoch=to_epoch,
+            include_before=args.changelog,
+        )
+    ch.write.mode("overwrite").parquet(args.out)
     kinds = {
         r["change"]: r["n"]
         for r in spark.read.parquet(args.out)
@@ -67,15 +104,25 @@ def main() -> None:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    print(json.dumps({
+    out = {
         "lake": args.lake_root,
-        "from": args.from_epoch,
+        "from": args.from_epoch if args.consumer is None else cursor,
         "to": args.to_epoch,
-        "view": "changelog" if args.changelog else "upsert",
+        "view": "bootstrap" if bootstrap else (
+            "changelog" if args.changelog else "upsert"
+        ),
         "rows": int(sum(kinds.values())),
         "by_change": kinds,
         "out": args.out,
-    }))
+    }
+    if args.consumer is not None:
+        # advance ONLY after the export landed: a crash above re-exports
+        # the same window (at-least-once; consumers apply by key)
+        head = to_epoch if to_epoch is not None else lake.current_manifest()["epoch"]
+        lake.advance_consumer_cursor(args.consumer, head, expected=cursor)
+        out["consumer"] = args.consumer
+        out["cursor"] = head
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -5,7 +5,7 @@ Usage:
         --lake-root /tmp/lake --log-dir /tmp/log \
         --where "lang = 'python' AND size_bytes > 1000" \
         [--set "license='MIT'" --set "content=upper(content)"] \
-        [--no-apply] [--mode cow|mor] [--n-buckets N] [--branch NAME]
+        [--no-apply] [--mode cow|mor] [--n-buckets N]
 
 Without ``--set`` this is ``DELETE FROM lake WHERE ...``; with it,
 ``UPDATE lake SET col=expr[, ...] WHERE ...``. The statement compiles to
@@ -56,13 +56,18 @@ def main() -> None:
                    help="append the segment only; don't run the replay")
     p.add_argument("--mode", default="cow", choices=["cow", "mor"])
     p.add_argument("--n-buckets", type=int, default=64)
-    p.add_argument("--branch", default=None)
+    # deliberately NO --branch: DML is a LOG-level statement — the
+    # synthesized events enter the shared source of truth and reach every
+    # chain that replays it. A "branch-scoped DML" would be a lie: the
+    # predicate could read branch state, but the events would still leak
+    # into main on its next replay. Run DML against main; branches pick it
+    # up exactly like any other source events.
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
     spark = build_session(app_name="cdc-dml", master=args.master)
     ship_engine_package(spark)
-    lake = LakeTable(args.lake_root, n_buckets=args.n_buckets, branch=args.branch)
+    lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
     res = synthesize_dml_segment(
         spark,
         lake,
@@ -82,7 +87,6 @@ def main() -> None:
             args.lake_root,
             n_buckets=args.n_buckets,
             mode=args.mode,
-            branch=args.branch,
         )
         out["events_applied"] = rr.events_applied
         agg = lake.read_state(spark).agg(

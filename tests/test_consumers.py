@@ -1,0 +1,115 @@
+"""Named consumer cursors (Kafka consumer-group offset parity): a cursor
+records the last snapshot a downstream consumer applied, advances by CAS
+only after a successful export, and PINS its snapshot through expiration
+so a lagging consumer never loses its diff base."""
+
+from __future__ import annotations
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog, compact_log
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_live_pdf
+
+E = 3_000
+
+
+def test_consumer_bootstrap_then_window_reaches_head(spark, tmp_path):
+    d = str(tmp_path / "log")
+    gen.build_stream(E, 3, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8, max_epochs=1)
+    lake = LakeTable(root, n_buckets=8)
+
+    # bootstrap: full live state as upserts, cursor None -> prefix head
+    assert lake.consumer_cursor("warehouse") is None
+    e0 = lake.current_manifest()["epoch"]
+    applied = {
+        (r.repo, r.path): r.content_sha256
+        for r in engine_live_pdf(spark, root).itertuples(index=False)
+    }
+    lake.advance_consumer_cursor("warehouse", e0, expected=None)
+    assert lake.consumer_cursor("warehouse") == e0
+
+    # the stream moves on; the consumer catches up with ONE window
+    R.replay(spark, d, root, n_buckets=8)
+    head = lake.current_manifest()["epoch"]
+    ch = lake.read_changes(spark, EventLog(d), from_epoch=e0).toPandas()
+    for r in ch.itertuples(index=False):
+        if r.change == "delete":
+            applied.pop((r.repo, r.path), None)
+        else:
+            applied[(r.repo, r.path)] = r.content_sha256
+    lake.advance_consumer_cursor("warehouse", head, expected=e0)
+
+    truth = {
+        (r.repo, r.path): r.content_sha256
+        for r in engine_live_pdf(spark, root).itertuples(index=False)
+    }
+    assert applied == truth, "bootstrap + one window must reach the head state"
+
+
+def test_cursor_cas_pin_and_compaction_bound(spark, tmp_path):
+    d = str(tmp_path / "log")
+    gen.build_stream(E, 3, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    epochs = lake.committed_epochs()
+    lagging = epochs[0]
+    lake.advance_consumer_cursor("slow-etl", lagging, expected=None)
+
+    # CAS: a stale expectation refuses (concurrent instance guard)
+    with pytest.raises(ValueError, match="cursor moved"):
+        lake.advance_consumer_cursor("slow-etl", epochs[-1], expected=None)
+
+    # the cursor PINS its snapshot through expiration ...
+    lake.expire_snapshots(keep_last=1)
+    assert lake.has_epoch(lagging), "lagging consumer lost its diff base"
+    # ... which bounds log compaction too (oldest retained == the cursor)
+    rep = compact_log(spark, EventLog(d), lake)
+    bound = lake.manifest(lagging)["seq_hi"]
+    assert rep["bound"] <= bound
+
+    # the lagging consumer can still diff from its cursor after both
+    ch = lake.read_changes(spark, EventLog(d), from_epoch=lagging)
+    assert ch.count() > 0
+
+    # advance (correct CAS) releases the pin; a later expire drops it
+    lake.advance_consumer_cursor("slow-etl", epochs[-1], expected=lagging)
+    lake.expire_snapshots(keep_last=1)
+    assert not lake.has_epoch(lagging)
+    assert lake.drop_consumer("slow-etl") == epochs[-1]
+    assert lake.consumer_cursor("slow-etl") is None
+
+
+def test_consumer_job_surface(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "log")
+    gen.build_stream(2_000, 2, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8, max_epochs=1)
+
+    def run(*extra):
+        r = subprocess.run(
+            [sys.executable, "jobs/changes.py", "--lake-root", root,
+             "--log-dir", d, "--consumer", "wh",
+             "--out", str(tmp_path / "out"), "--master", "local[4]", *extra],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    j1 = run()
+    assert j1["view"] == "bootstrap" and j1["rows"] > 0
+    R.replay(spark, d, root, n_buckets=8)
+    j2 = run()
+    assert j2["view"] == "upsert" and j2["rows"] > 0 and j2["from"] is not None
+    j3 = run()
+    assert j3["rows"] == 0 and "already at target" in j3.get("note", "")
