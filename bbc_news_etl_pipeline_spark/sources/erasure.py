@@ -44,7 +44,7 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.lake import LakeTable
+from .lake import LakeTable
 
 REDACTED = "[ERASED]"
 
@@ -138,7 +138,7 @@ def erase_keys(
     retained snapshots, and the DLQ. Raises unless the lake is free of
     tags/staged/branches (see module docstring) or ``force=True`` — a
     forced run reports the blockers it could not see through instead."""
-    from .dml import synthesize_dml_segment
+    from ..operators.dml import synthesize_dml_segment
     from ..streaming.replay import replay
 
     blockers = _blockers(lake)

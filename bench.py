@@ -46,6 +46,7 @@ SKIP = {
     "cdc_changelog",
     "cdc_debezium_state",
     "cdc_rollup_incremental",
+    "cdc_dml_state",
 }
 
 

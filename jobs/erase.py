@@ -8,7 +8,7 @@ Usage:
         [--keys-parquet /path/keys.parquet]  # columns: repo, path
         [--mode cow|mor] [--vacuum-grace SEC] [--force]
 
-See `operators/erasure.py` for what "complete" means and why the run
+See `sources/erasure.py` for what "complete" means and why the run
 REFUSES while tags / staged WAP snapshots / branches pin files it cannot
 see through (override with --force to purge what it can and report the
 rest). Prints one JSON line with the purge report.
@@ -23,7 +23,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bbc_news_etl_pipeline_spark.operators.erasure import erase_keys  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.erasure import erase_keys  # noqa: E402
 from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_package  # noqa: E402
 from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
 

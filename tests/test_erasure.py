@@ -14,7 +14,7 @@ import pandas as pd
 import pytest
 
 from bbc_news_etl_pipeline_spark.fixtures import generator as gen
-from bbc_news_etl_pipeline_spark.operators.erasure import REDACTED, erase_keys
+from bbc_news_etl_pipeline_spark.sources.erasure import REDACTED, erase_keys
 from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
 from bbc_news_etl_pipeline_spark.streaming import replay as R
 
