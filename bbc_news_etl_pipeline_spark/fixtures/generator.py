@@ -321,7 +321,9 @@ def ensure_cached_stream(n_events: int, n_epochs: int, seed: int = SEED) -> str:
     return d
 
 
-def write_debezium_dump(df: pd.DataFrame, out_dir: str, wrap: bool = True) -> list[str]:
+def write_debezium_dump(
+    df: pd.DataFrame, out_dir: str, wrap: bool = True, table: str = "documents"
+) -> list[str]:
     """Render a canonical event stream as a Debezium ndjson dump (what a
     kafka-console-consumer writes from a Debezium topic): one file per
     epoch, arrival order within the file, one envelope per line.
@@ -363,7 +365,7 @@ def write_debezium_dump(df: pd.DataFrame, out_dir: str, wrap: bool = True) -> li
                     "after": after,
                     "op": _OP[r.op],
                     "ts_ms": ts_ms,
-                    "source": {"lsn": int(r.lsn), "ts_ms": ts_ms},
+                    "source": {"lsn": int(r.lsn), "ts_ms": ts_ms, "table": table},
                 }
                 env = (
                     {"schema": {"type": "struct", "optional": False}, "payload": payload}

@@ -67,6 +67,11 @@ _SOURCE_SCHEMA = T.StructType(
     [
         T.StructField("lsn", T.LongType()),
         T.StructField("ts_ms", T.LongType()),
+        # Debezium names the origin table in the source block; a real dump
+        # (one topic per table, or a consolidated console dump) interleaves
+        # tables, and silently merging them into one key space would be
+        # cross-table contamination — `ingest_debezium(table=...)` routes
+        T.StructField("table", T.StringType()),
     ]
 )
 
@@ -154,6 +159,7 @@ def events_from_debezium(
         F.lit(ver).cast("int").alias("schema_version"),
         parse_error.alias("_parse_error"),
         v.alias("_raw"),
+        pick("source")["table"].alias("_table"),
         *[F.col(c) for c in keep],
     )
 
@@ -166,7 +172,7 @@ def split_debezium(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     pass THROUGH to the engine's own validity split, which labels them
     precisely with the full decoded event."""
     ok = F.col("_parse_error").isNull()
-    keep = [c for c in parsed.columns if c not in ("_parse_error", "_raw")]
+    keep = [c for c in parsed.columns if c not in ("_parse_error", "_raw", "_table")]
     return (
         parsed.where(ok).select(*keep),
         parsed.where(~ok).select(
@@ -191,6 +197,7 @@ def ingest_debezium(
     dump_dir: str,
     log_dir: str,
     schema_version: int | None = None,
+    table: str | None = None,
 ) -> dict:
     """Columnarize a Debezium ndjson dump into an engine event log: one
     parquet segment per dump file, `_segments.json` index — after which
@@ -211,13 +218,63 @@ def ingest_debezium(
     Unparseable lines land in `<log_dir>/_malformed/` (ndjson, line
     preserved) rather than failing the ingest or silently dropping.
     Idempotent: re-ingesting the same dump rewrites identical segments.
-    Returns {events, malformed, segments}.
+    Returns {events, malformed, segments, other_tables}.
+
+    ``table`` routes a MULTI-TABLE dump (Debezium names the origin in
+    `source.table`): lines from other tables park verbatim under
+    `<log_dir>/_other_tables/<name>/` — re-ingestable into their own logs
+    later, never silently merged into this table's key space. Envelopes
+    without a `source.table` (flat wire shapes) are treated as this
+    table's. With ``table=None`` a dump naming MORE THAN ONE table
+    refuses outright — the single-table assumption must be explicit.
     """
     from pyspark.sql import Window
 
     ver = reg.LATEST_VERSION if schema_version is None else schema_version
     raw = read_debezium_dump(spark, dump_dir)
     parsed = events_from_debezium(raw, schema_version=ver, keep=("_file",))
+
+    other_tables: dict[str, int] = {}
+    tables = [
+        r["_table"]
+        for r in parsed.where(F.col("_table").isNotNull())
+        .select("_table")
+        .distinct()
+        .collect()
+    ]
+    if table is None:
+        if len(tables) > 1:
+            raise ValueError(
+                f"dump interleaves tables {sorted(tables)}; pass table=... "
+                f"to route one of them (others park under _other_tables/)"
+            )
+    else:
+        foreign = [t for t in tables if t != table]
+        for t in sorted(foreign):
+            tdir = os.path.join(log_dir, "_other_tables", t)
+            rows = parsed.where(F.col("_table") == t)
+            (
+                rows.select("_raw")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .text(tdir)
+            )
+            # rename to *.ndjson so the parked dump is DIRECTLY
+            # re-ingestable into that table's own log
+            import glob as _glob
+
+            for i, p in enumerate(
+                sorted(_glob.glob(os.path.join(tdir, "part-*")))
+            ):
+                if not p.endswith(".ndjson"):
+                    os.rename(p, os.path.join(tdir, f"routed-{i:05d}.ndjson"))
+            other_tables[t] = spark.read.text(
+                os.path.join(tdir, "*.ndjson")
+            ).count()
+        if foreign:
+            parsed = parsed.where(
+                F.col("_table").isNull() | (F.col("_table") == table)
+            )
     events, dlq = split_debezium(parsed)
 
     n_malformed = 0
@@ -281,4 +338,5 @@ def ingest_debezium(
         "events": sum(s["n_events"] for s in segments),
         "malformed": n_malformed,
         "segments": segments,
+        "other_tables": other_tables,
     }

@@ -2743,6 +2743,16 @@ class LakeTable:
             "retained_snapshots": len(self.committed_epochs()),
             "staged_epochs": self.staged_epochs(),
             "tags": dict(sorted(self.refs()["tags"].items())),
+            # per-consumer lag in snapshots (Kafka consumer-lag parity):
+            # the cursor PINS its snapshot, so a lagging consumer also
+            # blocks expiration/log-retention — surfaced here for alerting
+            "consumers": {
+                name: {
+                    "cursor": ep,
+                    "lag_epochs": (head["epoch"] - ep) if head else None,
+                }
+                for name, ep in sorted(self.refs()["consumers"].items())
+            },
             "branch": self.branch,
             "branches": {
                 b: self.branch_meta(b)["base_epoch"] for b in self.branches()

@@ -42,18 +42,26 @@ def main() -> None:
     p.add_argument("--schema-version", type=int, default=None,
                    help="registry version the collector is registered at "
                         "(default: latest)")
+    p.add_argument("--table", default=None,
+                   help="route a MULTI-TABLE dump: ingest this source.table "
+                        "(plus table-less flat envelopes); other tables park "
+                        "verbatim under _other_tables/<name>/ for their own "
+                        "ingest. Without it, a dump naming several tables "
+                        "refuses")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
     spark = build_session(app_name="cdc-ingest-debezium", master=args.master)
     ship_engine_package(spark)
     res = ingest_debezium(
-        spark, args.dump_dir, args.log_dir, schema_version=args.schema_version
+        spark, args.dump_dir, args.log_dir, schema_version=args.schema_version,
+        table=args.table,
     )
     print(json.dumps({
         "events": res["events"],
         "malformed": res["malformed"],
         "segments": len(res["segments"]),
+        "other_tables": res["other_tables"],
         "log_dir": args.log_dir,
     }))
     spark.stop()

@@ -78,6 +78,11 @@ def test_cursor_cas_pin_and_compaction_bound(spark, tmp_path):
     ch = lake.read_changes(spark, EventLog(d), from_epoch=lagging)
     assert ch.count() > 0
 
+    # the operational report surfaces the lag (alerting surface)
+    rep_c = lake.report()["consumers"]["slow-etl"]
+    assert rep_c["cursor"] == lagging
+    assert rep_c["lag_epochs"] == lake.current_manifest()["epoch"] - lagging > 0
+
     # advance (correct CAS) releases the pin; a later expire drops it
     lake.advance_consumer_cursor("slow-etl", epochs[-1], expected=lagging)
     lake.expire_snapshots(keep_last=1)

@@ -1,0 +1,79 @@
+"""Multi-table Debezium dumps: `ingest_debezium(table=...)` routes the
+named table into the log and parks every other table's envelopes verbatim
+(re-ingestable), instead of silently merging foreign keys into this
+table's space; with no table named, a multi-table dump refuses."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.debezium import ingest_debezium
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest
+
+
+def _mixed_dump(tmp_path) -> tuple[str, int, int]:
+    """One dump dir interleaving two tables: the canonical stream as
+    `documents`, a smaller disjoint stream as `users` appended into the
+    SAME ndjson files (how a consolidated console dump looks)."""
+    docs = gen.generate_events(gen.StreamSpec(n_events=2_000, n_epochs=2, seed=42))
+    users = gen.generate_events(gen.StreamSpec(n_events=300, n_epochs=2, seed=7))
+    dump = str(tmp_path / "dump")
+    gen.write_debezium_dump(docs, dump, table="documents")
+    udir = str(tmp_path / "udump")
+    gen.write_debezium_dump(users, udir, table="users")
+    for f in sorted(glob.glob(os.path.join(udir, "*.ndjson"))):
+        target = os.path.join(dump, os.path.basename(f))
+        with open(target, "a") as out, open(f) as src:
+            out.write(src.read())
+    return dump, len(docs), len(users)
+
+
+def test_routing_splits_tables_and_replays_clean(spark, tmp_path):
+    dump, n_docs, n_users = _mixed_dump(tmp_path)
+
+    log = str(tmp_path / "log")
+    res = ingest_debezium(spark, dump, log, table="documents")
+    assert res["events"] == n_docs
+    assert res["other_tables"] == {"users": n_users}
+
+    # the routed log replays to EXACTLY the pure-documents state
+    pure = str(tmp_path / "pure")
+    gen.write_debezium_dump(
+        gen.generate_events(gen.StreamSpec(n_events=2_000, n_epochs=2, seed=42)),
+        pure, table="documents",
+    )
+    pure_log = str(tmp_path / "pure_log")
+    ingest_debezium(spark, pure, pure_log, table="documents")
+    r1, r2 = str(tmp_path / "lake1"), str(tmp_path / "lake2")
+    R.replay(spark, log, r1, n_buckets=8)
+    R.replay(spark, pure_log, r2, n_buckets=8)
+    assert engine_digest(spark, r1) == engine_digest(spark, r2)
+
+    # parked envelopes are re-ingestable into their OWN table's log
+    parked = os.path.join(log, "_other_tables", "users")
+    users_log = str(tmp_path / "users_log")
+    res_u = ingest_debezium(spark, parked, users_log, table="users")
+    assert res_u["events"] == n_users and res_u["other_tables"] == {}
+    r3 = str(tmp_path / "lake3")
+    R.replay(spark, users_log, r3, n_buckets=8)
+    assert engine_digest(spark, r3)[1] > 0
+
+
+def test_multi_table_without_route_refuses(spark, tmp_path):
+    dump, _, _ = _mixed_dump(tmp_path)
+    with pytest.raises(ValueError, match="interleaves tables"):
+        ingest_debezium(spark, dump, str(tmp_path / "log"))
+
+
+def test_single_table_dump_unchanged(spark, tmp_path):
+    docs = gen.generate_events(gen.StreamSpec(n_events=1_000, n_epochs=1, seed=42))
+    dump = str(tmp_path / "dump")
+    gen.write_debezium_dump(docs, dump)
+    res = ingest_debezium(spark, dump, str(tmp_path / "log"))
+    assert res["events"] == len(docs) and res["other_tables"] == {}
