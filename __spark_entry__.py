@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_debezium_state"] = _cdc_debezium_state
     q["cdc_rollup_incremental"] = _cdc_rollup_incremental
     q["cdc_dml_state"] = _cdc_dml_state
+    q["cdc_log_compacted_state"] = _cdc_log_compacted_state
 
     # ---- streaming-analytics plan (same code the watermarked stream runs) ----
     q["cdc_windowed_counts"] = _cdc_windowed_counts
@@ -461,6 +462,40 @@ def _cdc_dml_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay(spark, log_dir, lake_root, n_buckets=8)
     return lake.read_state(spark).select(
         "repo", "path", "lsn", "content_sha256", "license"
+    )
+
+
+def _cdc_log_compacted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log retention (sources/event_log.py compact_log): replay the
+    canonical stream, expire history to the head snapshot, compact the
+    fully-consumed segments into the per-key LWW seed, then replay the
+    COMPACTED log from scratch into a fresh lake and return ITS live
+    state. The DuckDB oracle is the plain full-log LWW over the ORIGINAL
+    (uncompacted) segments — the strongest form of the seed-equivalence
+    claim: dropping every prefix loser must be value-invisible."""
+    import shutil
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog, compact_log
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    work = tempfile.mkdtemp(prefix="cdc_logcompact_")
+    log_dir = os.path.join(work, "log")
+    shutil.copytree(_ensure_cdc_oracle_log(), log_dir)
+    lake_root = os.path.join(work, "lake")
+    replay(spark, log_dir, lake_root, n_buckets=8)
+    lake = LakeTable(lake_root, n_buckets=8)
+    lake.expire_snapshots(keep_last=1)
+    rep = compact_log(spark, EventLog(log_dir), lake)
+    if not rep.get("dropped_segments"):
+        raise AssertionError(f"log compaction was a no-op: {rep}")
+    fresh = os.path.join(work, "lake2")
+    replay(spark, log_dir, fresh, n_buckets=8)
+    return (
+        LakeTable(fresh, n_buckets=8)
+        .read_state(spark)
+        .select("repo", "path", "lsn", "content_sha256")
     )
 
 
@@ -1185,6 +1220,10 @@ def oracle_sql() -> dict[str, str]:
     # read as exactly the state publish would commit — the same full-log LWW
     # oracle as cdc_replay_state.
     o["cdc_wap_staged_state"] = o["cdc_replay_state"]
+    # log retention: a from-scratch replay of the COMPACTED log must equal
+    # the plain full-log LWW over the ORIGINAL segments — the seed holds
+    # exactly the prefix winners, and dropping losers is value-invisible.
+    o["cdc_log_compacted_state"] = o["cdc_replay_state"]
     # branch lifecycle (branch -> isolated commits -> fast-forward) is pure
     # metadata choreography over the same event stream: the promoted main
     # state must equal the straight full-log LWW oracle bit-for-bit.

@@ -47,6 +47,7 @@ SKIP = {
     "cdc_debezium_state",
     "cdc_rollup_incremental",
     "cdc_dml_state",
+    "cdc_log_compacted_state",
 }
 
 
