@@ -30,10 +30,12 @@ Semantics — a DML batch is ONE logical commit:
   `delete`); when ``content`` is set and ``size_bytes`` is not, the
   engine's size mirror is maintained automatically.
 
-Scale: the matched set writes through one global `arrival_seq` rank —
-acceptable for a maintenance operation (the rank is over MATCHED rows
-only, and the predicate/projection push into the state scan); the write
-itself is an ordinary bucketed epoch downstream.
+Scale: the matched set's `arrival_seq` rank is assigned in PARALLEL —
+range-partition by the sort key, rank within each range partition, add
+per-partition cumulative offsets (a bounded <=P-row collect). No global
+single-partition Window anywhere; a DML matching half a 100 TB table
+ranks with full cluster parallelism. The write itself is an ordinary
+bucketed epoch downstream.
 """
 
 from __future__ import annotations
@@ -126,19 +128,60 @@ def synthesize_dml_segment(
     events = matched.select(*cols)
 
     segs, ordinal, seq_base = _next_segment(log_dir)
-    w = Window.orderBy("repo", "path")  # deterministic batch order
-    seq = events.withColumn(
-        "arrival_seq", (F.lit(seq_base) + F.row_number().over(w)).cast("long")
-    ).select(*[f.name for f in reg.event_schema(ver).fields])
+    # Parallel deterministic rank. A global Window.orderBy funnels every
+    # matched row through ONE partition (WindowExec's single-task warning;
+    # at scale that task IS the batch's wall-clock). The seq only needs to
+    # be DETERMINISTIC (digest invariance across replays/parallelism), not
+    # key-sorted — so: bucket by a pure hash of the key, rank within each
+    # bucket by (repo, path) in parallel, and add per-bucket cumulative
+    # offsets computed from the <=P-row bucket-count aggregate (a window
+    # over bounded METADATA rows, broadcast-joined back — no driver
+    # collect, no single-partition pass over data). Every term is a pure
+    # function of the data — no sampling, no dependence on physical
+    # partitioning, recomputation-safe. P is a CONSTANT (not
+    # defaultParallelism) so the synthesized log is bit-identical at every
+    # cluster size — the digest-invariance-across-parallelism contract.
+    P = 256
+    bucketed = events.withColumn(
+        "_pb", F.pmod(F.xxhash64("repo", "path"), F.lit(P)).cast("int")
+    ).persist()
+    try:
+        # the unpartitioned window runs over at most P=256 count rows —
+        # bounded metadata, not the matched data
+        wc = Window.orderBy("_pb").rowsBetween(Window.unboundedPreceding, -1)
+        offs = (
+            bucketed.groupBy("_pb")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn(
+                "_off", F.coalesce(F.sum("_n").over(wc), F.lit(0)).cast("long")
+            )
+            .select("_pb", "_off")
+        )
+        n_matched = bucketed.count()
+        w = Window.partitionBy("_pb").orderBy("repo", "path")
+        seq = (
+            bucketed.join(F.broadcast(offs), "_pb")
+            .withColumn(
+                "arrival_seq",
+                (F.lit(seq_base) + F.col("_off") + F.row_number().over(w)).cast(
+                    "long"
+                ),
+            )
+            .select(*[f.name for f in reg.event_schema(ver).fields])
+        )
 
-    seg_name = f"segment-{ordinal:05d}.parquet"
-    out = os.path.join(log_dir, seg_name)
-    (
-        seq.repartition(1)
-        .sortWithinPartitions("arrival_seq")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
+        seg_name = f"segment-{ordinal:05d}.parquet"
+        out = os.path.join(log_dir, seg_name)
+        # small batches compact to one file; large ones keep the parallel
+        # writers (the reader globs the segment dir — multi-part is fine)
+        writer = seq.coalesce(1) if n_matched <= 100_000 else seq
+        (
+            writer.sortWithinPartitions("arrival_seq")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    finally:
+        bucketed.unpersist()
     import pyarrow.parquet as pq
     import glob as _glob
 
