@@ -393,9 +393,20 @@ def compact_log(
         ordinal += 1
     seed_name = f"segment-{ordinal:05d}-seed.parquet"
     seed_tmp = os.path.join(log.log_dir, seed_name + ".tmp")
+    # Single-file seeds only for small logs: at scale the seed is the
+    # ENTIRE live keyspace's winner set — one task writing it would be the
+    # compaction's wall-clock. The gate comes from segment metadata (no
+    # extra job); large seeds keep parallel writers, range-partitioned by
+    # arrival_seq so each part is a contiguous, internally-sorted seq run
+    # (readers glob the dir; replay semantics are partitioning-invariant).
+    n_drop_events = int(sum(s["n_events"] for s in dropped))
+    if n_drop_events <= 1_000_000:
+        writer = seed.repartition(1)
+    else:
+        P = min(256, max(2, n_drop_events // 1_000_000))
+        writer = seed.repartitionByRange(P, "arrival_seq")
     (
-        seed.repartition(1)
-        .sortWithinPartitions("arrival_seq")
+        writer.sortWithinPartitions("arrival_seq")
         .write.mode("overwrite")
         .parquet(seed_tmp)
     )

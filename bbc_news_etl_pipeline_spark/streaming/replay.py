@@ -594,9 +594,15 @@ def apply_events(
 
     if n_quar > 0:
         with _timed(f"e{epoch} quarantine-write"):
-            quarantine.select(
+            q_out = quarantine.select(
                 F.lit(epoch).cast("long").alias("epoch"), "event_json", "error"
-            ).coalesce(1).write.mode("overwrite").parquet(
+            )
+            # one sidecar file for the normal trickle; a poison FLOOD
+            # (collector bug quarantining a whole epoch) keeps parallel
+            # writers instead of serializing the epoch on one task
+            if n_quar <= 1_000_000:
+                q_out = q_out.coalesce(1)
+            q_out.write.mode("overwrite").parquet(
                 lake.sidecar_dir("_quarantine", epoch, staged=stage_only)
             )
 
