@@ -16,7 +16,10 @@ purge:
    a from-scratch replay of the scrubbed log now converges to the
    post-erasure state (rollback self-heal can never resurrect the
    content). Affected segments are found with ONE Spark scan
-   (input_file_name + broadcast semi-join); only those files rewrite.
+   (input_file_name + broadcast semi-join); only those files rewrite,
+   and the rewrites run as a DISTRIBUTED job (one file per task,
+   crash-safe tmp+rename) — an erased hot key touching every retained
+   segment scales with the cluster, not with one driver core.
 2. **State tombstone** — a DML delete batch through the log (ordinary
    replay applies it), then compaction if the lake is layered (a MOR
    layer below the tombstone still holds the content bytes).
@@ -92,8 +95,46 @@ def _scrub_parquet_file(path: str, keys: set[tuple[str, str]]) -> int:
     if "size_bytes" in names:
         df.loc[mask, "size_bytes"] = len(REDACTED)
     out = pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
-    pq.write_table(out, path, coerce_timestamps="us")
+    # crash-safe: a kill mid-write must not corrupt a committed segment
+    tmp = path + ".scrub.tmp"
+    pq.write_table(out, tmp, coerce_timestamps="us")
+    os.replace(tmp, path)
     return n
+
+
+def _scrub_files_distributed(
+    spark: SparkSession, uris: list[str], kset: set[tuple[str, str]]
+) -> int:
+    """Scrub the affected part files as a Spark job — one file per task
+    row, vectorized over batches. An erased hot key can appear in EVERY
+    retained segment; a driver-side loop would serialize the purge on one
+    core, while this scales with the cluster (executors share the lake
+    filesystem by deployment contract — object store / NFS in prod, as
+    with every other file rewrite in the engine)."""
+    if not uris:
+        return 0
+    from urllib.parse import unquote, urlparse
+
+    import pandas as pd
+
+    paths = sorted(unquote(urlparse(u).path) for u in uris)
+    keys_sorted = sorted(kset)  # small: the erasure request's key list
+
+    def scrub(batches):
+        ks = set(keys_sorted)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"n": [_scrub_parquet_file(p, ks) for p in pdf["p"]]}
+            )
+
+    df = spark.createDataFrame([(p,) for p in paths], "p string")
+    row = (
+        df.repartition(min(len(paths), 64))
+        .mapInPandas(scrub, "n long")
+        .agg(F.sum("n").alias("n"))
+        .collect()[0]
+    )
+    return int(row["n"] or 0)
 
 
 def _scrub_quarantine(lake: LakeTable, keys: set[tuple[str, str]]) -> int:
@@ -170,11 +211,7 @@ def erase_keys(
         .distinct()
         .collect()
     ]
-    rows_redacted = 0
-    from urllib.parse import unquote, urlparse
-
-    for uri in affected:
-        rows_redacted += _scrub_parquet_file(unquote(urlparse(uri).path), kset)
+    rows_redacted = _scrub_files_distributed(spark, affected, kset)
 
     # -- 2. tombstone the keys in the live state via ordinary DML
     pred = " OR ".join(
