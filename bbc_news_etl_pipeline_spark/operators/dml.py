@@ -31,11 +31,12 @@ Semantics — a DML batch is ONE logical commit:
   engine's size mirror is maintained automatically.
 
 Scale: the matched set's `arrival_seq` rank is assigned in PARALLEL —
-range-partition by the sort key, rank within each range partition, add
-per-partition cumulative offsets (a bounded <=P-row collect). No global
-single-partition Window anywhere; a DML matching half a 100 TB table
-ranks with full cluster parallelism. The write itself is an ordinary
-bucketed epoch downstream.
+constant-width hash buckets of the key, rank within each bucket, plus
+per-bucket cumulative offsets from the <=P-row count aggregate (broadcast
+back; no driver collect). No global single-partition Window anywhere; a
+DML matching half a 100 TB table ranks with full cluster parallelism and
+the synthesized log is bit-identical at every cluster size. The write
+itself is an ordinary bucketed epoch downstream.
 """
 
 from __future__ import annotations
@@ -49,6 +50,10 @@ from pyspark.sql import functions as F
 
 from ..plans import schema_registry as reg
 from ..sources.lake import LakeTable
+
+#: segments at or below this many rows compact to ONE part file; larger DML
+#: batches keep parallel writers (tests patch this to exercise the large path)
+SINGLE_FILE_MAX_ROWS = 100_000
 
 
 def _next_segment(log_dir: str) -> tuple[list[dict], int, int]:
@@ -174,7 +179,7 @@ def synthesize_dml_segment(
         out = os.path.join(log_dir, seg_name)
         # small batches compact to one file; large ones keep the parallel
         # writers (the reader globs the segment dir — multi-part is fine)
-        writer = seq.coalesce(1) if n_matched <= 100_000 else seq
+        writer = seq.coalesce(1) if n_matched <= SINGLE_FILE_MAX_ROWS else seq
         (
             writer.sortWithinPartitions("arrival_seq")
             .write.mode("overwrite")

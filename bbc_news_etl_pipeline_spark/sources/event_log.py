@@ -25,6 +25,11 @@ from pyspark.sql import types as T
 
 from ..plans import schema_registry as reg
 
+#: compaction seeds derived from at most this many dropped events write as one
+#: part file; larger seeds keep parallel range-partitioned writers (tests patch
+#: this to exercise the large path)
+SEED_SINGLE_FILE_MAX_EVENTS = 1_000_000
+
 
 def assert_columnar_segments(log_dir: str, after_seq: int = -1) -> None:
     """Guard for the STREAMING surfaces (tail/windows/stateful), which
@@ -400,10 +405,10 @@ def compact_log(
     # arrival_seq so each part is a contiguous, internally-sorted seq run
     # (readers glob the dir; replay semantics are partitioning-invariant).
     n_drop_events = int(sum(s["n_events"] for s in dropped))
-    if n_drop_events <= 1_000_000:
+    if n_drop_events <= SEED_SINGLE_FILE_MAX_EVENTS:
         writer = seed.repartition(1)
     else:
-        P = min(256, max(2, n_drop_events // 1_000_000))
+        P = min(256, max(2, n_drop_events // SEED_SINGLE_FILE_MAX_EVENTS))
         writer = seed.repartitionByRange(P, "arrival_seq")
     (
         writer.sortWithinPartitions("arrival_seq")

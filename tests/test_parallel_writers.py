@@ -1,0 +1,130 @@
+"""The large-batch parallel-writer paths behind the size gates.
+
+At test scale every DML segment and compaction seed fits under the
+single-file gates, so the multi-part branches (the 100 TB path: parallel
+writers, range-partitioned seeds, hash-bucketed DML ranks) would never
+execute. These tests patch the gates to force the large path on small
+data and pin the invariants that make multi-part segments safe:
+contiguous gap-free arrival_seq, reader-transparent multi-part dirs, and
+bit-identical replay digests vs the single-file run.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.operators import dml as dml_mod
+from bbc_news_etl_pipeline_spark.sources import event_log as el_mod
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog, compact_log
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest
+
+E = 3_000
+
+
+def _replayed(spark, tmp_path, name, events=E, epochs=3):
+    d = str(tmp_path / f"log_{name}")
+    gen.build_stream(events, epochs, d)
+    root = str(tmp_path / f"lake_{name}")
+    R.replay(spark, d, root, n_buckets=8)
+    return d, root
+
+
+def test_dml_multipart_segment_digest_equals_single_file(
+    spark, tmp_path, monkeypatch
+):
+    d1, root1 = _replayed(spark, tmp_path, "multi")
+    d2, root2 = _replayed(spark, tmp_path, "single")
+
+    # force the parallel-writer branch on the first copy only; AQE would
+    # (correctly) coalesce this tiny shuffle back to one partition, so pin
+    # it off to actually exercise the multi-part layout
+    monkeypatch.setattr(dml_mod, "SINGLE_FILE_MAX_ROWS", 0)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        res1 = dml_mod.synthesize_dml_segment(
+            spark, LakeTable(root1, n_buckets=8), d1, "lang = 'py'"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    monkeypatch.setattr(dml_mod, "SINGLE_FILE_MAX_ROWS", 100_000)
+    res2 = dml_mod.synthesize_dml_segment(spark, LakeTable(root2, n_buckets=8), d2, "lang = 'py'")
+
+    assert res1["matched"] == res2["matched"] > 0
+    assert res1["seq_lo"] == res2["seq_lo"] and res1["seq_hi"] == res2["seq_hi"]
+
+    seg1 = os.path.join(d1, res1["segment"])
+    seg2 = os.path.join(d2, res2["segment"])
+    parts1 = glob.glob(os.path.join(seg1, "*.parquet"))
+    parts2 = glob.glob(os.path.join(seg2, "*.parquet"))
+    assert len(parts1) > 1, "gate patched to 0 must produce a multi-part segment"
+    assert len(parts2) == 1
+
+    # identical seq assignment regardless of file layout (the deterministic
+    # hash-bucket rank), and a contiguous gap-free range
+    import duckdb
+
+    rows1 = duckdb.sql(
+        f"select repo, path, arrival_seq from read_parquet('{seg1}/*.parquet') order by repo, path"
+    ).fetchall()
+    rows2 = duckdb.sql(
+        f"select repo, path, arrival_seq from read_parquet('{seg2}/*.parquet') order by repo, path"
+    ).fetchall()
+    assert rows1 == rows2
+    seqs = sorted(r[2] for r in rows1)
+    assert seqs == list(range(res1["seq_lo"], res1["seq_hi"] + 1))
+
+    # the ordinary pipeline applies the multi-part segment transparently
+    rr1 = R.replay(spark, d1, root1, n_buckets=8)
+    rr2 = R.replay(spark, d2, root2, n_buckets=8)
+    assert rr1.events_applied == rr2.events_applied == res1["matched"]
+    assert engine_digest(spark, root1) == engine_digest(spark, root2)
+
+
+def test_compaction_seed_multipart_replays_identically(
+    spark, tmp_path, monkeypatch
+):
+    d, root = _replayed(spark, tmp_path, "seed", epochs=4)
+    base = engine_digest(spark, root)
+    lake = LakeTable(root, n_buckets=8)
+    lake.expire_snapshots(keep_last=1)
+
+    monkeypatch.setattr(el_mod, "SEED_SINGLE_FILE_MAX_EVENTS", 100)
+    res = compact_log(spark, EventLog(d), lake)
+    assert res["dropped_segments"] > 0 and res["seed_events"] > 0
+
+    seed_dir = os.path.join(d, res["seed"])
+    parts = glob.glob(os.path.join(seed_dir, "*.parquet"))
+    assert len(parts) > 1, "patched gate must produce a multi-part seed"
+
+    # each part is a contiguous internally-sorted seq run (range partition)
+    import duckdb
+
+    spans = sorted(
+        duckdb.sql(
+            f"select min(arrival_seq), max(arrival_seq) from read_parquet('{p}')"
+        ).fetchone()
+        for p in parts
+    )
+    for (alo, ahi), (blo, _) in zip(spans, spans[1:]):
+        assert ahi < blo, "part seq ranges must be disjoint and ordered"
+
+    # resumed pipeline: fence intact on the compacted log
+    rr = R.replay(spark, d, root, n_buckets=8)
+    assert rr.events_applied == 0
+    assert engine_digest(spark, root) == base
+
+    # from-scratch DR replay of the multi-part seed converges bit-identically
+    fresh = str(tmp_path / "lake_fresh")
+    R.replay(spark, d, fresh, n_buckets=8)
+    assert engine_digest(spark, fresh) == base
+
+    # the index entry still covers the collapsed range
+    segs = json.load(open(os.path.join(d, "_segments.json")))
+    seed_entry = next(s for s in segs if s["file"] == res["seed"])
+    assert seed_entry["n_events"] == res["seed_events"]
