@@ -66,6 +66,16 @@ def _blockers(lake: LakeTable) -> list[str]:
         out.append(
             f"branches hold independent references: {branches} (drop or erase there too)"
         )
+    # consumer cursors pin their snapshot through expire_snapshots exactly
+    # like tags — and erasure MOVES head (DML epoch + compaction), so even a
+    # cursor currently at head would pin a pre-erasure snapshot whose files
+    # keep the content alive. Every cursor blocks.
+    consumers = lake.refs().get("consumers", {})
+    if consumers:
+        out.append(
+            f"consumer cursors pin pre-erasure snapshots: {sorted(consumers)} "
+            "(let them drain + advance, or drop_consumer first)"
+        )
     return out
 
 

@@ -133,3 +133,32 @@ def test_erase_scrubs_quarantined_payload(spark, tmp_path):
     qs = _all_contents(root)
     assert "secret-payload" not in qs and REDACTED in qs
     assert "ok-row" in _all_contents(root) or "ok-row" in _all_contents(d)
+
+
+def test_erase_refuses_consumer_cursor_pin(spark, tmp_path):
+    """A consumer cursor pins its snapshot through expire_snapshots — and
+    erasure MOVES head, so even a cursor at the current head would pin a
+    pre-erasure snapshot whose files keep the content. Erasure must refuse
+    until the cursor drains (or is dropped), then purge completely."""
+    d, lake, root = _fresh(spark, tmp_path, mode="cow")
+    pdf = engine_live_pdf(spark, root)
+    k = pdf[["repo", "path"]].iloc[0]
+    victim_content = set(
+        pdf[(pdf["repo"] == k.repo) & (pdf["path"] == k.path)]["content"].dropna()
+    )
+
+    head = lake.committed_epochs()[-1]
+    lake.advance_consumer_cursor("etl-downstream", head)
+    with pytest.raises(ValueError, match="consumer cursors pin"):
+        erase_keys(spark, lake, d, [(k.repo, k.path)])
+
+    # forcing past reports the blocker it could not see through
+    report = erase_keys(spark, lake, d, [(k.repo, k.path)], force=True)
+    assert any("consumer cursors pin" in b for b in report["blockers_forced_past"])
+
+    # after the consumer drops, a clean erasure leaves nothing pinned
+    lake.drop_consumer("etl-downstream")
+    erase_keys(spark, lake, d, [(k.repo, k.path)])
+    assert lake.read_key(spark, k.repo, k.path).count() == 0
+    leftover = _all_contents(root) | _all_contents(d)
+    assert not (victim_content & leftover)
