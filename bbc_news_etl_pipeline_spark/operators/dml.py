@@ -76,12 +76,20 @@ def synthesize_dml_segment(
     log_dir: str,
     where: str,
     set_exprs: dict[str, str] | None = None,
+    match_keys: "DataFrame | None" = None,
 ) -> dict:
     """Append one log segment of synthesized ``delete`` (``set_exprs is
     None``) or ``update`` events for every live row matching the SQL
     predicate ``where``. Returns ``{op, matched, lsn, segment, seq_lo,
     seq_hi}`` (``segment`` None when nothing matched — no empty segments).
-    The caller applies it with an ordinary replay/tail run."""
+    The caller applies it with an ordinary replay/tail run.
+
+    ``match_keys``: optional (repo, path) DataFrame; when given, rows
+    match by SEMI-JOIN against it and ``where`` is only the
+    human-readable description. This is the key-set path (bulk erasure):
+    compiling thousands of keys into one OR-chain predicate would blow up
+    the Catalyst expression tree, while a semi-join (broadcast below the
+    engine's key cap) stays O(keys) data-side."""
     from pyspark.sql import Window
 
     m = lake.current_manifest()
@@ -99,7 +107,16 @@ def synthesize_dml_segment(
     op = "delete" if set_exprs is None else "update"
     lsn = int(m.get("lsn_hi") or 0) + 1
 
-    matched = lake.read_state(spark).where(F.expr(where))
+    state = lake.read_state(spark)
+    if match_keys is not None:
+        from ..util import BROADCAST_KEYS_MAX
+
+        build = match_keys.select("repo", "path").distinct()
+        if build.count() <= BROADCAST_KEYS_MAX:
+            build = F.broadcast(build)
+        matched = state.join(build, ["repo", "path"], "left_semi")
+    else:
+        matched = state.where(F.expr(where))
     cols = [
         F.lit(lsn).cast("long").alias("lsn"),
         F.concat(

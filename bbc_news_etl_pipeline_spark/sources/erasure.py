@@ -224,11 +224,16 @@ def erase_keys(
     rows_redacted = _scrub_files_distributed(spark, affected, kset)
 
     # -- 2. tombstone the keys in the live state via ordinary DML
-    pred = " OR ".join(
-        "(repo = '{}' AND path = '{}')".format(r.replace("'", "''"), p.replace("'", "''"))
-        for r, p in sorted(kset)
+    # key-set semi-join, NOT an OR-chain predicate: a bulk erasure batch of
+    # thousands of keys would otherwise compile into a thousands-clause
+    # Catalyst expression tree
+    res = synthesize_dml_segment(
+        spark,
+        lake,
+        log_dir,
+        f"<erasure key set: {len(kset)} keys>",
+        match_keys=key_df,
     )
-    res = synthesize_dml_segment(spark, lake, log_dir, pred)
     if res["matched"]:
         replay(spark, log_dir, lake.root, n_buckets=lake.n_buckets,
                mode=mode, branch=lake.branch)
