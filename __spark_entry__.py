@@ -33,6 +33,7 @@ if _REPO_ROOT not in sys.path:
 from bbc_news_etl_pipeline_spark.operators import dedup as D  # noqa: E402
 from bbc_news_etl_pipeline_spark.operators import multimodal as MM  # noqa: E402
 from bbc_news_etl_pipeline_spark.operators import relational as R  # noqa: E402
+from bbc_news_etl_pipeline_spark.operators import search as SR  # noqa: E402
 from bbc_news_etl_pipeline_spark.operators import similarity as S  # noqa: E402
 from bbc_news_etl_pipeline_spark.operators import textstats as TS  # noqa: E402
 
@@ -228,6 +229,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_stratified_sample"] = lambda s, d: TS.stratified_sample(
         _t(s, d, "documents"), {"en": 0.2, "fr": 0.5, "de": 1.0}
     ).select("doc_id", "lang")
+    # overlapping token-window chunking (training-data context packing):
+    # map-side bounded explode, no shuffle
+    q["text_chunk_windows"] = lambda s, d: TS.chunk_windows(
+        _t(s, d, "documents"), size=32, stride=24
+    )
+    # index-accelerated substring search: trigram postings prune, exact
+    # contains verify — value-checked against a brute-force oracle
+    q["code_trigram_search"] = lambda s, d: SR.substring_search(
+        _t(s, d, "documents"), "spark merge",
+        index=SR.trigram_index(_t(s, d, "documents")),
+    )
 
     # ---- multimodal plumbing (Arrow mapInPandas over binary payloads) ----
     q["mm_binary_metadata"] = lambda s, d: MM.media_metadata_sql_checkable(
@@ -243,6 +255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- live CDC engine replay (non-SQL-expressible: full engine path) ----
     q["cdc_replay_state"] = _cdc_replay_state
+    q["cdc_scd2_history"] = _cdc_scd2_history
+    q["cdc_scd2_incremental"] = _cdc_scd2_incremental
+    q["cdc_state_at_lsn"] = _cdc_state_at_lsn
     q["cdc_wap_staged_state"] = _cdc_wap_staged_state
     q["cdc_branch_state"] = _cdc_branch_state
     q["cdc_read_changes"] = _cdc_read_changes
@@ -588,6 +603,58 @@ def _ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_kmeans_topk(
         embs, _query_vec(spark, sf_dir), centroids, k=10, exclude_vec_id=0
     )
+
+
+def _cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history over the staged oracle log, read through
+    the REAL log reader (schema reconciliation, unknown-column machinery):
+    every (repo, path) content version as a [valid_from_lsn, valid_to_lsn)
+    interval, deletes closing intervals, redeliveries collapsed. The DuckDB
+    oracle derives the identical table with a lead() window over the
+    deduplicated valid events."""
+    from bbc_news_etl_pipeline_spark.operators.history import scd2_history
+    from bbc_news_etl_pipeline_spark.plans import schema_registry as reg
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+
+    log = EventLog(_ensure_cdc_oracle_log())
+    return scd2_history(log.read_range(spark, -1, log.max_seq(), reg.LATEST_VERSION))
+
+
+def _cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: derive the history at the epoch-0
+    boundary, then fold ONLY the remaining log window in via
+    `refresh_scd2` (touched keys reconstructed from the base table itself,
+    untouched keys broadcast-anti-joined through unchanged). Must be
+    row-identical to the from-scratch SCD2 over the full log — the oracle
+    is literally `cdc_scd2_history`'s."""
+    from bbc_news_etl_pipeline_spark.operators.history import (
+        refresh_scd2,
+        scd2_history,
+    )
+    from bbc_news_etl_pipeline_spark.plans import schema_registry as reg
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+
+    log = EventLog(_ensure_cdc_oracle_log())
+    boundary = next(s["seq_hi"] for s in log.segments() if s["epoch"] == 0)
+    base = scd2_history(log.read_range(spark, -1, boundary, reg.LATEST_VERSION))
+    window = log.read_range(spark, boundary, log.max_seq(), reg.LATEST_VERSION)
+    return refresh_scd2(base, window)
+
+
+def _cdc_state_at_lsn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state on the SOURCE timeline: the LWW live state as of
+    half the log's maximum commit LSN (both sides compute the same floor-div
+    bound). Snapshot time travel addresses the ARRIVAL timeline (epoch
+    boundaries); this is the finer-grained "as of source LSN X" a replica
+    provisioned from a backup needs."""
+    from bbc_news_etl_pipeline_spark.operators.history import state_at_lsn
+    from bbc_news_etl_pipeline_spark.plans import schema_registry as reg
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+
+    log = EventLog(_ensure_cdc_oracle_log())
+    events = log.read_range(spark, -1, log.max_seq(), reg.LATEST_VERSION)
+    hi = events.agg(F.max("lsn")).first()[0]  # one scalar, bounded collect
+    return state_at_lsn(events, int(hi) // 2)
 
 
 def _cdc_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1148,6 +1215,23 @@ def oracle_sql() -> dict[str, str]:
         f"WITH b AS (SELECT doc_id, {_planted} AS t FROM documents) "
         f"SELECT doc_id, {', '.join(_cnt)}, {_red} AS redacted_text FROM b"
     )
+    # overlapping token-window chunks: same whitespace split, one start per
+    # stride step, 1-based inclusive array slice == Spark's slice(start+1, W)
+    o["text_chunk_windows"] = (
+        r"WITH b AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w "
+        "FROM documents), "
+        "s AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 24)) "
+        "  AS start FROM b WHERE len(w) > 0) "
+        "SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx, "
+        "array_to_string(w[CAST(start + 1 AS INT):CAST(start + 32 AS INT)], ' ') "
+        "  AS chunk_text, "
+        "CAST(least(32, len(w) - start) AS BIGINT) AS n_tokens FROM s"
+    )
+    # index-accelerated substring search must return EXACTLY the brute-force
+    # contains set (trigram pruning is sound; the verify pass is exact)
+    o["code_trigram_search"] = (
+        "SELECT doc_id FROM documents WHERE contains(text, 'spark merge')"
+    )
     o["text_lang_id"] = (
         r"WITH s AS (SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS w FROM documents), "
         "sc AS (SELECT doc_id, lang, "
@@ -1228,6 +1312,42 @@ def oracle_sql() -> dict[str, str]:
     # metadata choreography over the same event stream: the promoted main
     # state must equal the straight full-log LWW oracle bit-for-bit.
     o["cdc_branch_state"] = o["cdc_replay_state"]
+    # SCD Type-2 history: dedup redelivered (key, lsn) copies, then lead()
+    # per key gives each era's half-open validity interval; tombstone eras
+    # stay as is_deleted rows (lossless — the refresh contract depends on
+    # every row round-tripping to its event).
+    o["cdc_scd2_history"] = (
+        f"WITH ev AS (SELECT repo, path, lsn, op, content "
+        f"  FROM read_parquet('{log_glob}', union_by_name=true) "
+        "  WHERE op IN ('insert', 'update', 'delete') AND repo IS NOT NULL "
+        "    AND path IS NOT NULL AND lsn IS NOT NULL "
+        "    AND (op = 'delete' OR content IS NOT NULL)), "
+        "dedup AS (SELECT repo, path, lsn, min(op) AS op, "
+        "  min(sha256(content)) AS content_sha256 FROM ev GROUP BY 1, 2, 3), "
+        "h AS (SELECT *, lead(lsn) OVER "
+        "  (PARTITION BY repo, path ORDER BY lsn) AS valid_to_lsn FROM dedup) "
+        "SELECT repo, path, lsn AS valid_from_lsn, valid_to_lsn, "
+        "content_sha256, (op = 'delete') AS is_deleted, "
+        "(valid_to_lsn IS NULL) AS is_current FROM h"
+    )
+    # exact IVM for the history table: the incremental refresh must land on
+    # the from-scratch derivation bit-for-bit
+    o["cdc_scd2_incremental"] = o["cdc_scd2_history"]
+    # source-LSN point-in-time state: the same LWW reduce bounded at half
+    # the log's max commit LSN (floor division on both sides).
+    o["cdc_state_at_lsn"] = (
+        f"WITH raw AS (SELECT repo, path, lsn, op, content "
+        f"  FROM read_parquet('{log_glob}', union_by_name=true)), "
+        "mx AS (SELECT max(lsn) // 2 AS bound FROM raw), "
+        "ev AS (SELECT r.* FROM raw r, mx "
+        "  WHERE op IN ('insert', 'update', 'delete') AND repo IS NOT NULL "
+        "    AND path IS NOT NULL AND lsn IS NOT NULL AND lsn <= mx.bound "
+        "    AND (op = 'delete' OR content IS NOT NULL)), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev) "
+        "SELECT repo, path, lsn, sha256(content) AS content_sha256 "
+        "FROM ranked WHERE rn = 1 AND op <> 'delete'"
+    )
     # incremental rollup refresh: exact IVM means the refreshed store equals
     # the from-scratch aggregate over the full-log LWW live state.
     # row-level DML compiled to log events: the oracle reproduces the two

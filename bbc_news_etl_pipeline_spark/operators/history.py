@@ -1,0 +1,173 @@
+"""Temporal history views over the change-event log.
+
+Two query surfaces a CDC consumer expects beyond the live state:
+
+- ``scd2_history``: the full SCD Type-2 dimension-history table — every
+  (repo, path) version as a row with a ``[valid_from_lsn, valid_to_lsn)``
+  interval on the source-commit (LSN) timeline. This is the warehouse
+  landing shape a Debezium → dimension-table pipeline materializes; the
+  reference keeps only the newest scrape per key
+  (/root/reference/src/clients/mongo/producer_repository.py:93-135) —
+  SCD2 is its history-preserving generalization.
+- ``state_at_lsn``: point-in-time state on the SOURCE timeline ("as of
+  commit LSN X"), finer-grained than snapshot time travel, which addresses
+  the ARRIVAL timeline (epoch boundaries). A replica provisioned from a
+  backup taken at source LSN X needs exactly this view to know where to
+  resume.
+
+Scale notes: ``scd2_history`` is ONE hash exchange on the merge key — the
+redelivery dedup and the interval ``lead`` run in the same
+(repo, path)-partitioned sort (plan-pinned in tests/test_plans.py).
+``state_at_lsn`` pushes the LSN bound into the parquet scan (row-group
+stats prune old segments) and reuses the merge tier's salted slim winner
+reduce — the payload column never enters an aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .merge import unknown_column_clause, valid_predicate
+
+
+def _valid(events: DataFrame) -> DataFrame:
+    return events.where(
+        F.coalesce(valid_predicate() & unknown_column_clause(events), F.lit(False))
+    )
+
+
+def _intervals(versions: DataFrame) -> DataFrame:
+    """Shared interval derivation over deduplicated per-key (lsn, op, sha)
+    version rows: lead() gives each era's half-open end; tombstone eras
+    keep a row with ``is_deleted`` so the table is a LOSSLESS encoding of
+    its keys' event history (every row round-trips to its event — the
+    property ``refresh_scd2``'s exactness rests on; dropping delete rows
+    would lose the delete LSNs of keys whose retained prefix is
+    deletes-only, and an incremental refresh could then rebuild wrong
+    intervals)."""
+    w_next = Window.partitionBy("repo", "path").orderBy("lsn")
+    hist = versions.withColumn("valid_to_lsn", F.lead("lsn").over(w_next))
+    return hist.select(
+        "repo",
+        "path",
+        F.col("lsn").alias("valid_from_lsn"),
+        "valid_to_lsn",
+        "content_sha256",
+        (F.col("op") == "delete").alias("is_deleted"),
+        F.col("valid_to_lsn").isNull().alias("is_current"),
+    )
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """SCD Type-2 history: one row per (repo, path) era — content versions
+    plus tombstone (absence) eras flagged ``is_deleted``.
+
+    ``valid_from_lsn`` is the era's commit LSN; ``valid_to_lsn`` is the
+    NEXT event's LSN (NULL while current — half-open intervals, so
+    ``state_at_lsn(X)`` == non-deleted rows with
+    ``valid_from <= X < valid_to``). ``is_current`` marks rows with no
+    successor event; consumers wanting the classic versions-only view
+    filter ``is_deleted``.
+
+    Redelivered events (same (repo, path, lsn); byte-identical by the log
+    contract) collapse to one era: the first window pass keeps each
+    key's first row per LSN run, and because the second pass shares the
+    exact partitioning AND its (lsn) ordering is a prefix of the first's
+    (lsn, arrival_seq), Catalyst inserts no second Exchange or Sort —
+    the whole history derivation is one shuffle over the merge key.
+    """
+    ev = _valid(events).select(
+        "repo",
+        "path",
+        "lsn",
+        "arrival_seq",
+        "op",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+    w_dedup = Window.partitionBy("repo", "path").orderBy("lsn", "arrival_seq")
+    first_of_lsn = F.lag("lsn").over(w_dedup).isNull() | (
+        F.lag("lsn").over(w_dedup) != F.col("lsn")
+    )
+    versions = ev.withColumn("_first", first_of_lsn).where(F.col("_first"))
+    return _intervals(versions)
+
+
+def refresh_scd2(base_hist: DataFrame, window_events: DataFrame) -> DataFrame:
+    """Incremental SCD2 maintenance: fold a log window into an existing
+    history table, touching ONLY the keys the window names — the O(changed
+    keys + window) refresh that makes SCD2 viable as a continuously
+    maintained warehouse table (a from-scratch rebuild is O(every event
+    ever)). The result is row-identical to ``scd2_history`` over the full
+    log (contract `cdc_scd2_incremental`).
+
+    This rests on the history table being a LOSSLESS encoding of its keys'
+    events (see ``_intervals``): every row — tombstone eras included — is
+    exactly one event (``valid_from_lsn``, op, sha). Touched keys' prior
+    events are therefore reconstructed from the base rows themselves — no
+    re-read of the old log — unioned with the window's new events,
+    deduplicated by LSN (cross-boundary redelivery), and re-run through the
+    same one-shuffle interval derivation. Untouched keys pass through
+    byte-identical via a broadcast anti-join (one scan of the base, no
+    shuffle).
+    """
+    keys = window_events.select("repo", "path").where(
+        F.col("repo").isNotNull() & F.col("path").isNotNull()
+    ).distinct()
+    bkeys = F.broadcast(keys)
+    untouched = base_hist.join(bkeys, ["repo", "path"], "left_anti")
+    touched = base_hist.join(bkeys, ["repo", "path"], "left_semi")
+
+    prior = touched.select(
+        "repo",
+        "path",
+        F.col("valid_from_lsn").alias("lsn"),
+        F.when(F.col("is_deleted"), F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "content_sha256",
+    )
+    new = _valid(window_events).select(
+        "repo",
+        "path",
+        "lsn",
+        F.when(F.col("op") == "delete", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+    merged = prior.unionByName(new)
+    w = Window.partitionBy("repo", "path").orderBy("lsn")
+    # cross-boundary redeliveries carry byte-identical (op, sha) — keep the
+    # first row of each LSN run, derive intervals in the same sort
+    first_of_lsn = F.lag("lsn").over(w).isNull() | (
+        F.lag("lsn").over(w) != F.col("lsn")
+    )
+    versions = merged.withColumn("_first", first_of_lsn).where(F.col("_first"))
+    return untouched.unionByName(_intervals(versions))
+
+
+def state_at_lsn(events: DataFrame, at_lsn: int) -> DataFrame:
+    """Live state as of source LSN ``at_lsn`` (inclusive): the LWW winner
+    per key over events with ``lsn <= at_lsn``, tombstone winners folded
+    out. The predicate is a plain column bound, so it reaches the parquet
+    scan (row-group stats skip segments entirely newer than the bound);
+    the winner reduce is the merge tier's salted slim two-stage max —
+    same shape as sources/event_log.compact_log's seed reduce — and the
+    wide ``content`` column is only touched on the winning rows.
+    """
+    ev = _valid(events).where(F.col("lsn") <= F.lit(int(at_lsn)))
+    win_lsn = (
+        ev.select("repo", "path", "lsn")
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col("lsn")), F.lit(16)).cast("int"))
+        .groupBy("repo", "path", "_salt")
+        .agg(F.max("lsn").alias("lsn"))
+        .groupBy("repo", "path")
+        .agg(F.max("lsn").alias("lsn"))
+    )
+    winners = ev.join(
+        win_lsn.hint("shuffle_hash"), ["repo", "path", "lsn"], "left_semi"
+    ).dropDuplicates(["repo", "path"])  # redelivered copies are byte-identical
+    return winners.where(F.col("op") != "delete").select(
+        "repo", "path", "lsn", F.sha2(F.col("content"), 256).alias("content_sha256")
+    )

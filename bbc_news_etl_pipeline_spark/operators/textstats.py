@@ -220,3 +220,41 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
         F.length(normalize_text(F.col("text"))).cast("long").alias("norm_len"),
     )
+
+
+def chunk_windows(docs: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
+    """Overlapping token-window chunks — the training-data step that turns
+    documents into model-context-sized pieces. Each doc yields chunks of up
+    to ``size`` whitespace tokens starting every ``stride`` tokens (the
+    final chunk may be shorter; ``stride < size`` gives the usual overlap
+    for boundary-context preservation).
+
+    Scale shape: a map-side bounded explode (``ceil(n_tokens/stride)`` rows
+    per doc) of pure column expressions — no shuffle, no Python, composes
+    with the document scan at any corpus size. Output is
+    (doc_id, chunk_idx, chunk_text, n_tokens).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError(f"size/stride must be positive: {size}/{stride}")
+    base = docs.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("_w")
+    ).where(F.size("_w") > 0)
+    ch = base.select(
+        "doc_id",
+        "_w",
+        # sequence(0, n-1, stride): one start per chunk; n >= 1 here so the
+        # sequence is never descending
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("_w") - 1, F.lit(stride))
+        ).alias("chunk_idx", "_start"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("_w", F.col("_start") + 1, F.lit(size))).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(size), F.size("_w") - F.col("_start"))
+        .cast("long")
+        .alias("n_tokens"),
+    )

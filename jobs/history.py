@@ -1,0 +1,91 @@
+"""spark-submit entry point: temporal history exports over the event log
+(operators/history.py) — the warehouse-facing SCD Type-2 dimension table
+and source-LSN point-in-time state.
+
+Usage:
+    # full SCD2 history (one row per key version, half-open LSN intervals)
+    spark-submit --master local[32] jobs/history.py \
+        --log-dir /tmp/log --scd2 --out /tmp/hist
+
+    # incremental refresh of a previously exported history (O(touched keys))
+    spark-submit jobs/history.py --log-dir /tmp/log --scd2 \
+        --update-from /tmp/hist --after-seq 12345 --out /tmp/hist2
+
+    # live state as of source commit LSN X (replica-provisioning view)
+    spark-submit jobs/history.py --log-dir /tmp/log --at-lsn X --out /tmp/state
+
+``--after-seq`` is the arrival high-water mark the previous export covered
+(stamped into `_history_meta.json` next to the parquet by this job, so a
+refresh chain just reads it back when the flag is omitted). Prints one JSON
+line with row counts and the new high-water mark.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_package  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--log-dir", required=True)
+    p.add_argument("--scd2", action="store_true", help="export SCD2 history")
+    p.add_argument("--at-lsn", type=int, default=None,
+                   help="export live state as of this source commit LSN")
+    p.add_argument("--update-from", default=None,
+                   help="previous --scd2 export to refresh incrementally")
+    p.add_argument("--after-seq", type=int, default=None,
+                   help="arrival seq the previous export covered (default: "
+                        "read from the previous export's _history_meta.json)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+    if args.scd2 == (args.at_lsn is not None):
+        raise SystemExit("pass exactly one of --scd2 or --at-lsn")
+
+    spark = build_session(app_name="cdc-history", master=args.master)
+    ship_engine_package(spark)
+    from bbc_news_etl_pipeline_spark.operators.history import (
+        refresh_scd2,
+        scd2_history,
+        state_at_lsn,
+    )
+    from bbc_news_etl_pipeline_spark.plans import schema_registry as reg
+
+    log = EventLog(args.log_dir)
+    head_seq = log.max_seq()
+    if args.at_lsn is not None:
+        events = log.read_range(spark, -1, head_seq, reg.LATEST_VERSION)
+        out = state_at_lsn(events, args.at_lsn)
+    elif args.update_from:
+        if os.path.abspath(args.update_from) == os.path.abspath(args.out):
+            raise SystemExit("--out must differ from --update-from (the "
+                             "refresh reads the previous export while writing)")
+        after = args.after_seq
+        if after is None:
+            with open(os.path.join(args.update_from, "_history_meta.json")) as f:
+                after = json.load(f)["covered_seq"]
+        base = spark.read.parquet(args.update_from)
+        window = log.read_range(spark, after, head_seq, reg.LATEST_VERSION)
+        out = refresh_scd2(base, window)
+    else:
+        out = scd2_history(log.read_range(spark, -1, head_seq, reg.LATEST_VERSION))
+
+    out.write.mode("overwrite").parquet(args.out)
+    if args.scd2:
+        with open(os.path.join(args.out, "_history_meta.json"), "w") as f:
+            json.dump({"covered_seq": head_seq}, f)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"rows": n, "covered_seq": head_seq, "out": args.out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

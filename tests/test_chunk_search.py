@@ -1,0 +1,101 @@
+"""Token-window chunking (textstats.chunk_windows) and trigram-index
+substring search (operators/search.py): hand-checked values, index-vs-exact
+equivalence, short-needle fallback, and the no-shuffle chunk plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bbc_news_etl_pipeline_spark.operators import search as SR
+from bbc_news_etl_pipeline_spark.operators.textstats import chunk_windows
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_windows_hand_case(spark):
+    docs = _docs(spark, [(1, "a b c d e f g"), (2, "x")])
+    out = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+        for r in chunk_windows(docs, size=4, stride=3).collect()
+    }
+    assert out == {
+        (1, 0): ("a b c d", 4),
+        (1, 1): ("d e f g", 4),  # overlap of size-stride=1 token
+        (2, 0): ("x", 1),
+        (1, 2): ("g", 1),  # final short tail chunk
+    }
+
+
+def test_chunk_windows_covers_every_token(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ch = chunk_windows(docs, size=32, stride=24)
+    # coverage invariants: one chunk per stride step (k = floor((n-1)/24)+1)
+    # and the final chunk ends exactly at the doc's last token
+    agg = (
+        ch.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.max(F.col("chunk_idx") * 24 + F.col("n_tokens")).alias("end"),
+        )
+        .join(
+            docs.select(
+                "doc_id", F.size(F.split("text", r"\s+")).alias("n")
+            ),
+            "doc_id",
+        )
+    )
+    bad = agg.where(
+        (F.col("k") != F.floor((F.col("n") - 1) / 24) + 1)
+        | (F.col("end") != F.col("n"))
+    ).count()
+    assert bad == 0
+
+
+def test_chunk_windows_rejects_bad_params(spark):
+    docs = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        chunk_windows(docs, size=0)
+    with pytest.raises(ValueError):
+        chunk_windows(docs, stride=0)
+
+
+def test_chunk_plan_is_map_side_only(spark):
+    from tests.test_plans import _n_nodes, _plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(spark, chunk_windows(docs, size=32, stride=24))
+    assert _n_nodes(plan, "Exchange") == 0, plan
+
+
+def test_trigram_search_equals_bruteforce(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = SR.trigram_index(docs)
+    for needle in ("spark merge", "table", "zz-not-there"):
+        via_index = {
+            r.doc_id for r in SR.substring_search(docs, needle, index=idx).collect()
+        }
+        exact = {
+            r.doc_id
+            for r in docs.where(F.col("text").contains(needle))
+            .select("doc_id")
+            .collect()
+        }
+        assert via_index == exact, needle
+
+
+def test_trigram_search_short_needle_falls_back(spark):
+    docs = _docs(spark, [(1, "ab cd"), (2, "xy")])
+    idx = SR.trigram_index(docs)
+    got = {r.doc_id for r in SR.substring_search(docs, "ab", index=idx).collect()}
+    assert got == {1}
+
+
+def test_trigram_index_handles_short_docs(spark):
+    docs = _docs(spark, [(1, "ab"), (2, ""), (3, "abc")])
+    rows = SR.trigram_index(docs).collect()
+    assert {(r.doc_id, r.gram) for r in rows} == {(3, "abc")}

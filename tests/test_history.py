@@ -1,0 +1,255 @@
+"""SCD Type-2 history + source-LSN point-in-time state
+(operators/history.py): interval semantics, delete closing, redelivery
+collapse, out-of-order arrival, validity exclusion — and the single-shuffle
+plan shape the 100 TB design depends on."""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from bbc_news_etl_pipeline_spark.operators.history import (
+    refresh_scd2,
+    scd2_history,
+    state_at_lsn,
+)
+from bbc_news_etl_pipeline_spark.plans import schema_registry as reg
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def _events(spark, rows):
+    """rows: (arrival_seq, lsn, op, repo, path, content)."""
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    full = [
+        (
+            seq, lsn, f"e{seq}", op, repo, path,
+            "c0", "py", content,
+            len(content) if content is not None else None, None,
+            ts, reg.LATEST_VERSION,
+        )
+        for seq, lsn, op, repo, path, content in rows
+    ]
+    return spark.createDataFrame(full, reg.event_schema(reg.LATEST_VERSION))
+
+
+def _hist(df):
+    return {
+        (r.repo, r.path, r.valid_from_lsn): (
+            r.valid_to_lsn, r.content_sha256, r.is_deleted, r.is_current
+        )
+        for r in df.collect()
+    }
+
+
+BASE_ROWS = [
+    (0, 1, "insert", "r1", "a", "x"),
+    (1, 3, "update", "r1", "a", "y"),
+    (2, 5, "delete", "r1", "a", None),
+    (3, 2, "insert", "r2", "b", "z"),
+]
+
+
+def test_scd2_intervals_delete_closes_and_current(spark):
+    h = _hist(scd2_history(_events(spark, BASE_ROWS)))
+    assert h == {
+        ("r1", "a", 1): (3, _sha("x"), False, False),
+        ("r1", "a", 3): (5, _sha("y"), False, False),
+        # the delete closes the prior era AND keeps a tombstone era of its
+        # own (lossless encoding — refresh_scd2 depends on it)
+        ("r1", "a", 5): (None, None, True, True),
+        ("r2", "b", 2): (None, _sha("z"), False, True),
+    }
+
+
+def test_scd2_redelivery_collapses_and_order_is_lsn_not_arrival(spark):
+    rows = BASE_ROWS + [
+        (4, 3, "update", "r1", "a", "y"),  # byte-identical redelivery
+        # late arrival: lands AFTER the delete in arrival order but its lsn
+        # slots between insert(1) and update(3)
+        (5, 2, "update", "r1", "a", "w"),
+    ]
+    h = _hist(scd2_history(_events(spark, rows)))
+    assert h[("r1", "a", 1)] == (2, _sha("x"), False, False)
+    assert h[("r1", "a", 2)] == (3, _sha("w"), False, False)
+    assert h[("r1", "a", 3)] == (5, _sha("y"), False, False)
+    assert h[("r1", "a", 5)] == (None, None, True, True)
+    assert len([k for k in h if k[0] == "r1"]) == 4
+
+
+def test_scd2_excludes_invalid_events(spark):
+    rows = BASE_ROWS + [
+        (6, 9, "upsert", "r2", "b", "bad-op"),
+        (7, 10, "update", None, "b", "null-key"),
+        (8, 11, "update", "r2", "b", None),  # null content on upsert
+    ]
+    h = _hist(scd2_history(_events(spark, rows)))
+    # the invalid trio neither adds versions nor closes r2/b's interval
+    assert h[("r2", "b", 2)] == (None, _sha("z"), False, True)
+
+
+def test_scd2_single_exchange_plan(spark):
+    from tests.test_plans import _n_nodes, _plan
+
+    df = scd2_history(_events(spark, BASE_ROWS))
+    plan = _plan(spark, df)
+    assert _n_nodes(plan, "Exchange") == 1, plan
+    assert _n_nodes(plan, "Sort") == 1, (
+        "dedup + lead must share one (repo,path) sort\n" + plan
+    )
+
+
+def test_state_at_lsn_bounds(spark):
+    ev = _events(
+        spark,
+        BASE_ROWS + [(4, 3, "update", "r1", "a", "y")],  # redelivered winner
+    )
+    at3 = {
+        (r.repo, r.path): (r.lsn, r.content_sha256)
+        for r in state_at_lsn(ev, 3).collect()
+    }
+    assert at3 == {("r1", "a"): (3, _sha("y")), ("r2", "b"): (2, _sha("z"))}
+    at5 = {(r.repo, r.path) for r in state_at_lsn(ev, 5).collect()}
+    assert at5 == {("r2", "b")}  # r1/a deleted at 5
+    assert state_at_lsn(ev, 0).count() == 0
+
+
+def _refresh_equals_scratch(spark, rows, boundary_seq):
+    base = scd2_history(
+        _events(spark, [r for r in rows if r[0] <= boundary_seq])
+    )
+    window = _events(spark, [r for r in rows if r[0] > boundary_seq])
+    got = sorted(map(tuple, refresh_scd2(base, window).collect()))
+    want = sorted(map(tuple, scd2_history(_events(spark, rows)).collect()))
+    assert got == want
+
+
+def test_refresh_scd2_equals_scratch_across_boundary_shapes(spark):
+    rows = BASE_ROWS + [
+        # delete -> reinsert across the boundary (closing-LSN reconstruction)
+        (4, 7, "insert", "r1", "a", "x2"),
+        # cross-boundary redelivery of a base-side event
+        (5, 3, "update", "r1", "a", "y"),
+        # late event: window arrival, LSN slots INSIDE the base history
+        (6, 4, "update", "r2", "b", "z2"),
+        # brand-new key seen only in the window
+        (7, 1, "insert", "r3", "c", "q"),
+        # an invalid window row must not mark its key as touched
+        (8, 99, "upsert", "r2", "b", "bad"),
+    ]
+    for boundary in (-1, 0, 2, 3, 5, 8):  # incl. empty-base and empty-window
+        _refresh_equals_scratch(spark, rows, boundary)
+
+
+def test_refresh_scd2_deletes_only_prefix_regression(spark):
+    """The case that motivated tombstone-era rows: a key whose BASE events
+    are deletes only (its insert arrives late, in the window). A
+    versions-only history encodes nothing for such a key and the refresh
+    would rebuild [9, next) ignoring the deletes entirely; with tombstone
+    rows the base is lossless and refresh == scratch. Also covers a window
+    event whose LSN lands BETWEEN two consecutive base deletes."""
+    rows = [
+        (0, 10, "delete", "r4", "d", None),
+        (1, 13, "delete", "r4", "d", None),
+        # window (arrival > 1): the key's late insert below both deletes,
+        # one between the deletes, one after
+        (2, 9, "insert", "r4", "d", "early"),
+        (3, 11, "update", "r4", "d", "mid"),
+        (4, 14, "insert", "r4", "d", "tail"),
+    ]
+    _refresh_equals_scratch(spark, rows, 1)
+    h = _hist(scd2_history(_events(spark, rows)))
+    assert h[("r4", "d", 11)] == (13, _sha("mid"), False, False)
+    assert h[("r4", "d", 14)] == (None, _sha("tail"), False, True)
+
+
+def test_refresh_scd2_empty_window_is_identity(spark):
+    base = scd2_history(_events(spark, BASE_ROWS))
+    window = _events(spark, [])
+    got = sorted(map(tuple, refresh_scd2(base, window).collect()))
+    assert got == sorted(map(tuple, base.collect()))
+
+
+def test_refresh_scd2_untouched_keys_via_broadcast_anti(spark):
+    from tests.test_plans import _plan
+
+    base = scd2_history(_events(spark, BASE_ROWS))
+    window = _events(spark, [(9, 8, "insert", "r9", "z", "new")])
+    plan = _plan(spark, refresh_scd2(base, window))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_history_job_full_then_incremental(spark, tmp_path):
+    """jobs/history.py smoke: full SCD2 export, incremental refresh after
+    more of the log lands, from-scratch export at head — refresh output
+    must equal the from-scratch export row-for-row (DuckDB diff)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+
+    from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+
+    stream = gen.ensure_cached_stream(2000, 2, seed=11)
+    # split the staged log at epoch 0's boundary by copying the index with
+    # only epoch-0 segments, so the "previous export" covers a true prefix
+    import shutil
+
+    part = str(tmp_path / "log")
+    shutil.copytree(stream, part)
+    with open(os.path.join(part, "_segments.json")) as f:
+        segs = _json.load(f)
+    with open(os.path.join(part, "_segments.json"), "w") as f:
+        _json.dump([s for s in segs if s["epoch"] == 0], f)
+
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(log_dir, *extra):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "history.py"),
+             "--log-dir", log_dir, "--master", "local[4]", *extra],
+            capture_output=True, text=True, env=env, timeout=420,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return _json.loads(out.stdout.strip().splitlines()[-1])
+
+    h0 = run(part, "--scd2", "--out", str(tmp_path / "h0"))
+    h1 = run(stream, "--scd2", "--update-from", str(tmp_path / "h0"),
+             "--out", str(tmp_path / "h1"))
+    hf = run(stream, "--scd2", "--out", str(tmp_path / "hf"))
+    assert h1["rows"] == hf["rows"] > h0["rows"]
+    q = ("SELECT * FROM read_parquet(?) EXCEPT "
+         "SELECT * FROM read_parquet(?)")
+    con = duckdb.connect()
+    a = str(tmp_path / "h1" / "*.parquet")
+    b = str(tmp_path / "hf" / "*.parquet")
+    assert con.execute(q, [a, b]).fetchall() == []
+    assert con.execute(q, [b, a]).fetchall() == []
+
+
+def test_state_at_lsn_matches_scd2_interval_lookup(spark):
+    """Cross-operator invariant: state_at_lsn(X) == SCD2 rows whose
+    half-open interval covers X (the two views derive from the same log)."""
+    ev = _events(spark, BASE_ROWS)
+    for x in (1, 2, 3, 4, 5):
+        via_state = {
+            (r.repo, r.path, r.content_sha256)
+            for r in state_at_lsn(ev, x).collect()
+        }
+        hist = scd2_history(ev)
+        via_hist = {
+            (r.repo, r.path, r.content_sha256)
+            for r in hist.where(
+                ~F.col("is_deleted")
+                & (F.col("valid_from_lsn") <= x)
+                & (F.col("valid_to_lsn").isNull() | (F.col("valid_to_lsn") > x))
+            ).collect()
+        }
+        assert via_state == via_hist, f"diverged at lsn {x}"
