@@ -227,6 +227,41 @@ class EventLog:
             (F.col("arrival_seq") > F.lit(seq_lo)) & (F.col("arrival_seq") <= F.lit(seq_hi))
         )
 
+    def seed_info(self) -> dict | None:
+        """Retention metadata of the compaction seed(s), or None when the
+        log is uncompacted: ``{"seq_hi": ..., "max_lsn": ...}`` — the
+        arrival and commit high-water marks of the collapsed prefix.
+
+        `compact_log` keeps per-key LWW WINNERS only, so intermediate
+        versions below the bound are GONE. History-shaped reads
+        (scd2_history refresh chains, state_at_lsn) must refuse windows
+        that reach into a seed — replaying a seed reproduces STATE exactly
+        but not HISTORY. ``max_lsn`` comes from parquet footer statistics
+        (metadata-only read, no data scan)."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        seeds = [s for s in self.segments() if s.get("compacted_from")]
+        if not seeds:
+            return None
+        max_lsn = None
+        for s in seeds:
+            d = os.path.join(self.log_dir, s["file"])
+            parts = sorted(_glob.glob(os.path.join(d, "*.parquet"))) or [d]
+            for p in parts:
+                f = _pq.ParquetFile(p)
+                idx = f.schema_arrow.get_field_index("lsn")
+                for rg in range(f.metadata.num_row_groups):
+                    st = f.metadata.row_group(rg).column(idx).statistics
+                    if st is not None and st.max is not None:
+                        m = int(st.max)
+                        max_lsn = m if max_lsn is None else max(max_lsn, m)
+        return {
+            "seq_hi": max(s["seq_hi"] for s in seeds),
+            "max_lsn": max_lsn,
+        }
+
     def max_schema_version(self, seq_lo: int, seq_hi: int) -> int:
         """Highest REGISTRY-KNOWN schema version among segments
         intersecting the range (a future-versioned segment cannot raise

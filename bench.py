@@ -48,6 +48,9 @@ SKIP = {
     "cdc_rollup_incremental",
     "cdc_dml_state",
     "cdc_log_compacted_state",
+    "cdc_scd2_history",
+    "cdc_scd2_incremental",
+    "cdc_state_at_lsn",
 }
 
 

@@ -61,7 +61,18 @@ def main() -> None:
 
     log = EventLog(args.log_dir)
     head_seq = log.max_seq()
+    # log compaction keeps per-key LWW WINNERS only — a seed reproduces
+    # STATE but not HISTORY, so history-shaped windows must never read one
+    seed = log.seed_info()
+    truncated_before = seed["max_lsn"] if seed else None
     if args.at_lsn is not None:
+        if seed and args.at_lsn < seed["max_lsn"]:
+            raise SystemExit(
+                f"--at-lsn {args.at_lsn} predates compacted history: the log "
+                f"was compacted and intermediate versions below lsn "
+                f"{seed['max_lsn']} are gone (exact answers exist only for "
+                f"at-lsn >= {seed['max_lsn']})"
+            )
         events = log.read_range(spark, -1, head_seq, reg.LATEST_VERSION)
         out = state_at_lsn(events, args.at_lsn)
     elif args.update_from:
@@ -69,21 +80,41 @@ def main() -> None:
             raise SystemExit("--out must differ from --update-from (the "
                              "refresh reads the previous export while writing)")
         after = args.after_seq
+        meta = {}
         if after is None:
             with open(os.path.join(args.update_from, "_history_meta.json")) as f:
-                after = json.load(f)["covered_seq"]
+                meta = json.load(f)
+            after = meta["covered_seq"]
+        if seed and seed["seq_hi"] > after:
+            raise SystemExit(
+                f"log was compacted past the previous export's covered_seq "
+                f"{after} (seed reaches seq {seed['seq_hi']}): the refresh "
+                f"window would read winners-only seed rows and rebuild wrong "
+                f"intervals. Keep the export chain ahead of compact_log, or "
+                f"rebuild from a log that retains the range."
+            )
         base = spark.read.parquet(args.update_from)
         window = log.read_range(spark, after, head_seq, reg.LATEST_VERSION)
         out = refresh_scd2(base, window)
+        # the chain carries the OLDEST truncation bound it ever saw: a
+        # refreshed export preserves history the log has since dropped
+        truncated_before = meta.get("truncated_before_lsn", truncated_before)
     else:
         out = scd2_history(log.read_range(spark, -1, head_seq, reg.LATEST_VERSION))
 
     out.write.mode("overwrite").parquet(args.out)
     if args.scd2:
         with open(os.path.join(args.out, "_history_meta.json"), "w") as f:
-            json.dump({"covered_seq": head_seq}, f)
+            json.dump(
+                {"covered_seq": head_seq,
+                 "truncated_before_lsn": truncated_before},
+                f,
+            )
     n = spark.read.parquet(args.out).count()
-    print(json.dumps({"rows": n, "covered_seq": head_seq, "out": args.out}))
+    print(json.dumps({
+        "rows": n, "covered_seq": head_seq, "out": args.out,
+        "truncated_before_lsn": truncated_before,
+    }))
     spark.stop()
 
 

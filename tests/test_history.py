@@ -234,6 +234,90 @@ def test_history_job_full_then_incremental(spark, tmp_path):
     assert con.execute(q, [b, a]).fetchall() == []
 
 
+def test_history_refuses_compacted_windows(spark, tmp_path):
+    """Log compaction keeps per-key LWW winners only — HISTORY below the
+    bound is gone. The job must (a) refuse a refresh whose window reaches
+    into a seed, (b) refuse --at-lsn below the seed's lsn high-water mark,
+    (c) answer at-lsn >= it exactly, and (d) stamp truncated_before_lsn on
+    full exports over a compacted log; a chain that stayed ahead of the
+    compaction keeps truncated_before_lsn null (it preserved what the log
+    dropped)."""
+    import json as _json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+    from bbc_news_etl_pipeline_spark.sources.event_log import (
+        EventLog,
+        compact_log,
+    )
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+    log_dir = str(tmp_path / "log")
+    shutil.copytree(gen.ensure_cached_stream(2000, 2, seed=11), log_dir)
+    # stale export: covers epoch 0 only (a true prefix of the log)
+    stale_index = [
+        s for s in EventLog(log_dir).segments() if s["epoch"] == 0
+    ]
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(*extra, expect_fail=None):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "history.py"),
+             "--log-dir", log_dir, "--master", "local[4]", *extra],
+            capture_output=True, text=True, env=env, timeout=420,
+        )
+        if expect_fail:
+            assert out.returncode != 0 and expect_fail in out.stderr, (
+                out.returncode, out.stderr[-800:]
+            )
+            return None
+        assert out.returncode == 0, out.stderr[-2000:]
+        return _json.loads(out.stdout.strip().splitlines()[-1])
+
+    h_stale = str(tmp_path / "h_stale")
+    os.makedirs(h_stale)
+    with open(os.path.join(h_stale, "_history_meta.json"), "w") as f:
+        _json.dump({"covered_seq": max(s["seq_hi"] for s in stale_index),
+                    "truncated_before_lsn": None}, f)
+    # a fresh full export at head, BEFORE compaction (chain kept current)
+    head = run("--scd2", "--out", str(tmp_path / "h_head"))
+    assert head["truncated_before_lsn"] is None
+
+    root = str(tmp_path / "lake")
+    R.replay(spark, log_dir, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    lake.expire_snapshots(keep_last=1)
+    assert compact_log(spark, EventLog(log_dir), lake)["dropped_segments"] > 0
+    seed = EventLog(log_dir).seed_info()
+    assert seed is not None and seed["max_lsn"] is not None
+
+    # (a) stale refresh reaches into the seed -> refuse
+    # (the stale export dir has meta only; the refusal precedes any read)
+    run("--scd2", "--update-from", h_stale, "--out", str(tmp_path / "x"),
+        expect_fail="compacted past")
+    # (b) point-in-time below the compacted horizon -> refuse
+    run("--at-lsn", str(seed["max_lsn"] - 1), "--out", str(tmp_path / "y"),
+        expect_fail="predates compacted history")
+    # (c) at the horizon it answers exactly: every live row at head whose
+    # lsn <= horizon is visible (winners keep ORIGINAL lsns)
+    ok = run("--at-lsn", str(seed["max_lsn"]), "--out", str(tmp_path / "z"))
+    assert ok["rows"] > 0
+    # (d) full export over the compacted log is stamped truncated; a
+    # refresh of the kept-current chain stays complete (empty window)
+    trunc = run("--scd2", "--out", str(tmp_path / "h_trunc"))
+    assert trunc["truncated_before_lsn"] == seed["max_lsn"]
+    assert trunc["rows"] < head["rows"]  # intermediate versions are gone
+    kept = run("--scd2", "--update-from", str(tmp_path / "h_head"),
+               "--out", str(tmp_path / "h_kept"))
+    assert kept["truncated_before_lsn"] is None
+    assert kept["rows"] == head["rows"]
+
+
 def test_state_at_lsn_matches_scd2_interval_lookup(spark):
     """Cross-operator invariant: state_at_lsn(X) == SCD2 rows whose
     half-open interval covers X (the two views derive from the same log)."""
