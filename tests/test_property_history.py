@@ -1,0 +1,107 @@
+"""Property-based SCD2/refresh correctness (the history analog of
+test_property_lww): for ANY event schedule — tiny key space to maximize
+collisions, deletes, redeliveries, arbitrary arrival order — and ANY
+boundary split, (a) the incremental refresh equals the from-scratch
+derivation, (b) the era table matches a sequential Python oracle, and
+(c) per-key intervals form a contiguous, non-overlapping chain with
+exactly one current era."""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bbc_news_etl_pipeline_spark.operators.history import refresh_scd2, scd2_history
+from bbc_news_etl_pipeline_spark.plans import schema_registry as reg
+
+# an event: (key 0..2, op, redeliver?) — lsn is the position + 1; a
+# redelivered event appears a second time later in arrival order
+_event = st.tuples(
+    st.integers(min_value=0, max_value=2),
+    st.sampled_from(["insert", "update", "delete"]),
+    st.booleans(),
+)
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def _mk(spark, items):
+    """items: (arrival order implicit) list of (key, op, lsn)."""
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (
+            seq, lsn, f"e{seq}", op, "r", f"k{key}",
+            "c0", "py", None if op == "delete" else f"v{lsn}",
+            None if op == "delete" else len(f"v{lsn}"), None,
+            ts, reg.LATEST_VERSION,
+        )
+        for seq, (key, op, lsn) in enumerate(items)
+    ]
+    return spark.createDataFrame(rows, reg.event_schema(reg.LATEST_VERSION))
+
+
+def _oracle_eras(items):
+    """Sequential oracle: unique-lsn events per key in lsn order; each
+    opens an era closed by the key's next event."""
+    per_key: dict[str, dict[int, str]] = {}
+    for _, (key, op, lsn) in enumerate(items):
+        per_key.setdefault(f"k{key}", {})[lsn] = op
+    out = set()
+    for path, ev in per_key.items():
+        lsns = sorted(ev)
+        for i, lsn in enumerate(lsns):
+            to = lsns[i + 1] if i + 1 < len(lsns) else None
+            sha = None if ev[lsn] == "delete" else _sha(f"v{lsn}")
+            out.add(
+                ("r", path, lsn, to, sha, ev[lsn] == "delete", to is None)
+            )
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_event, min_size=1, max_size=10),
+    st.integers(min_value=0, max_value=10),
+    st.randoms(use_true_random=False),
+)
+def test_scd2_and_refresh_match_oracle_any_schedule(spark, schedule, cut, rng):
+    items = [(key, op, i + 1) for i, (key, op, _) in enumerate(schedule)]
+    items += [
+        (key, op, i + 1)
+        for i, (key, op, redeliver) in enumerate(schedule)
+        if redeliver
+    ]
+    rng.shuffle(items)  # arrival order is adversarial
+
+    want = _oracle_eras(items)
+    got = {
+        tuple(r)
+        for r in scd2_history(_mk(spark, items)).collect()
+    }
+    assert got == want
+
+    boundary = min(cut, len(items))
+    base = scd2_history(_mk(spark, items[:boundary]))
+    window = _mk(spark, items[boundary:])
+    got_inc = {tuple(r) for r in refresh_scd2(base, window).collect()}
+    assert got_inc == want
+
+    # chain well-formedness: per key, sorted eras tile [first, None)
+    per_key: dict[tuple, list] = {}
+    for repo, path, frm, to, _sha_, _del, cur in got:
+        per_key.setdefault((repo, path), []).append((frm, to, cur))
+    for eras in per_key.values():
+        eras.sort()
+        assert sum(1 for _, to, cur in eras if cur) == 1
+        for (f1, t1, _), (f2, _, _) in zip(eras, eras[1:]):
+            assert t1 == f2, eras
+        assert eras[-1][1] is None
