@@ -240,6 +240,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), "spark merge",
         index=SR.trigram_index(_t(s, d, "documents")),
     )
+    # chunk -> fixed-capacity sequence packing (greedy offset assignment,
+    # hash-sharded; one exchange + per-shard running sum)
+    q["corpus_pack_sequences"] = lambda s, d: TS.pack_sequences(
+        TS.chunk_windows(_t(s, d, "documents"), size=32, stride=24),
+        capacity=128, n_shards=8,
+    )
 
     # ---- multimodal plumbing (Arrow mapInPandas over binary payloads) ----
     q["mm_binary_metadata"] = lambda s, d: MM.media_metadata_sql_checkable(
@@ -1231,6 +1237,25 @@ def oracle_sql() -> dict[str, str]:
     # contains set (trigram pruning is sound; the verify pass is exact)
     o["code_trigram_search"] = (
         "SELECT doc_id FROM documents WHERE contains(text, 'spark merge')"
+    )
+    # sequence packing: identical chunking CTE, md5-prefix shard hash,
+    # per-shard running sum — pure integer arithmetic on both engines
+    o["corpus_pack_sequences"] = (
+        r"WITH b AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w "
+        "FROM documents), "
+        "s AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 24)) "
+        "  AS start FROM b WHERE len(w) > 0), "
+        "c AS (SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx, "
+        "  CAST(least(32, len(w) - start) AS BIGINT) AS n_tokens FROM s), "
+        "sh AS (SELECT *, CAST(('0x' || substr(md5('pack:' || "
+        "  CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard "
+        "  FROM c), "
+        "wn AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard "
+        "  ORDER BY doc_id, chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "  CURRENT ROW) AS cum FROM sh) "
+        "SELECT shard, CAST((cum - n_tokens) // 128 AS BIGINT) AS seq_id, "
+        "CAST((cum - n_tokens) % 128 AS BIGINT) AS seq_pos, "
+        "doc_id, chunk_idx, n_tokens FROM wn"
     )
     o["text_lang_id"] = (
         r"WITH s AS (SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS w FROM documents), "

@@ -258,3 +258,55 @@ def chunk_windows(docs: DataFrame, size: int = 64, stride: int = 48) -> DataFram
         .cast("long")
         .alias("n_tokens"),
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    capacity: int = 256,
+    n_shards: int = 8,
+    salt: str = "pack:",
+) -> DataFrame:
+    """Greedy offset packing of chunks into fixed-capacity training
+    sequences — the step between chunking and batch assembly. Chunks are
+    hash-sharded by doc (the md5-prefix bigint, so the SQL oracle
+    reproduces shard membership bit-for-bit), ordered by (doc_id,
+    chunk_idx) within a shard, and assigned to sequence
+    ``floor(running_offset / capacity)`` at position
+    ``running_offset % capacity``. Chunks are never split; a chunk that
+    straddles a capacity boundary overflows its sequence by less than one
+    chunk size (the concat-and-slice alternative that splits chunks across
+    sequences is a downstream tokenizer concern, not a set-at-a-time one).
+
+    Scale shape: ONE hash exchange on the shard column + a per-shard sort
+    (a running sum is inherently sequential per shard; ``n_shards`` is the
+    parallelism knob — shards are independent, so packing 100 TB is
+    embarrassingly parallel across them). Everything is integer arithmetic:
+    deterministic, partitioning-invariant, identical in DuckDB.
+    """
+    if capacity <= 0 or n_shards <= 0:
+        raise ValueError(f"capacity/n_shards must be positive: {capacity}/{n_shards}")
+    from pyspark.sql import Window
+
+    from ..functions import md5_bigint
+
+    shard = F.pmod(
+        md5_bigint(F.col("doc_id").cast("string"), seed=salt), F.lit(n_shards)
+    ).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    off = cum - F.col("n_tokens")
+    return (
+        chunks.withColumn("shard", shard)
+        .select(
+            "shard",
+            F.floor(off / capacity).cast("long").alias("seq_id"),
+            (off % capacity).cast("long").alias("seq_pos"),
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+        )
+    )

@@ -72,6 +72,59 @@ def test_chunk_plan_is_map_side_only(spark):
     assert _n_nodes(plan, "Exchange") == 0, plan
 
 
+def test_pack_sequences_hand_case(spark):
+    from bbc_news_etl_pipeline_spark.operators.textstats import pack_sequences
+
+    # one shard so the running order is fully determined
+    chunks = spark.createDataFrame(
+        [(1, 0, 60), (1, 1, 60), (2, 0, 60), (3, 0, 10)],
+        "doc_id long, chunk_idx int, n_tokens long",
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): (r.seq_id, r.seq_pos)
+        for r in pack_sequences(chunks, capacity=100, n_shards=1).collect()
+    }
+    # offsets 0, 60, 120, 180: the second chunk straddles 100 and stays in
+    # seq 0 (greedy, never split); seq boundaries fall at offsets 100/200
+    assert out == {
+        (1, 0): (0, 0),
+        (1, 1): (0, 60),
+        (2, 0): (1, 20),
+        (3, 0): (1, 80),
+    }
+
+
+def test_pack_sequences_shards_are_deterministic_and_partition_invariant(spark):
+    from bbc_news_etl_pipeline_spark.operators.textstats import (
+        chunk_windows,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    chunks = chunk_windows(docs, size=32, stride=24)
+    a = sorted(map(tuple, pack_sequences(chunks, 128, 8).collect()))
+    b = sorted(
+        map(tuple, pack_sequences(chunks.repartition(13), 128, 8).collect())
+    )
+    assert a == b
+    # every chunk lands exactly once; positions stay under capacity+chunk
+    assert len(a) == chunks.count()
+    assert all(0 <= r[2] < 128 for r in a)  # seq_pos strictly under capacity
+
+
+def test_pack_sequences_single_exchange(spark):
+    from tests.test_plans import _n_nodes, _plan
+
+    from bbc_news_etl_pipeline_spark.operators.textstats import (
+        chunk_windows,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(spark, pack_sequences(chunk_windows(docs, 32, 24), 128, 8))
+    assert _n_nodes(plan, "Exchange") == 1, plan
+
+
 def test_trigram_search_equals_bruteforce(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     idx = SR.trigram_index(docs)
