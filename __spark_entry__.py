@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- live CDC engine replay (non-SQL-expressible: full engine path) ----
     q["cdc_replay_state"] = _cdc_replay_state
+    q["cdc_multilog_state"] = _cdc_multilog_state
     q["cdc_scd2_history"] = _cdc_scd2_history
     q["cdc_scd2_incremental"] = _cdc_scd2_incremental
     q["cdc_state_at_lsn"] = _cdc_state_at_lsn
@@ -608,6 +609,36 @@ def _ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = Q.fit_centroids(embs)  # k x dim literals, bounded collect
     return S.ivf_kmeans_topk(
         embs, _query_vec(spark, sf_dir), centroids, k=10, exclude_vec_id=0
+    )
+
+
+def _cdc_multilog_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source consolidation, end to end through the REAL engine: the
+    canonical stream is split into 3 per-source collector logs (disjoint
+    key partitions, per-source arrival offsets — what N Kafka partitions
+    of one binlog look like), consolidated by `merge_logs` (metadata-
+    planned arrival reallocation + map-only segment rewrite), then
+    replayed. The DuckDB oracle is the plain full-log LWW over the
+    ORIGINAL unsplit segments — split+merge must be value-invisible."""
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.fixtures.multisource import (
+        split_stream_sources,
+    )
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.sources.multilog import merge_logs
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    work = tempfile.mkdtemp(prefix="cdc_multilog_")
+    srcs = split_stream_sources(_ensure_cdc_oracle_log(), 3, work)
+    merged = os.path.join(work, "merged")
+    merge_logs(spark, srcs, merged)
+    lake_root = os.path.join(work, "lake")
+    replay(spark, merged, lake_root, n_buckets=8)
+    return (
+        LakeTable(lake_root, n_buckets=8)
+        .read_state(spark)
+        .select("repo", "path", "lsn", "content_sha256")
     )
 
 
@@ -1337,6 +1368,10 @@ def oracle_sql() -> dict[str, str]:
     # metadata choreography over the same event stream: the promoted main
     # state must equal the straight full-log LWW oracle bit-for-bit.
     o["cdc_branch_state"] = o["cdc_replay_state"]
+    # multi-source consolidation is an arrival-domain permutation of the
+    # same event multiset, and LWW apply is permutation-invariant: the
+    # merged replay must equal the straight full-log LWW oracle.
+    o["cdc_multilog_state"] = o["cdc_replay_state"]
     # SCD Type-2 history: dedup redelivered (key, lsn) copies, then lead()
     # per key gives each era's half-open validity interval; tombstone eras
     # stay as is_deleted rows (lossless — the refresh contract depends on

@@ -1,0 +1,55 @@
+"""Split a staged event log into N per-source collector logs — the test
+fixture for multi-source consolidation (sources/multilog.py).
+
+Models N independent collectors tailing disjoint key partitions of one
+binlog: rows route by a deterministic key hash, each source re-ranks its
+arrival_seq densely (a collector's offsets are its own), epochs are
+preserved so the sources' segment rolls stay aligned. Kept OUT of
+generator.py on purpose: the stream cache key hashes generator.py's
+source, and this helper must not invalidate multi-GB cached streams.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pandas as pd
+
+from .generator import write_event_log
+
+
+def _source_of(repo: object, n_sources: int) -> int:
+    key = "" if repo is None or (isinstance(repo, float) and pd.isna(repo)) else str(repo)
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n_sources
+
+
+def split_stream_sources(log_dir: str, n_sources: int, out_base: str) -> list[str]:
+    """Route the log's rows into ``n_sources`` collector logs under
+    ``out_base/src{i}``; returns the source dirs."""
+    import json
+
+    with open(os.path.join(log_dir, "_segments.json")) as f:
+        segs = json.load(f)
+    frames = []
+    for s in segs:
+        d = os.path.join(log_dir, s["file"])
+        parts = sorted(glob.glob(os.path.join(d, "*.parquet"))) or [d]
+        for p in parts:
+            pdf = pd.read_parquet(p)
+            pdf["epoch"] = s["epoch"]
+            frames.append(pdf)
+    allpdf = pd.concat(frames, ignore_index=True).sort_values(
+        "arrival_seq", kind="mergesort"
+    )
+    out_dirs = []
+    for i in range(n_sources):
+        src = allpdf[
+            allpdf["repo"].map(lambda r: _source_of(r, n_sources)) == i
+        ].copy()
+        src["arrival_seq"] = range(len(src))
+        d = os.path.join(out_base, f"src{i}")
+        write_event_log(src, d)
+        out_dirs.append(d)
+    return out_dirs

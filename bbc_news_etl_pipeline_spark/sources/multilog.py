@@ -1,0 +1,123 @@
+"""Multi-source log consolidation: N collector logs -> one canonical log.
+
+A binlog/WAL tail at scale is PARTITIONED — N collectors (Kafka
+partitions, per-shard Debezium tasks) each emit an ordered segment log
+over a shared commit-LSN domain. The engine replays ONE log; this module
+is the on-ramp that consolidates several into one, after which the ENTIRE
+engine (replay, tail, WAP, branches, DML, erasure, compaction) runs
+unchanged — the same normalize-then-replay pattern as the Debezium
+ingest (sources/debezium.py).
+
+Design — metadata-planned, map-only:
+
+- The merged arrival order is decided ENTIRELY from the source
+  `_segments.json` indexes (driver arithmetic over segment counts/spans,
+  no Spark job): segments interleave by (source epoch, source ordinal),
+  and each segment gets a contiguous new arrival range of its original
+  SPAN (gaps inside a segment are preserved, so the shift is one constant
+  per segment).
+- Each segment then rewrites as a pure column add (`arrival_seq + shift`)
+  over a footer-inferred passthrough read — every physical column
+  (unregistered extras, future-version claims, v1 int32 mirrors) survives
+  byte-for-byte, so the downstream quarantine/evolution machinery sees
+  exactly what a single collector would have produced. No shuffle, no
+  rank machinery, no driver collect of data.
+- Correctness does NOT depend on the interleaving: LWW apply is
+  permutation/redelivery-invariant (tests/test_property_lww.py), which is
+  also how real multi-partition consumers reconcile cross-partition
+  order — by commit LSN at apply time, not by arrival.
+
+Like the streaming tailer, jsonl segments refuse (columnarize first —
+rewriting them means re-parsing, and the collector compaction step
+already owns that). Compaction-seed provenance (`compacted_from`) is
+carried through so `EventLog.seed_info`'s retention guards keep working
+on a merged log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_logs(
+    spark: SparkSession, source_dirs: list[str], out_dir: str
+) -> dict:
+    """Consolidate ``source_dirs`` (each an engine event log) into a new
+    canonical log at ``out_dir``. Returns a summary dict."""
+    if len(source_dirs) < 1:
+        raise ValueError("need at least one source log")
+    if os.path.exists(os.path.join(out_dir, "_segments.json")):
+        raise ValueError(f"{out_dir} already holds a log; refusing to merge into it")
+
+    plan: list[tuple[int, str, dict]] = []  # (src_idx, src_dir, entry)
+    for i, d in enumerate(source_dirs):
+        with open(os.path.join(d, "_segments.json")) as f:
+            segs = json.load(f)
+        for s in segs:
+            if s.get("format", "parquet") == "jsonl":
+                raise ValueError(
+                    f"source {d} segment {s['file']} is jsonl: columnarize "
+                    "(collector compaction) before merging — the merge is a "
+                    "columnar passthrough and will not re-parse json"
+                )
+            plan.append((i, d, s))
+    # interleave by (source epoch, source index, source ordinal): all of
+    # epoch e's segments across sources become merged epoch rank(e)
+    plan.sort(key=lambda t: (t[2]["epoch"], t[0], t[2]["seq_lo"]))
+    epoch_rank = {
+        e: r
+        for r, e in enumerate(sorted({s["epoch"] for _, _, s in plan}))
+    }
+
+    os.makedirs(out_dir, exist_ok=True)
+    merged: list[dict] = []
+    next_lo = 0  # first unassigned arrival_seq in the merged domain
+    n_rows = 0
+    for ordinal, (src_idx, src_dir, s) in enumerate(plan):
+        span = s["seq_hi"] - s["seq_lo"]
+        shift = next_lo - s["seq_lo"]
+        next_lo += span + 1
+        fname = f"segment-{ordinal:05d}.parquet"
+        df = spark.read.parquet(os.path.join(src_dir, s["file"]))
+        (
+            df.withColumn(
+                "arrival_seq", (F.col("arrival_seq") + F.lit(shift)).cast("long")
+            )
+            .sortWithinPartitions("arrival_seq")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, fname))
+        )
+        entry = {
+            "file": fname,
+            "epoch": epoch_rank[s["epoch"]],
+            "schema_version": s["schema_version"],
+            "format": "parquet",
+            "seq_lo": s["seq_lo"] + shift,
+            "seq_hi": s["seq_hi"] + shift,
+            "n_events": s["n_events"],
+            "merged_from": {"source": src_idx, "file": s["file"]},
+        }
+        if s.get("compacted_from"):
+            # retention provenance survives the merge: seed_info() must
+            # still see that this range holds winners-only history
+            entry["compacted_from"] = s["compacted_from"]
+        merged.append(entry)
+        n_rows += s["n_events"]
+
+    tmp = os.path.join(out_dir, "_segments.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(merged, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(out_dir, "_segments.json"))
+    return {
+        "sources": len(source_dirs),
+        "segments": len(merged),
+        "events": n_rows,
+        "epochs": len(epoch_rank),
+        "out": out_dir,
+    }

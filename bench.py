@@ -51,6 +51,7 @@ SKIP = {
     "cdc_scd2_history",
     "cdc_scd2_incremental",
     "cdc_state_at_lsn",
+    "cdc_multilog_state",
 }
 
 

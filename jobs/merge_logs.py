@@ -1,0 +1,41 @@
+"""spark-submit entry point: consolidate N collector logs into one
+canonical event log (sources/multilog.py) — the multi-partition binlog
+on-ramp, after which replay/tail/WAP/DML run on the merged log unchanged.
+
+Usage:
+    spark-submit --master local[32] jobs/merge_logs.py \
+        --source /tmp/srcA --source /tmp/srcB --out /tmp/merged
+
+Prints one JSON line: sources, segments, events, epochs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_package  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--source", action="append", required=True,
+                   help="a source log dir (repeat per collector)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    spark = build_session(app_name="cdc-merge-logs", master=args.master)
+    ship_engine_package(spark)
+    from bbc_news_etl_pipeline_spark.sources.multilog import merge_logs
+
+    print(json.dumps(merge_logs(spark, args.source, args.out)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

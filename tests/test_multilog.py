@@ -1,0 +1,150 @@
+"""Multi-source log consolidation (sources/multilog.py): split a stream
+into per-source collector logs, merge, and the engine must not be able to
+tell — digests equal a straight replay of the original, determinism holds,
+retention/evolution machinery survives the merge, and the refusals fire."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.fixtures.multisource import split_stream_sources
+from bbc_news_etl_pipeline_spark.sources.multilog import merge_logs
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest
+
+E = 3_000
+
+
+@pytest.fixture(scope="module")
+def stream() -> str:
+    return gen.ensure_cached_stream(E, 3, seed=7)
+
+
+def test_merged_replay_equals_straight_replay(spark, tmp_path, stream):
+    srcs = split_stream_sources(stream, 3, str(tmp_path / "srcs"))
+    assert len(srcs) == 3
+    rep = merge_logs(spark, srcs, str(tmp_path / "merged"))
+    assert rep["events"] == sum(
+        s["n_events"]
+        for d in srcs
+        for s in json.load(open(os.path.join(d, "_segments.json")))
+    )
+    straight = str(tmp_path / "lake_straight")
+    R.replay(spark, stream, straight, n_buckets=8)
+    merged_lake = str(tmp_path / "lake_merged")
+    res = R.replay(spark, str(tmp_path / "merged"), merged_lake, n_buckets=8)
+    assert res.events_applied == rep["events"]
+    assert engine_digest(spark, merged_lake) == engine_digest(spark, straight)
+    # fence: a re-run applies nothing
+    assert R.replay(
+        spark, str(tmp_path / "merged"), merged_lake, n_buckets=8
+    ).events_applied == 0
+
+
+def test_merge_is_deterministic(spark, tmp_path, stream):
+    srcs = split_stream_sources(stream, 2, str(tmp_path / "s"))
+    a = merge_logs(spark, srcs, str(tmp_path / "m1"))
+    b = merge_logs(spark, srcs, str(tmp_path / "m2"))
+    ia = json.load(open(str(tmp_path / "m1" / "_segments.json")))
+    ib = json.load(open(str(tmp_path / "m2" / "_segments.json")))
+    assert a["events"] == b["events"] and ia == ib
+    import duckdb
+
+    con = duckdb.connect()
+    q = ("SELECT md5(string_agg(CAST(arrival_seq AS VARCHAR) || '|' || "
+         "event_id, E'\\n' ORDER BY arrival_seq)) "
+         "FROM read_parquet(?, union_by_name=true)")
+    da = con.execute(q, [str(tmp_path / "m1" / "segment-*" / "*.parquet")]).fetchone()
+    db = con.execute(q, [str(tmp_path / "m2" / "segment-*" / "*.parquet")]).fetchone()
+    assert da == db
+
+
+def test_merged_arrival_domain_is_collision_free(spark, tmp_path, stream):
+    srcs = split_stream_sources(stream, 3, str(tmp_path / "s"))
+    merge_logs(spark, srcs, str(tmp_path / "m"))
+    segs = json.load(open(str(tmp_path / "m" / "_segments.json")))
+    # index ranges are disjoint and epoch-ordered
+    hi = -1
+    for s in segs:
+        assert s["seq_lo"] > hi, segs
+        hi = s["seq_hi"]
+    assert [s["epoch"] for s in segs] == sorted(s["epoch"] for s in segs)
+    # physical rows agree with the index and never collide
+    import duckdb
+
+    n, d = duckdb.connect().execute(
+        "SELECT count(*), count(DISTINCT arrival_seq) FROM "
+        f"read_parquet('{tmp_path}/m/segment-*/*.parquet', union_by_name=true)"
+    ).fetchone()
+    assert n == d == sum(s["n_events"] for s in segs)
+
+
+def test_refusals(spark, tmp_path, stream):
+    srcs = split_stream_sources(stream, 2, str(tmp_path / "s"))
+    # an existing log at --out refuses
+    merge_logs(spark, srcs, str(tmp_path / "m"))
+    with pytest.raises(ValueError, match="already holds a log"):
+        merge_logs(spark, srcs, str(tmp_path / "m"))
+    # a jsonl source refuses (columnarize first)
+    idx = str(tmp_path / "s" / "src0" / "_segments.json")
+    segs = json.load(open(idx))
+    segs[0]["format"] = "jsonl"
+    json.dump(segs, open(idx, "w"))
+    with pytest.raises(ValueError, match="columnarize"):
+        merge_logs(spark, srcs, str(tmp_path / "m2"))
+
+
+def test_seed_provenance_survives_merge(spark, tmp_path, stream):
+    """A compacted source's winners-only range must keep its retention
+    marker through the merge so history-shaped reads keep refusing."""
+    import shutil
+
+    from bbc_news_etl_pipeline_spark.sources.event_log import (
+        EventLog,
+        compact_log,
+    )
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+
+    src = str(tmp_path / "src_compacted")
+    shutil.copytree(stream, src)
+    root = str(tmp_path / "lake")
+    R.replay(spark, src, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    lake.expire_snapshots(keep_last=1)
+    assert compact_log(spark, EventLog(src), lake)["dropped_segments"] > 0
+    merged = str(tmp_path / "merged")
+    merge_logs(spark, [src], merged)
+    info = EventLog(merged).seed_info()
+    assert info is not None and info["max_lsn"] is not None
+
+
+def test_unknown_columns_pass_through_merge(spark, tmp_path, stream):
+    """A source segment carrying an unregistered physical column must reach
+    the merged log byte-compatible: the reader still folds it into
+    `_unknown_json` and data-carrying rows still quarantine."""
+    import pandas as pd
+
+    from bbc_news_etl_pipeline_spark.plans import schema_registry as reg
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+
+    srcs = split_stream_sources(stream, 2, str(tmp_path / "s"))
+    seg = json.load(open(os.path.join(srcs[0], "_segments.json")))[0]
+    d = os.path.join(srcs[0], seg["file"])
+    part = sorted(os.listdir(d))[0]
+    pdf = pd.read_parquet(os.path.join(d, part))
+    pdf["headline"] = [None] * (len(pdf) - 1) + ["renamed-column-data"]
+    pdf.to_parquet(os.path.join(d, part), index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    merged = str(tmp_path / "m")
+    merge_logs(spark, srcs, merged)
+    log = EventLog(merged)
+    ev = log.read_range(spark, -1, log.max_seq(), reg.LATEST_VERSION)
+    assert "_unknown_json" in ev.columns
+    carrying = ev.where(ev["_unknown_json"].isNotNull()).collect()
+    assert len(carrying) == 1
+    assert "renamed-column-data" in carrying[0]["_unknown_json"]
