@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_debezium_state"] = _cdc_debezium_state
     q["cdc_rollup_incremental"] = _cdc_rollup_incremental
     q["cdc_dml_state"] = _cdc_dml_state
+    q["cdc_merge_into_state"] = _cdc_merge_into_state
     q["cdc_log_compacted_state"] = _cdc_log_compacted_state
 
     # ---- streaming-analytics plan (same code the watermarked stream runs) ----
@@ -481,6 +482,55 @@ def _cdc_dml_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     replay(spark, log_dir, lake_root, n_buckets=8)
     synthesize_dml_segment(spark, lake, log_dir, "lang = 'py'")
+    replay(spark, log_dir, lake_root, n_buckets=8)
+    return lake.read_state(spark).select(
+        "repo", "path", "lsn", "content_sha256", "license"
+    )
+
+
+def _cdc_merge_into_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO through the log (operators/dml.py
+    synthesize_merge_segment): replay the canonical stream, then merge a
+    deterministic source — every live lang='go' row with content rewritten
+    to 'merged::'||path, plus 50 brand-new keys under repo 'merge-src' —
+    classifying against the head snapshot (matched -> update with
+    carried-forward unprovided columns, unmatched -> insert), applied by
+    an ordinary replay. The DuckDB oracle reproduces the classification
+    declaratively over the ORIGINAL segments: LWW live state, lang='go'
+    rows re-stamped at the shared commit lsn with the rewritten content
+    sha, the 50 inserts synthesized in SQL."""
+    import shutil
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.operators.dml import synthesize_merge_segment
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    work = tempfile.mkdtemp(prefix="cdc_merge_")
+    log_dir = os.path.join(work, "log")
+    shutil.copytree(_ensure_cdc_oracle_log(), log_dir)
+    lake_root = os.path.join(work, "lake")
+    replay(spark, log_dir, lake_root, n_buckets=8)
+    lake = LakeTable(lake_root, n_buckets=8)
+    matched_src = (
+        lake.read_state(spark)
+        .where("lang = 'go'")
+        .select(
+            "repo",
+            "path",
+            F.concat(F.lit("merged::"), F.col("path")).alias("content"),
+            F.lit("MERGE").alias("license"),
+        )
+    )
+    new_src = spark.range(50).select(
+        F.lit("merge-src").alias("repo"),
+        F.format_string("new/%04d", F.col("id").cast("int")).alias("path"),
+        F.concat(F.lit("merged doc "), F.col("id").cast("string")).alias("content"),
+        F.lit("MERGE").alias("license"),
+    )
+    synthesize_merge_segment(
+        spark, lake, log_dir, matched_src.unionByName(new_src)
+    )
     replay(spark, log_dir, lake_root, n_buckets=8)
     return lake.read_state(spark).select(
         "repo", "path", "lsn", "content_sha256", "license"
@@ -1432,6 +1482,34 @@ def oracle_sql() -> dict[str, str]:
         "  sha256(content) AS content_sha256, "
         "  CASE WHEN lang = 'go' THEN 'MIT-DML' ELSE license END AS license "
         "FROM live, mx WHERE lang IS DISTINCT FROM 'py'"
+    )
+    # MERGE INTO compiled to log events: the oracle classifies the same
+    # deterministic source against the LWW live state — lang='go' rows
+    # update in place (shared commit lsn = max+1, content rewritten to
+    # 'merged::'||path, license MERGE, other columns carried forward), 50
+    # synthesized keys insert at the same lsn.
+    o["cdc_merge_into_state"] = (
+        f"WITH ev AS (SELECT repo, path, lsn, op, content, lang, license "
+        f"  FROM read_parquet('{log_glob}', union_by_name=true) "
+        "  WHERE op IN ('insert', 'update', 'delete') AND repo IS NOT NULL "
+        "    AND path IS NOT NULL AND lsn IS NOT NULL "
+        "    AND (op = 'delete' OR content IS NOT NULL)), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev), "
+        "live AS (SELECT repo, path, lsn, content, lang, license "
+        "  FROM ranked WHERE rn = 1 AND op <> 'delete'), "
+        "mx AS (SELECT max(lsn) AS hi FROM ev) "
+        "SELECT repo, path, "
+        "  CASE WHEN lang = 'go' THEN hi + 1 ELSE lsn END AS lsn, "
+        "  CASE WHEN lang = 'go' THEN sha256('merged::' || path) "
+        "       ELSE sha256(content) END AS content_sha256, "
+        "  CASE WHEN lang = 'go' THEN 'MERGE' ELSE license END AS license "
+        "FROM live, mx "
+        "UNION ALL "
+        "SELECT 'merge-src' AS repo, printf('new/%04d', CAST(i AS INT)) AS path, "
+        "  hi + 1 AS lsn, sha256('merged doc ' || i) AS content_sha256, "
+        "  'MERGE' AS license "
+        "FROM range(50) t(i), mx"
     )
     o["cdc_rollup_incremental"] = (
         f"WITH ev AS (SELECT repo, path, lsn, op, lang, size_bytes "

@@ -90,8 +90,6 @@ def synthesize_dml_segment(
     compiling thousands of keys into one OR-chain predicate would blow up
     the Catalyst expression tree, while a semi-join (broadcast below the
     engine's key cap) stays O(keys) data-side."""
-    from pyspark.sql import Window
-
     m = lake.current_manifest()
     if m is None:
         raise ValueError("empty lake: nothing to match a DML predicate against")
@@ -148,6 +146,163 @@ def synthesize_dml_segment(
         F.lit(ver).cast("int").alias("schema_version"),
     ]
     events = matched.select(*cols)
+    res = append_event_segment(spark, log_dir, events, ver)
+    res.update({"op": op, "lsn": lsn})
+    return res
+
+
+def synthesize_merge_segment(
+    spark: SparkSession,
+    lake: LakeTable,
+    log_dir: str,
+    source,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> dict:
+    """MERGE INTO compiled to CDC events (Delta/Iceberg
+    ``MERGE INTO target USING source ON key`` parity) — the batch-upsert
+    verb beside `synthesize_dml_segment`'s predicate UPDATE/DELETE.
+
+    ``source`` is a DataFrame keyed by (repo, path) carrying any subset of
+    the payload columns. Each source row classifies against the CURRENT
+    head snapshot: matched keys become ``update`` events (``when_matched=
+    'update'``; provided columns override, unprovided columns carry the
+    target row's value forward), or ``delete`` events (``'delete'``), or
+    drop (``'skip'``); unmatched keys become ``insert`` events
+    (``when_not_matched='insert'``, which requires a content column) or
+    drop (``'skip'``). The whole batch is ONE logical commit: every event
+    shares ``lsn = head lsn_hi + 1`` (keys are distinct, so per-key LWW is
+    unaffected); duplicate source keys are refused outright — Delta's
+    multiple-source-rows-matched error, decided up front instead of
+    nondeterministically. Like all DML here, MERGE never touches lake
+    files: the log stays the single source of truth, so rollback
+    self-heals the merge back in and every replica converges on it.
+
+    Scale: the source side broadcasts below the engine's key cap; the
+    classification joins are key-equi-joins against the column-pruned
+    state scan; ranking/writing is `append_event_segment`'s parallel
+    deterministic rank (bit-identical log at every cluster size). The
+    size mirror is maintained when ``content`` is provided without
+    ``size_bytes``."""
+    from ..util import BROADCAST_KEYS_MAX
+
+    if when_matched not in ("update", "delete", "skip"):
+        raise ValueError(f"when_matched={when_matched!r}")
+    if when_not_matched not in ("insert", "skip"):
+        raise ValueError(f"when_not_matched={when_not_matched!r}")
+    if when_matched == "skip" and when_not_matched == "skip":
+        raise ValueError("MERGE with both clauses 'skip' is a no-op")
+    m = lake.current_manifest()
+    if m is None:
+        raise ValueError(
+            "empty lake: MERGE classifies against the head snapshot; "
+            "bootstrap through the event log instead"
+        )
+    ver = int(m["schema_version"])
+    payload = [n for n, _ in reg.payload_fields(ver)]
+    types = dict(reg.payload_fields(ver))
+    missing = [k for k in reg.KEY_COLUMNS if k not in source.columns]
+    if missing:
+        raise ValueError(f"MERGE source lacks key columns {missing}")
+    extra = sorted(set(source.columns) - set(reg.KEY_COLUMNS) - set(payload))
+    if extra:
+        raise ValueError(
+            f"source columns {extra} are not payload columns of schema "
+            f"version {ver} ({payload})"
+        )
+    provided = [c for c in payload if c in source.columns]
+    if when_not_matched == "insert" and "content" not in provided:
+        raise ValueError(
+            "when_not_matched='insert' requires a content column on the "
+            "source (content-less inserts are invalid events)"
+        )
+    mirror_size = "content" in provided and "size_bytes" not in provided
+
+    sk = source.select("repo", "path")
+    n_src = sk.count()
+    if sk.distinct().count() != n_src:
+        raise ValueError(
+            "duplicate (repo, path) keys in MERGE source: each target row "
+            "may be matched by at most one source row"
+        )
+    small = n_src <= BROADCAST_KEYS_MAX
+    sk_b = F.broadcast(sk) if small else sk
+    lsn = int(m.get("lsn_hi") or 0) + 1
+    state = lake.read_state(spark)
+
+    def _events(op: str, frame, col_of) -> "DataFrame":
+        cols = [
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.concat(
+                F.lit(f"merge-{lsn}-"), F.md5(F.concat_ws("|", "repo", "path"))
+            ).alias("event_id"),
+            F.lit(op).alias("op"),
+            F.col("repo"),
+            F.col("path"),
+        ]
+        for name in payload:
+            cols.append(col_of(name).cast(types[name].simpleString()).alias(name))
+        cols += [
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(ver).cast("int").alias("schema_version"),
+        ]
+        return frame.select(*cols)
+
+    pieces, n_upd, n_del, n_ins = [], 0, 0, 0
+    n_matched = state.select("repo", "path").join(
+        sk_b, list(reg.KEY_COLUMNS), "left_semi"
+    ).count()
+    if when_matched == "update" and n_matched:
+        s = (F.broadcast(source) if small else source).alias("s")
+        j = state.alias("t").join(s, list(reg.KEY_COLUMNS), "inner")
+
+        def upd_col(name):
+            if name in provided:
+                return F.col(f"s.{name}")
+            if name == "size_bytes" and mirror_size:
+                return F.octet_length(F.col("s.content"))
+            return F.col(f"t.{name}")
+
+        pieces.append(_events("update", j, upd_col))
+        n_upd = n_matched
+    elif when_matched == "delete" and n_matched:
+        hit = state.join(sk_b, list(reg.KEY_COLUMNS), "left_semi")
+        pieces.append(_events("delete", hit, lambda n: F.lit(None)))
+        n_del = n_matched
+    if when_not_matched == "insert" and n_src - n_matched:
+        fresh = source.join(
+            state.select("repo", "path"), list(reg.KEY_COLUMNS), "left_anti"
+        )
+
+        def ins_col(name):
+            if name in provided:
+                return F.col(name)
+            if name == "size_bytes" and mirror_size:
+                return F.octet_length(F.col("content"))
+            return F.lit(None)
+
+        pieces.append(_events("insert", fresh, ins_col))
+        n_ins = n_src - n_matched
+
+    res = {"op": "merge", "lsn": lsn, "updated": n_upd, "deleted": n_del,
+           "inserted": n_ins, "matched": 0, "segment": None,
+           "seq_lo": None, "seq_hi": None}
+    if not pieces:
+        return res
+    events = pieces[0]
+    for p in pieces[1:]:
+        events = events.unionByName(p)
+    res.update(append_event_segment(spark, log_dir, events, ver))
+    return res
+
+
+def append_event_segment(spark, log_dir: str, events, ver: int) -> dict:
+    """Rank `events` (op/repo/path/payload rows WITHOUT arrival_seq) into a
+    new log segment and publish it in ``_segments.json``. Shared by every
+    synthesized-event writer (DML, MERGE INTO, erasure's key-set delete).
+    Returns ``{matched, segment, seq_lo, seq_hi}`` (``segment`` None when
+    the event set is empty — no empty segments are ever published)."""
+    from pyspark.sql import Window
 
     segs, ordinal, seq_base = _next_segment(log_dir)
     # Parallel deterministic rank. A global Window.orderBy funnels every
@@ -215,8 +370,7 @@ def synthesize_dml_segment(
         import shutil
 
         shutil.rmtree(out, ignore_errors=True)
-        return {"op": op, "matched": 0, "lsn": lsn, "segment": None,
-                "seq_lo": None, "seq_hi": None}
+        return {"matched": 0, "segment": None, "seq_lo": None, "seq_hi": None}
     entry = {
         "file": seg_name,
         "epoch": len(segs),
@@ -233,5 +387,5 @@ def synthesize_dml_segment(
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, os.path.join(log_dir, "_segments.json"))
-    return {"op": op, "matched": n, "lsn": lsn, "segment": seg_name,
+    return {"matched": n, "segment": seg_name,
             "seq_lo": entry["seq_lo"], "seq_hi": entry["seq_hi"]}

@@ -47,6 +47,7 @@ SKIP = {
     "cdc_debezium_state",
     "cdc_rollup_incremental",
     "cdc_dml_state",
+    "cdc_merge_into_state",
     "cdc_log_compacted_state",
     "cdc_scd2_history",
     "cdc_scd2_incremental",

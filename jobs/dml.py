@@ -7,6 +7,12 @@ Usage:
         [--set "license='MIT'" --set "content=upper(content)"] \
         [--no-apply] [--mode cow|mor] [--n-buckets N]
 
+Or MERGE INTO from a parquet source of (repo, path, payload...) rows:
+
+    spark-submit jobs/dml.py --lake-root R --log-dir L \
+        --merge-source /path/to/source.parquet \
+        [--when-matched update|delete|skip] [--when-not-matched insert|skip]
+
 Without ``--set`` this is ``DELETE FROM lake WHERE ...``; with it,
 ``UPDATE lake SET col=expr[, ...] WHERE ...``. The statement compiles to
 one synthesized-event segment appended to the log (see
@@ -48,10 +54,17 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--lake-root", required=True)
     p.add_argument("--log-dir", required=True)
-    p.add_argument("--where", required=True,
+    p.add_argument("--where", default=None,
                    help="SQL predicate over the live state")
     p.add_argument("--set", action="append", default=[],
                    help="col=EXPR (repeatable); absent = DELETE")
+    p.add_argument("--merge-source", default=None,
+                   help="parquet path of (repo, path, payload...) rows to "
+                        "MERGE INTO the lake (mutually exclusive with --where)")
+    p.add_argument("--when-matched", default="update",
+                   choices=["update", "delete", "skip"])
+    p.add_argument("--when-not-matched", default="insert",
+                   choices=["insert", "skip"])
     p.add_argument("--no-apply", action="store_true",
                    help="append the segment only; don't run the replay")
     p.add_argument("--mode", default="cow", choices=["cow", "mor"])
@@ -65,16 +78,32 @@ def main() -> None:
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
+    if bool(args.where) == bool(args.merge_source):
+        raise SystemExit("exactly one of --where / --merge-source is required")
     spark = build_session(app_name="cdc-dml", master=args.master)
     ship_engine_package(spark)
     lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
-    res = synthesize_dml_segment(
-        spark,
-        lake,
-        args.log_dir,
-        args.where,
-        set_exprs=_parse_set(args.set) if args.set else None,
-    )
+    if args.merge_source:
+        from bbc_news_etl_pipeline_spark.operators.dml import (  # noqa: E402
+            synthesize_merge_segment,
+        )
+
+        res = synthesize_merge_segment(
+            spark,
+            lake,
+            args.log_dir,
+            spark.read.parquet(args.merge_source),
+            when_matched=args.when_matched,
+            when_not_matched=args.when_not_matched,
+        )
+    else:
+        res = synthesize_dml_segment(
+            spark,
+            lake,
+            args.log_dir,
+            args.where,
+            set_exprs=_parse_set(args.set) if args.set else None,
+        )
     out = dict(res)
     if res["matched"] and not args.no_apply:
         from pyspark.sql import functions as F

@@ -1,0 +1,202 @@
+"""MERGE INTO from a source DataFrame compiled to CDC events.
+
+The invariants: one logical commit (shared lsn), source rows classify
+against the head snapshot (matched -> update/delete, unmatched -> insert),
+unprovided payload columns carry forward on update, the size mirror is
+maintained, duplicate source keys refuse, LWW interplay with later source
+events holds, and the lake stays reproducible from the log alone.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.operators.dml import synthesize_merge_segment
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_live_pdf
+
+E = 3_000
+
+
+def _fresh(spark, tmp_path, mode="cow"):
+    d = str(tmp_path / "log")
+    gen.build_stream(E, 3, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8, mode=mode)
+    return d, LakeTable(root, n_buckets=8), root
+
+
+def _source(spark, before, n_upd=40, n_new=25):
+    """Deterministic source: the first n_upd live keys with fresh content,
+    plus n_new brand-new keys."""
+    upd = before.sort_values(["repo", "path"]).head(n_upd)
+    upd_rows = [
+        (r.repo, r.path, f"merged::{r.path}", "MERGE-L")
+        for r in upd.itertuples(index=False)
+    ]
+    new_rows = [
+        ("merge-repo", f"new/{i:04d}.txt", f"fresh doc {i}", "MERGE-L")
+        for i in range(n_new)
+    ]
+    return spark.createDataFrame(
+        upd_rows + new_rows, "repo string, path string, content string, license string"
+    )
+
+
+def test_merge_upsert_applies_once_and_carries_forward(spark, tmp_path):
+    d, lake, root = _fresh(spark, tmp_path)
+    before = engine_live_pdf(spark, root)
+    lsn = lake.current_manifest()["lsn_hi"] + 1
+    src = _source(spark, before)
+
+    res = synthesize_merge_segment(spark, lake, d, src)
+    assert res["op"] == "merge" and res["lsn"] == lsn
+    assert res["updated"] == 40 and res["inserted"] == 25 and res["deleted"] == 0
+    assert res["matched"] == 65 and res["segment"] is not None
+    rr = R.replay(spark, d, root, n_buckets=8)
+    assert rr.events_applied == 65
+
+    after = engine_live_pdf(spark, root)
+    assert len(after) == len(before) + 25
+    touched = after[after["lsn"] == lsn]
+    assert len(touched) == 65 and (touched["license"] == "MERGE-L").all()
+    # inserted rows exist with the mirrored size
+    ins = after[after["repo"] == "merge-repo"].sort_values("path").reset_index(drop=True)
+    assert len(ins) == 25
+    assert list(ins["size_bytes"]) == [len(f"fresh doc {i}") for i in range(25)]
+    assert ins["commit"].isna().all(), "unprovided insert columns stay NULL"
+    # updated rows: content replaced, unprovided payload carried forward
+    keymap = before.set_index(["repo", "path"])
+    upd_keys = before.sort_values(["repo", "path"]).head(40)
+    for r in after.merge(
+        upd_keys[["repo", "path"]], on=["repo", "path"]
+    ).itertuples(index=False):
+        prev = keymap.loc[(r.repo, r.path)]
+        assert r.size_bytes == len(f"merged::{r.path}")  # mirror follows content
+        assert r.lang == prev["lang"]  # carried forward
+        assert r.content_sha256 != prev["content_sha256"]
+    # untouched rows byte-identical
+    untouched = after[after["lsn"] != lsn].sort_values(["repo", "path"]).reset_index(drop=True)
+    keep = before.merge(
+        upd_keys[["repo", "path"]], on=["repo", "path"], how="left", indicator=True
+    )
+    keep = keep[keep["_merge"] == "left_only"].sort_values(["repo", "path"]).reset_index(drop=True)
+    assert untouched[["repo", "path", "lsn", "content_sha256"]].equals(
+        keep[["repo", "path", "lsn", "content_sha256"]]
+    )
+
+    # re-running the replay applies nothing new (fence)
+    assert R.replay(spark, d, root, n_buckets=8).events_applied == 0
+
+
+def test_merge_delete_on_match_and_skip_insert(spark, tmp_path):
+    d, lake, root = _fresh(spark, tmp_path, mode="mor")
+    before = engine_live_pdf(spark, root)
+    src = _source(spark, before, n_upd=30, n_new=10)
+
+    res = synthesize_merge_segment(
+        spark, lake, d, src, when_matched="delete", when_not_matched="skip"
+    )
+    assert res["deleted"] == 30 and res["inserted"] == 0 and res["updated"] == 0
+    assert res["matched"] == 30
+    R.replay(spark, d, root, n_buckets=8, mode="mor")
+    after = engine_live_pdf(spark, root)
+    assert len(after) == len(before) - 30
+    assert not after["repo"].eq("merge-repo").any(), "skip must not insert"
+
+    # update-only merge: the 10 new keys are skipped this time too
+    res2 = synthesize_merge_segment(
+        spark, lake, d, src, when_matched="update", when_not_matched="skip"
+    )
+    # the 30 deleted keys no longer match the head snapshot
+    assert res2["matched"] == 0 and res2["updated"] == 0
+    assert res2["segment"] is None
+
+
+def test_merge_lww_interplay_with_source_events(spark, tmp_path):
+    """A later (higher-lsn) source event beats the merge row; the merge
+    beats earlier source rows — plain LWW on the commit timeline."""
+    import json
+    import os
+
+    d, lake, root = _fresh(spark, tmp_path)
+    before = engine_live_pdf(spark, root)
+    src = _source(spark, before, n_upd=5, n_new=0)
+    res = synthesize_merge_segment(spark, lake, d, src, when_not_matched="skip")
+    R.replay(spark, d, root, n_buckets=8)
+
+    # splice one higher-lsn source event for the first merged key
+    k = before.sort_values(["repo", "path"]).head(1).iloc[0]
+    with open(os.path.join(d, "_segments.json")) as f:
+        segs = json.load(f)
+    seq = max(s["seq_hi"] for s in segs) + 1
+    ver = max(s["schema_version"] for s in segs)
+    row = [
+        (seq, res["lsn"] + 1, "late-1", "update", k["repo"], k["path"],
+         "c0", "py", "post-merge content", 17, None, None, ver)
+    ]
+    sdf = spark.createDataFrame(
+        row,
+        "arrival_seq long, lsn long, event_id string, op string, repo string, "
+        "path string, commit string, lang string, content string, "
+        "size_bytes long, license string, ts timestamp, schema_version int",
+    )
+    out = os.path.join(d, "segment-99990.parquet")
+    sdf.coalesce(1).write.mode("overwrite").parquet(out)
+    segs.append({"file": "segment-99990.parquet", "epoch": len(segs),
+                 "schema_version": ver, "format": "parquet",
+                 "seq_lo": seq, "seq_hi": seq, "n_events": 1})
+    with open(os.path.join(d, "_segments.json"), "w") as f:
+        json.dump(segs, f)
+    R.replay(spark, d, root, n_buckets=8)
+    after = engine_live_pdf(spark, root)
+    win = after[(after["repo"] == k["repo"]) & (after["path"] == k["path"])].iloc[0]
+    assert win["lsn"] == res["lsn"] + 1 and win["content_sha256"] != ""
+    others = after.merge(
+        before.sort_values(["repo", "path"]).head(5).iloc[1:][["repo", "path"]],
+        on=["repo", "path"],
+    )
+    assert (others["lsn"] == res["lsn"]).all(), "other merged keys keep the merge lsn"
+
+
+def test_merge_validation_matrix(spark, tmp_path):
+    d, lake, root = _fresh(spark, tmp_path)
+    before = engine_live_pdf(spark, root)
+    src = _source(spark, before, n_upd=3, n_new=2)
+
+    with pytest.raises(ValueError, match="duplicate"):
+        synthesize_merge_segment(spark, lake, d, src.unionAll(src.limit(1)))
+    with pytest.raises(ValueError, match="not payload columns"):
+        synthesize_merge_segment(
+            spark, lake, d, src.withColumn("rogue", F.lit(1))
+        )
+    with pytest.raises(ValueError, match="key columns"):
+        synthesize_merge_segment(spark, lake, d, src.drop("path"))
+    with pytest.raises(ValueError, match="requires a content column"):
+        synthesize_merge_segment(spark, lake, d, src.drop("content"))
+    with pytest.raises(ValueError, match="no-op"):
+        synthesize_merge_segment(
+            spark, lake, d, src, when_matched="skip", when_not_matched="skip"
+        )
+    with pytest.raises(ValueError, match="when_matched"):
+        synthesize_merge_segment(spark, lake, d, src, when_matched="upsert")
+    # content-less source is fine when inserts are skipped
+    res = synthesize_merge_segment(
+        spark, lake, d,
+        src.drop("content").limit(3),
+        when_not_matched="skip",
+    )
+    assert res["updated"] == 3
+    R.replay(spark, d, root, n_buckets=8)
+    after = engine_live_pdf(spark, root)
+    got = after.merge(
+        before.sort_values(["repo", "path"]).head(3)[["repo", "path", "content_sha256"]],
+        on=["repo", "path"],
+    )
+    # update without content: sha unchanged, license applied
+    assert (got["content_sha256_x"] == got["content_sha256_y"]).all()
+    assert (got["license"] == "MERGE-L").all()
