@@ -156,8 +156,9 @@ def synthesize_merge_segment(
     lake: LakeTable,
     log_dir: str,
     source,
-    when_matched: str = "update",
-    when_not_matched: str = "insert",
+    when_matched="update",
+    when_not_matched="insert",
+    control_cols=(),
 ) -> dict:
     """MERGE INTO compiled to CDC events (Delta/Iceberg
     ``MERGE INTO target USING source ON key`` parity) — the batch-upsert
@@ -178,19 +179,44 @@ def synthesize_merge_segment(
     files: the log stays the single source of truth, so rollback
     self-heals the merge back in and every replica converges on it.
 
+    **Conditional clauses** (Delta's ``WHEN MATCHED AND <cond> THEN``):
+    either side also accepts a list of ``(condition, action)`` pairs,
+    evaluated in order per row — the FIRST true clause wins, rows matching
+    no clause drop (standard MERGE semantics). Matched conditions are SQL
+    over the ``s.``-aliased source row and ``t.``-aliased target row
+    (``"s.content IS DISTINCT FROM t.content"`` suppresses no-op updates
+    at the source); not-matched conditions see the source row alone.
+    ``condition=None`` means unconditional. ``control_cols`` names source
+    columns that exist ONLY for conditions (e.g. a Debezium ``__deleted``
+    flag): they are exempt from payload validation and never emitted into
+    events. The canonical soft-delete stream is thus::
+
+        when_matched=[("s.__deleted", "delete"), (None, "update")],
+        when_not_matched=[("NOT s.__deleted", "insert")],
+        control_cols=["__deleted"]
+
     Scale: the source side broadcasts below the engine's key cap; the
     classification joins are key-equi-joins against the column-pruned
-    state scan; ranking/writing is `append_event_segment`'s parallel
+    state scan; clause routing is one codegen'd CASE column over that
+    join; ranking/writing is `append_event_segment`'s parallel
     deterministic rank (bit-identical log at every cluster size). The
     size mirror is maintained when ``content`` is provided without
     ``size_bytes``."""
     from ..util import BROADCAST_KEYS_MAX
 
-    if when_matched not in ("update", "delete", "skip"):
-        raise ValueError(f"when_matched={when_matched!r}")
-    if when_not_matched not in ("insert", "skip"):
-        raise ValueError(f"when_not_matched={when_not_matched!r}")
-    if when_matched == "skip" and when_not_matched == "skip":
+    wm = [(None, when_matched)] if isinstance(when_matched, str) else [
+        (c, a) for c, a in when_matched
+    ]
+    wnm = [(None, when_not_matched)] if isinstance(when_not_matched, str) else [
+        (c, a) for c, a in when_not_matched
+    ]
+    for cond, act in wm:
+        if act not in ("update", "delete", "skip"):
+            raise ValueError(f"when_matched={act!r}")
+    for cond, act in wnm:
+        if act not in ("insert", "skip"):
+            raise ValueError(f"when_not_matched={act!r}")
+    if all(a == "skip" for _, a in wm) and all(a == "skip" for _, a in wnm):
         raise ValueError("MERGE with both clauses 'skip' is a no-op")
     m = lake.current_manifest()
     if m is None:
@@ -201,17 +227,23 @@ def synthesize_merge_segment(
     ver = int(m["schema_version"])
     payload = [n for n, _ in reg.payload_fields(ver)]
     types = dict(reg.payload_fields(ver))
+    control = list(control_cols)
+    miss_ctl = [c for c in control if c not in source.columns]
+    if miss_ctl:
+        raise ValueError(f"control_cols {miss_ctl} absent from the source")
     missing = [k for k in reg.KEY_COLUMNS if k not in source.columns]
     if missing:
         raise ValueError(f"MERGE source lacks key columns {missing}")
-    extra = sorted(set(source.columns) - set(reg.KEY_COLUMNS) - set(payload))
+    extra = sorted(
+        set(source.columns) - set(reg.KEY_COLUMNS) - set(payload) - set(control)
+    )
     if extra:
         raise ValueError(
             f"source columns {extra} are not payload columns of schema "
             f"version {ver} ({payload})"
         )
     provided = [c for c in payload if c in source.columns]
-    if when_not_matched == "insert" and "content" not in provided:
+    if any(a == "insert" for _, a in wnm) and "content" not in provided:
         raise ValueError(
             "when_not_matched='insert' requires a content column on the "
             "source (content-less inserts are invalid events)"
@@ -248,41 +280,79 @@ def synthesize_merge_segment(
         ]
         return frame.select(*cols)
 
+    def _clause_col(clauses):
+        """First-true-wins clause index as ONE codegen'd CASE column."""
+        expr = None
+        for i, (cond, _act) in enumerate(clauses):
+            c = F.expr(cond) if cond is not None else F.lit(True)
+            expr = F.when(c, F.lit(i)) if expr is None else expr.when(c, F.lit(i))
+        return expr
+
     pieces, n_upd, n_del, n_ins = [], 0, 0, 0
     n_matched = state.select("repo", "path").join(
         sk_b, list(reg.KEY_COLUMNS), "left_semi"
     ).count()
-    if when_matched == "update" and n_matched:
+
+    def upd_col(name):
+        if name in provided:
+            return F.col(f"s.{name}")
+        if name == "size_bytes" and mirror_size:
+            return F.octet_length(F.col("s.content"))
+        return F.col(f"t.{name}")
+
+    def ins_col(name):
+        if name in provided:
+            return F.col(f"s.{name}")
+        if name == "size_bytes" and mirror_size:
+            return F.octet_length(F.col("s.content"))
+        return F.lit(None)
+
+    if any(a != "skip" for _, a in wm) and n_matched:
         s = (F.broadcast(source) if small else source).alias("s")
         j = state.alias("t").join(s, list(reg.KEY_COLUMNS), "inner")
-
-        def upd_col(name):
-            if name in provided:
-                return F.col(f"s.{name}")
-            if name == "size_bytes" and mirror_size:
-                return F.octet_length(F.col("s.content"))
-            return F.col(f"t.{name}")
-
-        pieces.append(_events("update", j, upd_col))
-        n_upd = n_matched
-    elif when_matched == "delete" and n_matched:
-        hit = state.join(sk_b, list(reg.KEY_COLUMNS), "left_semi")
-        pieces.append(_events("delete", hit, lambda n: F.lit(None)))
-        n_del = n_matched
-    if when_not_matched == "insert" and n_src - n_matched:
+        if len(wm) == 1 and wm[0][0] is None:
+            # fast path: one unconditional clause — no routing column, no
+            # per-clause count (the semi-join count above IS the count)
+            act = wm[0][1]
+            if act == "update":
+                pieces.append(_events("update", j, upd_col))
+                n_upd = n_matched
+            else:
+                pieces.append(_events("delete", j, lambda n: F.lit(None)))
+                n_del = n_matched
+        else:
+            j = j.withColumn("_clause", _clause_col(wm))
+            for i, (_cond, act) in enumerate(wm):
+                if act == "skip":
+                    continue
+                frame = j.where(F.col("_clause") == i)
+                n = frame.count()
+                if not n:
+                    continue
+                if act == "update":
+                    pieces.append(_events("update", frame, upd_col))
+                    n_upd += n
+                else:
+                    pieces.append(_events("delete", frame, lambda n_: F.lit(None)))
+                    n_del += n
+    if any(a == "insert" for _, a in wnm) and n_src - n_matched:
         fresh = source.join(
             state.select("repo", "path"), list(reg.KEY_COLUMNS), "left_anti"
-        )
-
-        def ins_col(name):
-            if name in provided:
-                return F.col(name)
-            if name == "size_bytes" and mirror_size:
-                return F.octet_length(F.col("content"))
-            return F.lit(None)
-
-        pieces.append(_events("insert", fresh, ins_col))
-        n_ins = n_src - n_matched
+        ).alias("s")
+        if len(wnm) == 1 and wnm[0][0] is None:
+            pieces.append(_events("insert", fresh, ins_col))
+            n_ins = n_src - n_matched
+        else:
+            fresh = fresh.withColumn("_clause", _clause_col(wnm))
+            for i, (_cond, act) in enumerate(wnm):
+                if act != "insert":
+                    continue
+                frame = fresh.where(F.col("_clause") == i)
+                n = frame.count()
+                if not n:
+                    continue
+                pieces.append(_events("insert", frame, ins_col))
+                n_ins += n
 
     res = {"op": "merge", "lsn": lsn, "updated": n_upd, "deleted": n_del,
            "inserted": n_ins, "matched": 0, "segment": None,

@@ -11,7 +11,18 @@ Or MERGE INTO from a parquet source of (repo, path, payload...) rows:
 
     spark-submit jobs/dml.py --lake-root R --log-dir L \
         --merge-source /path/to/source.parquet \
-        [--when-matched update|delete|skip] [--when-not-matched insert|skip]
+        [--when-matched update|delete|skip] [--when-not-matched insert|skip] \
+        [--when-matched-if "SQL_COND=>update|delete|skip" ...] \
+        [--soft-delete-col __deleted]
+
+Conditional clauses (Delta's ``WHEN MATCHED AND cond THEN``): each
+``--when-matched-if`` prepends a clause tried in order before the
+unconditional ``--when-matched`` fallback; conditions are SQL over the
+``s.``/``t.``-aliased source/target rows (e.g.
+``"s.content IS DISTINCT FROM t.content=>update"`` suppresses no-op
+updates). ``--soft-delete-col C`` is the Debezium sugar: matched rows
+with ``s.C`` delete, other matched rows take --when-matched, unmatched
+rows insert only when ``NOT s.C``; C is a control column, never written.
 
 Without ``--set`` this is ``DELETE FROM lake WHERE ...``; with it,
 ``UPDATE lake SET col=expr[, ...] WHERE ...``. The statement compiles to
@@ -65,6 +76,17 @@ def main() -> None:
                    choices=["update", "delete", "skip"])
     p.add_argument("--when-not-matched", default="insert",
                    choices=["insert", "skip"])
+    p.add_argument("--when-matched-if", action="append", default=[],
+                   metavar="COND=>ACTION",
+                   help="conditional matched clause, tried in order before "
+                        "the --when-matched fallback (repeatable)")
+    p.add_argument("--when-not-matched-if", action="append", default=[],
+                   metavar="COND=>ACTION",
+                   help="conditional not-matched clause before the "
+                        "--when-not-matched fallback (repeatable)")
+    p.add_argument("--soft-delete-col", default=None,
+                   help="Debezium soft-delete control column: matched+flag "
+                        "deletes, unmatched+flag skips the insert")
     p.add_argument("--no-apply", action="store_true",
                    help="append the segment only; don't run the replay")
     p.add_argument("--mode", default="cow", choices=["cow", "mor"])
@@ -88,13 +110,44 @@ def main() -> None:
             synthesize_merge_segment,
         )
 
+        def _clauses(items, valid):
+            out = []
+            for it in items:
+                cond, sep, act = it.rpartition("=>")
+                if not sep or act.strip() not in valid or not cond.strip():
+                    raise SystemExit(
+                        f"clause must be 'COND=>{'|'.join(sorted(valid))}', got {it!r}"
+                    )
+                out.append((cond.strip(), act.strip()))
+            return out
+
+        wm = _clauses(args.when_matched_if, {"update", "delete", "skip"})
+        wnm = _clauses(args.when_not_matched_if, {"insert", "skip"})
+        control = []
+        if args.soft_delete_col:
+            c = args.soft_delete_col
+            control.append(c)
+            wm.insert(0, (f"s.{c}", "delete"))
+            if args.when_not_matched == "insert":
+                wnm.append((f"NOT s.{c}", "insert"))
+            when_not_matched = wnm
+        else:
+            when_not_matched = (
+                wnm + [(None, args.when_not_matched)] if wnm
+                else args.when_not_matched
+            )
+        when_matched = (
+            wm + [(None, args.when_matched)] if wm else args.when_matched
+        )
+
         res = synthesize_merge_segment(
             spark,
             lake,
             args.log_dir,
             spark.read.parquet(args.merge_source),
-            when_matched=args.when_matched,
-            when_not_matched=args.when_not_matched,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            control_cols=control,
         )
     else:
         res = synthesize_dml_segment(

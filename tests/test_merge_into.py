@@ -200,3 +200,112 @@ def test_merge_validation_matrix(spark, tmp_path):
     # update without content: sha unchanged, license applied
     assert (got["content_sha256_x"] == got["content_sha256_y"]).all()
     assert (got["license"] == "MERGE-L").all()
+
+
+def test_merge_conditional_change_detection(spark, tmp_path):
+    """`WHEN MATCHED AND s.content IS DISTINCT FROM t.content` suppresses
+    no-op updates: redelivering the source's unchanged half emits NO
+    events, so those keys keep their original lsn (CDC idempotence at the
+    MERGE layer, before the engine's elision tier)."""
+    d, lake, root = _fresh(spark, tmp_path)
+    before = engine_live_pdf(spark, root)
+    keys = before.sort_values(["repo", "path"]).head(10)
+    rows = []
+    for i, r in enumerate(keys.itertuples(index=False)):
+        # even rows keep their CURRENT content (no-op), odd rows change
+        content = r.content if i % 2 == 0 else f"changed::{r.path}"
+        rows.append((r.repo, r.path, content))
+    src = spark.createDataFrame(rows, "repo string, path string, content string")
+
+    res = synthesize_merge_segment(
+        spark, lake, d, src,
+        when_matched=[("s.content IS DISTINCT FROM t.content", "update")],
+        when_not_matched="skip",
+    )
+    assert res["updated"] == 5 and res["deleted"] == 0 and res["inserted"] == 0
+    R.replay(spark, d, root, n_buckets=8)
+    after = engine_live_pdf(spark, root)
+    joined = after.merge(
+        keys[["repo", "path", "lsn"]], on=["repo", "path"], suffixes=("", "_old")
+    ).sort_values(["repo", "path"]).reset_index(drop=True)
+    changed = joined["lsn"] != joined["lsn_old"]
+    assert changed.sum() == 5
+    assert (joined.loc[changed, "lsn"] == res["lsn"]).all()
+    # the unchanged half kept its ORIGINAL lsn — no event was emitted
+    assert (joined.loc[~changed, "lsn"] == joined.loc[~changed, "lsn_old"]).all()
+
+
+def test_merge_soft_delete_debezium_shape(spark, tmp_path):
+    """The canonical Debezium soft-delete stream: matched+flag -> delete,
+    matched+live -> update, unmatched+flag -> drop, unmatched+live ->
+    insert; the control column never reaches the log."""
+    d, lake, root = _fresh(spark, tmp_path)
+    before = engine_live_pdf(spark, root)
+    keys = before.sort_values(["repo", "path"]).head(8)
+    rows = []
+    for i, r in enumerate(keys.itertuples(index=False)):
+        rows.append((r.repo, r.path, f"soft::{r.path}", i % 2 == 0))
+    rows += [("sd-repo", f"new/{i}.txt", f"born {i}", i % 2 == 0) for i in range(4)]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, content string, __deleted boolean"
+    )
+
+    res = synthesize_merge_segment(
+        spark, lake, d, src,
+        when_matched=[("s.__deleted", "delete"), (None, "update")],
+        when_not_matched=[("NOT s.__deleted", "insert")],
+        control_cols=["__deleted"],
+    )
+    assert res["deleted"] == 4 and res["updated"] == 4 and res["inserted"] == 2
+    R.replay(spark, d, root, n_buckets=8)
+    after = engine_live_pdf(spark, root)
+    assert len(after) == len(before) - 4 + 2
+    am = after.merge(keys[["repo", "path"]], on=["repo", "path"])
+    assert len(am) == 4, "flagged matched keys are gone"
+    assert (am["lsn"] == res["lsn"]).all()
+    born = after[after["repo"] == "sd-repo"]
+    assert sorted(born["path"]) == ["new/1.txt", "new/3.txt"]
+    assert "__deleted" not in after.columns
+    # the control column never entered the log segment either
+    seg = spark.read.parquet(f"{d}/{res['segment']}")
+    assert "__deleted" not in seg.columns
+
+
+def test_merge_clause_order_first_true_wins(spark, tmp_path):
+    d, lake, root = _fresh(spark, tmp_path)
+    before = engine_live_pdf(spark, root)
+    keys = before.sort_values(["repo", "path"]).head(6)
+    rows = [
+        (r.repo, r.path, f"w::{r.path}", "KILL" if i < 2 else "KEEP")
+        for i, r in enumerate(keys.itertuples(index=False))
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, content string, license string"
+    )
+    res = synthesize_merge_segment(
+        spark, lake, d, src,
+        when_matched=[("s.license = 'KILL'", "delete"), (None, "update")],
+        when_not_matched="skip",
+    )
+    # the KILL rows satisfy BOTH clauses; the first one wins
+    assert res["deleted"] == 2 and res["updated"] == 4
+
+
+def test_merge_clause_validation(spark, tmp_path):
+    d, lake, root = _fresh(spark, tmp_path)
+    before = engine_live_pdf(spark, root)
+    src = _source(spark, before, n_upd=2, n_new=1)
+    with pytest.raises(ValueError, match="when_matched"):
+        synthesize_merge_segment(
+            spark, lake, d, src, when_matched=[("s.license = 'x'", "upsert")]
+        )
+    with pytest.raises(ValueError, match="no-op"):
+        synthesize_merge_segment(
+            spark, lake, d, src,
+            when_matched=[("s.license = 'x'", "skip")],
+            when_not_matched=[(None, "skip")],
+        )
+    with pytest.raises(ValueError, match="control_cols"):
+        synthesize_merge_segment(
+            spark, lake, d, src, control_cols=["__deleted"]
+        )
