@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_rollup_incremental"] = _cdc_rollup_incremental
     q["cdc_dml_state"] = _cdc_dml_state
     q["cdc_merge_into_state"] = _cdc_merge_into_state
+    q["cdc_merge_soft_delete"] = _cdc_merge_soft_delete
     q["cdc_log_compacted_state"] = _cdc_log_compacted_state
 
     # ---- streaming-analytics plan (same code the watermarked stream runs) ----
@@ -530,6 +531,63 @@ def _cdc_merge_into_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     synthesize_merge_segment(
         spark, lake, log_dir, matched_src.unionByName(new_src)
+    )
+    replay(spark, log_dir, lake_root, n_buckets=8)
+    return lake.read_state(spark).select(
+        "repo", "path", "lsn", "content_sha256", "license"
+    )
+
+
+def _cdc_merge_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional multi-clause MERGE (operators/dml.py
+    synthesize_merge_segment clause lists): the Debezium soft-delete
+    stream. Source = every live lang='md' row with content rewritten to
+    'soft::'||path and a __deleted control flag (length(path) even), plus
+    30 'softsrc' keys flagged by id parity. Clauses: matched+flag ->
+    delete, matched+changed-content -> update (change detection:
+    unchanged rows emit nothing), unmatched+live -> insert. The DuckDB
+    oracle reclassifies declaratively over the ORIGINAL segments with the
+    identical flag and distinctness predicates."""
+    import shutil
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.operators.dml import synthesize_merge_segment
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    work = tempfile.mkdtemp(prefix="cdc_mergesd_")
+    log_dir = os.path.join(work, "log")
+    shutil.copytree(_ensure_cdc_oracle_log(), log_dir)
+    lake_root = os.path.join(work, "lake")
+    replay(spark, log_dir, lake_root, n_buckets=8)
+    lake = LakeTable(lake_root, n_buckets=8)
+    matched_src = (
+        lake.read_state(spark)
+        .where("lang = 'md'")
+        .select(
+            "repo",
+            "path",
+            F.concat(F.lit("soft::"), F.col("path")).alias("content"),
+            (F.length("path") % 2 == 0).alias("__deleted"),
+        )
+    )
+    new_src = spark.range(30).select(
+        F.lit("softsrc").alias("repo"),
+        F.format_string("sd/%04d", F.col("id").cast("int")).alias("path"),
+        F.concat(F.lit("soft doc "), F.col("id").cast("string")).alias("content"),
+        (F.col("id") % 2 == 0).alias("__deleted"),
+    )
+    synthesize_merge_segment(
+        spark,
+        lake,
+        log_dir,
+        matched_src.unionByName(new_src),
+        when_matched=[
+            ("s.__deleted", "delete"),
+            ("s.content IS DISTINCT FROM t.content", "update"),
+        ],
+        when_not_matched=[("NOT s.__deleted", "insert")],
+        control_cols=["__deleted"],
     )
     replay(spark, log_dir, lake_root, n_buckets=8)
     return lake.read_state(spark).select(
@@ -1510,6 +1568,37 @@ def oracle_sql() -> dict[str, str]:
         "  hi + 1 AS lsn, sha256('merged doc ' || i) AS content_sha256, "
         "  'MERGE' AS license "
         "FROM range(50) t(i), mx"
+    )
+    # Soft-delete MERGE: same live-state CTE; clause routing reproduced as
+    # CASE/WHERE with the identical flag (length(path) even) and
+    # change-detection (soft::path IS DISTINCT FROM content) predicates;
+    # first-true-wins means the flag decides before distinctness.
+    o["cdc_merge_soft_delete"] = (
+        f"WITH ev AS (SELECT repo, path, lsn, op, content, lang, license "
+        f"  FROM read_parquet('{log_glob}', union_by_name=true) "
+        "  WHERE op IN ('insert', 'update', 'delete') AND repo IS NOT NULL "
+        "    AND path IS NOT NULL AND lsn IS NOT NULL "
+        "    AND (op = 'delete' OR content IS NOT NULL)), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev), "
+        "live AS (SELECT repo, path, lsn, content, lang, license "
+        "  FROM ranked WHERE rn = 1 AND op <> 'delete'), "
+        "mx AS (SELECT max(lsn) AS hi FROM ev) "
+        "SELECT repo, path, "
+        "  CASE WHEN lang = 'md' AND length(path) % 2 <> 0 "
+        "        AND ('soft::' || path) IS DISTINCT FROM content "
+        "       THEN hi + 1 ELSE lsn END AS lsn, "
+        "  CASE WHEN lang = 'md' AND length(path) % 2 <> 0 "
+        "        AND ('soft::' || path) IS DISTINCT FROM content "
+        "       THEN sha256('soft::' || path) "
+        "       ELSE sha256(content) END AS content_sha256, "
+        "  license "
+        "FROM live, mx WHERE NOT (lang = 'md' AND length(path) % 2 = 0) "
+        "UNION ALL "
+        "SELECT 'softsrc' AS repo, printf('sd/%04d', CAST(i AS INT)) AS path, "
+        "  hi + 1 AS lsn, sha256('soft doc ' || i) AS content_sha256, "
+        "  CAST(NULL AS VARCHAR) AS license "
+        "FROM range(30) t(i), mx WHERE i % 2 <> 0"
     )
     o["cdc_rollup_incremental"] = (
         f"WITH ev AS (SELECT repo, path, lsn, op, lang, size_bytes "

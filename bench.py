@@ -48,6 +48,7 @@ SKIP = {
     "cdc_rollup_incremental",
     "cdc_dml_state",
     "cdc_merge_into_state",
+    "cdc_merge_soft_delete",
     "cdc_log_compacted_state",
     "cdc_scd2_history",
     "cdc_scd2_incremental",
