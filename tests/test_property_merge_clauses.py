@@ -1,0 +1,181 @@
+"""Property test: the MERGE clause router vs a sequential pandas oracle.
+
+Six seeded-random trials against an evolving lake: random sources
+(matched keys that may or may not change content, fresh keys, a boolean
+control flag), random ordered clause lists drawn from a small grammar.
+Each trial the pandas oracle classifies every source row sequentially
+(first-true-wins, no-clause rows drop), the emitted segment must match
+the expected (op, key) set and payload columns exactly, and after the
+replay the live state must equal the oracle's applied state. Trials
+compound: each replays before the next, so later sources sample keys
+born/updated/deleted by earlier merges.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pandas as pd
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.operators.dml import synthesize_merge_segment
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_live_pdf
+
+E = 3_000
+TRIALS = 6
+
+#: (SQL condition over s./t. aliases, python equivalent) — matched side
+MATCHED_CONDS = [
+    ("s.__flag", lambda s, t: bool(s["__flag"])),
+    ("NOT s.__flag", lambda s, t: not bool(s["__flag"])),
+    ("s.content IS DISTINCT FROM t.content", lambda s, t: s["content"] != t["content"]),
+    ("s.license = 'L0'", lambda s, t: s["license"] == "L0"),
+    ("t.lang = 'md'", lambda s, t: t["lang"] == "md"),
+]
+NOT_MATCHED_CONDS = [
+    ("NOT s.__flag", lambda s: not bool(s["__flag"])),
+    ("s.license = 'L1'", lambda s: s["license"] == "L1"),
+]
+
+
+def _random_clauses(rng):
+    wm = []
+    for sql, fn in rng.sample(MATCHED_CONDS, rng.randint(1, 3)):
+        wm.append((sql, fn, rng.choice(["update", "delete", "skip"])))
+    if rng.random() < 0.5:
+        wm.append((None, lambda s, t: True, rng.choice(["update", "delete", "skip"])))
+    style = rng.choice(["insert", "skip", "cond"])
+    if style == "cond":
+        sql, fn = rng.choice(NOT_MATCHED_CONDS)
+        wnm = [(sql, fn, "insert")]
+    else:
+        wnm = [(None, lambda s: True, style)]
+    if all(a == "skip" for _, _, a in wm) and all(a == "skip" for _, _, a in wnm):
+        wm[-1] = (wm[-1][0], wm[-1][1], "update")
+    return wm, wnm
+
+
+def _classify(live_idx, srows, wm, wnm):
+    """Sequential oracle: source row -> (action or None)."""
+    out = {}
+    for key, s in srows.items():
+        if key in live_idx.index:
+            t = live_idx.loc[key]
+            act = None
+            for _sql, fn, a in wm:
+                if fn(s, t):
+                    act = a
+                    break
+        else:
+            act = None
+            for _sql, fn, a in wnm:
+                if fn(s):
+                    act = a
+                    break
+            if act == "update":  # pragma: no cover - grammar never yields this
+                act = None
+        out[key] = act if act not in (None, "skip") else None
+    return out
+
+
+def test_merge_clause_router_matches_sequential_oracle(spark, tmp_path):
+    d = str(tmp_path / "log")
+    gen.build_stream(E, 3, d)
+    root = str(tmp_path / "lake")
+    R.replay(spark, d, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    rng = random.Random(7)
+
+    live = engine_live_pdf(spark, root).set_index(["repo", "path"])
+    for trial in range(TRIALS):
+        # --- random source over the CURRENT state
+        n_upd = rng.randint(5, 25)
+        n_new = rng.randint(0, 10)
+        picks = rng.sample(sorted(live.index), min(n_upd, len(live)))
+        srows = {}
+        for repo, path in picks:
+            keep = rng.random() < 0.4  # unchanged content exercises distinctness
+            srows[(repo, path)] = {
+                "content": live.loc[(repo, path), "content"] if keep
+                else f"t{trial}::{path}",
+                "license": rng.choice(["L0", "L1", "L2"]),
+                "__flag": rng.random() < 0.5,
+            }
+        for i in range(n_new):
+            srows[(f"prop-{trial}", f"n/{i:03d}")] = {
+                "content": f"born t{trial} {i}",
+                "license": rng.choice(["L0", "L1", "L2"]),
+                "__flag": rng.random() < 0.5,
+            }
+        src = spark.createDataFrame(
+            [(k[0], k[1], v["content"], v["license"], v["__flag"])
+             for k, v in sorted(srows.items())],
+            "repo string, path string, content string, license string, "
+            "__flag boolean",
+        )
+        wm, wnm = _random_clauses(rng)
+
+        expected = _classify(live, srows, wm, wnm)
+        exp_upd = sorted(k for k, a in expected.items() if a == "update")
+        exp_del = sorted(k for k, a in expected.items() if a == "delete")
+        exp_ins = sorted(k for k, a in expected.items() if a == "insert")
+
+        res = synthesize_merge_segment(
+            spark, lake, d, src,
+            when_matched=[(sql, a) for sql, _fn, a in wm],
+            when_not_matched=[(sql, a) for sql, _fn, a in wnm],
+            control_cols=["__flag"],
+        )
+        assert res["updated"] == len(exp_upd), (trial, wm, wnm)
+        assert res["deleted"] == len(exp_del), (trial, wm, wnm)
+        assert res["inserted"] == len(exp_ins), (trial, wm, wnm)
+
+        if res["segment"] is not None:
+            seg = pd.read_parquet(os.path.join(d, res["segment"]))
+            assert "__flag" not in seg.columns
+            got = {
+                op: sorted(zip(g["repo"], g["path"]))
+                for op, g in seg.groupby("op")
+            }
+            assert got.get("update", []) == exp_upd
+            assert got.get("delete", []) == exp_del
+            assert got.get("insert", []) == exp_ins
+            by_key = seg.set_index(["repo", "path"])
+            for k in exp_upd + exp_ins:
+                assert by_key.loc[k, "content"] == srows[k]["content"]
+                assert by_key.loc[k, "license"] == srows[k]["license"]
+            for k in exp_upd:
+                assert by_key.loc[k, "lang"] == live.loc[k, "lang"], "carry-forward"
+            for k in exp_ins:
+                assert pd.isna(by_key.loc[k, "lang"])
+            R.replay(spark, d, root, n_buckets=8)
+
+        # --- apply to the pandas state and compare
+        if exp_del:
+            live = live.drop(index=exp_del)
+        for k in exp_upd:
+            live.loc[k, "content"] = srows[k]["content"]
+            live.loc[k, "license"] = srows[k]["license"]
+            live.loc[k, "lsn"] = res["lsn"]
+        if exp_ins:
+            add = pd.DataFrame(
+                {
+                    "content": [srows[k]["content"] for k in exp_ins],
+                    "license": [srows[k]["license"] for k in exp_ins],
+                    "lsn": [res["lsn"]] * len(exp_ins),
+                },
+                index=pd.MultiIndex.from_tuples(exp_ins, names=["repo", "path"]),
+            )
+            live = pd.concat([live, add])
+        got_live = engine_live_pdf(spark, root).set_index(["repo", "path"])
+        assert len(got_live) == len(live), (trial, wm, wnm)
+        cmp = got_live[["content", "license", "lsn"]].sort_index()
+        exp = live[["content", "license", "lsn"]].sort_index()
+        assert (cmp["content"] == exp["content"]).all()
+        assert cmp["license"].fillna("~").eq(exp["license"].fillna("~")).all()
+        assert (cmp["lsn"].astype("int64") == exp["lsn"].astype("int64")).all()
+        live = got_live  # engine state is the base for the next trial
