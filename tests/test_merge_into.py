@@ -309,3 +309,56 @@ def test_merge_clause_validation(spark, tmp_path):
         synthesize_merge_segment(
             spark, lake, d, src, control_cols=["__deleted"]
         )
+
+
+def test_merge_composes_with_wap_gate(spark, tmp_path):
+    """MERGE is a log-level verb, so it composes with write-audit-publish
+    out of the box: the synthesized segment stages like any pending epoch,
+    the audit gate sees exactly the merged keys as the staged diff, and a
+    discarded merge survives in the log (a later plain replay re-applies
+    it — the log stays the single source of truth)."""
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+
+    from .util import engine_digest
+
+    d, lake, root = _fresh(spark, tmp_path)
+    before = engine_live_pdf(spark, root)
+    pre_digest = engine_digest(spark, root)
+    src = _source(spark, before, n_upd=12, n_new=6)
+    res = synthesize_merge_segment(spark, lake, d, src)
+    assert res["matched"] == 18
+
+    # stage: the merge is invisible to readers
+    R.replay(spark, d, root, n_buckets=8, stage=True)
+    (n,) = lake.staged_epochs()
+    assert engine_digest(spark, root) == pre_digest
+    # the staged snapshot time-travels to the merged state for audit
+    staged_pdf = engine_live_pdf(spark, root, epoch=n)
+    assert len(staged_pdf) == len(before) + 6
+
+    # gate fail: discard — head untouched
+    out = lake.audit_staged(
+        spark, EventLog(d), max_changed_keys=0, discard_on_fail=True
+    )
+    assert out["changed_keys"] == 18 and out["action"] == "discarded"
+    assert engine_digest(spark, root) == pre_digest
+    assert lake.staged_epochs() == []
+
+    # the merge survives in the log: a plain replay re-applies it
+    rr = R.replay(spark, d, root, n_buckets=8)
+    assert rr.events_applied == 18
+    after = engine_live_pdf(spark, root)
+    assert len(after) == len(before) + 6
+
+    # gate pass: a second merge staged then published through the gate
+    src2 = _source(spark, after, n_upd=4, n_new=0)
+    synthesize_merge_segment(spark, lake, d, src2, when_not_matched="skip")
+    R.replay(spark, d, root, n_buckets=8, stage=True)
+    out2 = lake.audit_staged(
+        spark, EventLog(d), max_delete_frac=1.0, publish_on_pass=True
+    )
+    assert out2["action"] == "published" and out2["changed_keys"] == 4
+    # published-through-the-gate == a straight replay of the full log
+    straight = str(tmp_path / "straight")
+    R.replay(spark, d, straight, n_buckets=8)
+    assert engine_digest(spark, root) == engine_digest(spark, straight)
