@@ -57,9 +57,14 @@ SINGLE_FILE_MAX_ROWS = 100_000
 
 
 def _next_segment(log_dir: str) -> tuple[list[dict], int, int]:
-    """Current segment index -> (entries, next file ordinal, next seq)."""
-    with open(os.path.join(log_dir, "_segments.json")) as f:
-        segs = json.load(f)
+    """Current segment index -> (entries, next file ordinal, next seq).
+    A missing index is an EMPTY log (a replica's freshly-created log dir,
+    sources/sync.py), not an error — the appended segment becomes entry 0."""
+    try:
+        with open(os.path.join(log_dir, "_segments.json")) as f:
+            segs = json.load(f)
+    except FileNotFoundError:
+        segs = []
     nums = [
         int(m.group(1))
         for s in segs

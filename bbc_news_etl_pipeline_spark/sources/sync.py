@@ -1,0 +1,118 @@
+"""Lake-to-lake replication: CDC fan-out of one lake into another's log.
+
+A REPLICA lake is just another consumer of the source lake's changelog —
+but instead of exporting parquet for an external system (`jobs/changes.py`),
+`sync_lake` compiles the window into ordinary change events appended to
+the REPLICA's OWN log and applied by an ordinary replay. Everything the
+engine already guarantees then holds on the replica for free: exactly-once
+epoch fencing, time travel, branches, its own downstream consumers — a
+replication topology (source -> replica -> replica...) built from the same
+two primitives as everything else (the set-at-a-time generalization of the
+reference's raw-store -> warehouse hop,
+/root/reference/docs/architecture/high_level_data_flow.md:24-52).
+
+Correctness rests on LSN PRESERVATION: replicated events keep the SOURCE
+commit lsn, so per-key LWW on the replica resolves to exactly the source's
+winner regardless of window batching, re-exported windows after a crash
+(the cursor advances only after the replica commit — at-least-once export,
+absorbed bit-identically by the engine's redelivery contract), or overlap
+between a bootstrap and the first incremental window.
+
+Scale: the window cost is `read_changes`' — proportional to the window's
+TOUCHED KEYS (slim key scan + semi-joined post-images), never to the
+table; the bootstrap is one full state scan compiled to insert events.
+The replica apply is the ordinary salted merge path. A fan-out of N
+replicas costs N independent cursors on the source — no coordination.
+
+Rollback on the source makes the window run backward; a replica cannot
+express that forward-only (its log already holds the rolled-back events),
+so `sync_lake` REFUSES and the operator re-bootstraps (drop the consumer,
+fresh target) — the same re-provision answer physical replicas give to a
+primary restored from backup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import schema_registry as reg
+from .lake import LakeTable
+
+
+def sync_lake(
+    spark: SparkSession,
+    src_lake: LakeTable,
+    src_log,
+    dst_log_dir: str,
+    consumer: str,
+) -> dict:
+    """Export the source window since `consumer`'s cursor (bootstrap on
+    first run) into `dst_log_dir` as one synthesized event segment.
+    Returns {view, from_epoch, to_epoch, events, segment, seq_lo, seq_hi};
+    does NOT apply (callers replay the destination, then
+    `confirm_synced`). The cursor stays put until `confirm_synced` — a
+    crash between append and replica commit re-exports the same window,
+    which LWW absorbs bit-identically."""
+    from ..operators.dml import append_event_segment
+
+    head = src_lake.current_manifest()
+    if head is None:
+        raise ValueError("source lake has no committed snapshot to sync from")
+    head_epoch = int(head["epoch"])
+    ver = int(head["schema_version"])
+    payload = [n for n, _ in reg.payload_fields(ver)]
+    types = dict(reg.payload_fields(ver))
+    cursor = src_lake.consumer_cursor(consumer)
+
+    if cursor is not None and cursor == head_epoch:
+        return {"view": "noop", "from_epoch": cursor, "to_epoch": head_epoch,
+                "events": 0, "segment": None, "seq_lo": None, "seq_hi": None}
+    if cursor is None:
+        rows = src_lake.read_state(spark).withColumn("change", F.lit("insert"))
+        view = "bootstrap"
+    else:
+        m_from = src_lake.manifest(cursor)
+        if head["seq_hi"] < m_from["seq_hi"]:
+            raise ValueError(
+                f"source rolled back past replica cursor {consumer!r} "
+                f"(epoch {cursor}): a forward-only replica cannot apply a "
+                "backward window — drop the consumer and re-bootstrap"
+            )
+        rows = src_lake.read_changes(spark, src_log, cursor)
+        view = "upsert"
+
+    op = (
+        F.when(F.col("change") == "delete", F.lit("delete"))
+        .when(F.lit(view == "bootstrap"), F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    events = rows.select(
+        F.col("lsn").cast("long").alias("lsn"),
+        F.concat(
+            F.lit(f"sync-{consumer}-{head_epoch}-"),
+            F.md5(F.concat_ws("|", "repo", "path")),
+        ).alias("event_id"),
+        op.alias("op"),
+        F.col("repo"),
+        F.col("path"),
+        *[F.col(c).cast(types[c].simpleString()).alias(c) for c in payload],
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(ver).cast("int").alias("schema_version"),
+    )
+    res = append_event_segment(spark, dst_log_dir, events, ver)
+    return {"view": view, "from_epoch": cursor, "to_epoch": head_epoch,
+            "events": res["matched"], "segment": res["segment"],
+            "seq_lo": res["seq_lo"], "seq_hi": res["seq_hi"]}
+
+
+def confirm_synced(src_lake: LakeTable, consumer: str, out: dict) -> None:
+    """CAS-advance the source cursor after the replica commit landed. The
+    cursor is the replication offset: advancing it is what makes the
+    window at-most-once going forward (and its pin is what keeps the
+    source's history diffable while the replica lags)."""
+    if out["view"] == "noop":
+        return
+    src_lake.advance_consumer_cursor(
+        consumer, out["to_epoch"], expected=out["from_epoch"]
+    )

@@ -1,0 +1,86 @@
+"""spark-submit entry point: lake-to-lake replication (CDC fan-out).
+
+Usage:
+    spark-submit --master local[32] jobs/sync.py \
+        --source-lake /lakes/main --source-log /logs/main \
+        --target-lake /lakes/replica --target-log /logs/replica \
+        --consumer replica-eu \
+        [--mode cow|mor] [--n-buckets N] [--no-apply]
+
+First run bootstraps (full source state compiled to insert events in the
+replica's log); later runs export the window since the named consumer
+cursor. Events keep the SOURCE commit lsn, so replays/re-exports are
+LWW-idempotent; the cursor advances only after the replica replay
+commits. Prints one JSON line: {view, from_epoch, to_epoch, events,
+segment, events_applied, live_rows, state_digest}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bbc_news_etl_pipeline_spark.session import build_session, ship_engine_package  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
+from bbc_news_etl_pipeline_spark.sources.sync import confirm_synced, sync_lake  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--source-lake", required=True)
+    p.add_argument("--source-log", required=True)
+    p.add_argument("--target-lake", required=True)
+    p.add_argument("--target-log", required=True)
+    p.add_argument("--consumer", required=True)
+    p.add_argument("--mode", default="cow", choices=["cow", "mor"])
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--source-n-buckets", type=int, default=64)
+    p.add_argument("--no-apply", action="store_true",
+                   help="append the replica segment only; don't replay or "
+                        "advance the cursor")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    spark = build_session(app_name="cdc-sync", master=args.master)
+    ship_engine_package(spark)
+    src = LakeTable(args.source_lake, n_buckets=args.source_n_buckets)
+    os.makedirs(args.target_log, exist_ok=True)
+    out = sync_lake(
+        spark, src, EventLog(args.source_log), args.target_log, args.consumer
+    )
+    if not args.no_apply:
+        from pyspark.sql import functions as F
+
+        from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+        rr = replay(
+            spark,
+            args.target_log,
+            args.target_lake,
+            n_buckets=args.n_buckets,
+            mode=args.mode,
+        )
+        out["events_applied"] = rr.events_applied
+        confirm_synced(src, args.consumer, out)
+        dst = LakeTable(args.target_lake, n_buckets=args.n_buckets)
+        agg = dst.read_state(spark).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                F.xxhash64(
+                    "repo", "path", "lsn", F.coalesce("content_sha256", F.lit(""))
+                )
+            ).alias("x"),
+        ).first()
+        out["live_rows"] = agg["n"]
+        out["state_digest"] = f"{agg['n']}:{agg['x']}"
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Lake-to-lake replication (sources/sync.py): bootstrap + incremental
+windows converge the replica to the source digest; source LSN preservation
+makes crash re-exports idempotent; deletes propagate; a source rollback
+refuses (re-bootstrap is the documented answer)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.sources.sync import confirm_synced, sync_lake
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest, engine_live_pdf
+
+E = 3_000
+
+
+def _setup(spark, tmp_path, max_epochs=None):
+    sd = str(tmp_path / "srclog")
+    gen.build_stream(E, 3, sd)
+    sroot = str(tmp_path / "srclake")
+    R.replay(spark, sd, sroot, n_buckets=8, max_epochs=max_epochs)
+    dlog = str(tmp_path / "dstlog")
+    os.makedirs(dlog)
+    droot = str(tmp_path / "dstlake")
+    return sd, sroot, LakeTable(sroot, n_buckets=8), dlog, droot
+
+
+def _cycle(spark, src, sd, dlog, droot, name="replica"):
+    out = sync_lake(spark, src, EventLog(sd), dlog, name)
+    rr = R.replay(spark, dlog, droot, n_buckets=8)
+    confirm_synced(src, name, out)
+    out["events_applied"] = rr.events_applied
+    return out
+
+
+def test_sync_bootstrap_window_noop(spark, tmp_path):
+    sd, sroot, src, dlog, droot = _setup(spark, tmp_path, max_epochs=2)
+
+    out = _cycle(spark, src, sd, dlog, droot)
+    assert out["view"] == "bootstrap" and out["events"] > 0
+    assert engine_digest(spark, droot) == engine_digest(spark, sroot)
+    assert src.consumer_cursor("replica") == out["to_epoch"]
+
+    # source advances; the window is touched-keys-sized (the third
+    # epoch's distinct keys), not raw-event-sized
+    R.replay(spark, sd, sroot, n_buckets=8)
+    out2 = _cycle(spark, src, sd, dlog, droot)
+    assert out2["view"] == "upsert"
+    assert 0 < out2["events"] < E // 3, "window must be key-collapsed"
+    assert engine_digest(spark, droot) == engine_digest(spark, sroot)
+
+    # at head: no segment, no replica work, cursor stays
+    out3 = sync_lake(spark, src, EventLog(sd), dlog, "replica")
+    assert out3["view"] == "noop" and out3["segment"] is None
+    assert R.replay(spark, dlog, droot, n_buckets=8).events_applied == 0
+
+    # the replica is a full lake: its own time travel sees the bootstrap
+    dst = LakeTable(droot, n_buckets=8)
+    assert dst.current_manifest()["epoch"] == 1
+
+
+def test_sync_propagates_deletes_and_crash_reexport(spark, tmp_path):
+    from bbc_news_etl_pipeline_spark.operators.dml import synthesize_dml_segment
+
+    sd, sroot, src, dlog, droot = _setup(spark, tmp_path)
+    out = _cycle(spark, src, sd, dlog, droot)
+    pre_epoch = out["to_epoch"]
+    n_before = len(engine_live_pdf(spark, droot))
+
+    # DELETE on the source, then sync the window
+    res = synthesize_dml_segment(spark, src, sd, "lang = 'md'")
+    assert res["matched"] > 0
+    R.replay(spark, sd, sroot, n_buckets=8)
+    out2 = _cycle(spark, src, sd, dlog, droot)
+    assert out2["view"] == "upsert" and out2["events"] >= res["matched"]
+    assert engine_digest(spark, droot) == engine_digest(spark, sroot)
+    assert len(engine_live_pdf(spark, droot)) == n_before - res["matched"]
+
+    # crash re-export: rewind the cursor to the pre-DML snapshot and run
+    # the same window again — LSN preservation makes it a bit-level no-op
+    d_before = engine_digest(spark, droot)
+    src.drop_consumer("replica")
+    src.advance_consumer_cursor("replica", pre_epoch, expected=None)
+    out3 = _cycle(spark, src, sd, dlog, droot)
+    assert out3["view"] == "upsert" and out3["events"] == out2["events"]
+    assert engine_digest(spark, droot) == d_before
+    assert src.consumer_cursor("replica") == out2["to_epoch"]
+
+
+def test_sync_refuses_rollback_then_rebootstraps(spark, tmp_path):
+    sd, sroot, src, dlog, droot = _setup(spark, tmp_path)
+    _cycle(spark, src, sd, dlog, droot)
+
+    src.rollback(1)
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        sync_lake(spark, src, EventLog(sd), dlog, "replica")
+
+    # the documented recovery: drop the consumer, fresh replica
+    src.drop_consumer("replica")
+    dlog2 = str(tmp_path / "dstlog2")
+    os.makedirs(dlog2)
+    droot2 = str(tmp_path / "dstlake2")
+    out = _cycle(spark, src, sd, dlog2, droot2)
+    assert out["view"] == "bootstrap"
+    assert engine_digest(spark, droot2) == engine_digest(spark, sroot)
