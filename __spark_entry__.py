@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_dml_state"] = _cdc_dml_state
     q["cdc_merge_into_state"] = _cdc_merge_into_state
     q["cdc_merge_soft_delete"] = _cdc_merge_soft_delete
+    q["cdc_sync_replica_state"] = _cdc_sync_replica_state
     q["cdc_log_compacted_state"] = _cdc_log_compacted_state
 
     # ---- streaming-analytics plan (same code the watermarked stream runs) ----
@@ -325,6 +326,40 @@ def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay(spark, log_dir, lake_root, n_buckets=8)
     return (
         LakeTable(lake_root, n_buckets=8)
+        .read_state(spark)
+        .select("repo", "path", "lsn", "content_sha256")
+    )
+
+
+def _cdc_sync_replica_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-to-lake replication (sources/sync.py): replay the canonical
+    stream SHORT one epoch, bootstrap a replica from that snapshot, then
+    advance the source to head and sync the incremental window — the
+    replica's live state must equal the full-log LWW oracle (the sync
+    path preserves source lsns, so the replica resolves to the source's
+    exact winners)."""
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.sources.sync import confirm_synced, sync_lake
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    work = tempfile.mkdtemp(prefix="cdc_sync_")
+    log_dir = _ensure_cdc_oracle_log()
+    src_root = os.path.join(work, "src")
+    replay(spark, log_dir, src_root, n_buckets=8, max_epochs=_CDC_ORACLE_EPOCHS - 1)
+    src = LakeTable(src_root, n_buckets=8)
+    dst_log = os.path.join(work, "dstlog")
+    os.makedirs(dst_log)
+    dst_root = os.path.join(work, "dst")
+    for _ in range(2):  # bootstrap leg, then the incremental window leg
+        out = sync_lake(spark, src, EventLog(log_dir), dst_log, "contract")
+        replay(spark, dst_log, dst_root, n_buckets=8)
+        confirm_synced(src, "contract", out)
+        replay(spark, log_dir, src_root, n_buckets=8)
+    return (
+        LakeTable(dst_root, n_buckets=8)
         .read_state(spark)
         .select("repo", "path", "lsn", "content_sha256")
     )
@@ -1480,6 +1515,7 @@ def oracle_sql() -> dict[str, str]:
     # same event multiset, and LWW apply is permutation-invariant: the
     # merged replay must equal the straight full-log LWW oracle.
     o["cdc_multilog_state"] = o["cdc_replay_state"]
+    o["cdc_sync_replica_state"] = o["cdc_replay_state"]
     # SCD Type-2 history: dedup redelivered (key, lsn) copies, then lead()
     # per key gives each era's half-open validity interval; tombstone eras
     # stay as is_deleted rows (lossless — the refresh contract depends on

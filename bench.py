@@ -49,6 +49,7 @@ SKIP = {
     "cdc_dml_state",
     "cdc_merge_into_state",
     "cdc_merge_soft_delete",
+    "cdc_sync_replica_state",
     "cdc_log_compacted_state",
     "cdc_scd2_history",
     "cdc_scd2_incremental",
