@@ -109,3 +109,35 @@ def test_sync_refuses_rollback_then_rebootstraps(spark, tmp_path):
     out = _cycle(spark, src, sd, dlog2, droot2)
     assert out["view"] == "bootstrap"
     assert engine_digest(spark, droot2) == engine_digest(spark, sroot)
+
+
+def test_sync_chains_replica_to_replica(spark, tmp_path):
+    """A replica is a FULL lake — including being a sync source itself:
+    source -> replica -> replica2, each hop with its own independent
+    cursor, converges the whole chain to the source digest; a second-hop
+    incremental window flows a source DML through both hops."""
+    from bbc_news_etl_pipeline_spark.operators.dml import synthesize_dml_segment
+
+    sd, sroot, src, dlog, droot = _setup(spark, tmp_path, max_epochs=2)
+    _cycle(spark, src, sd, dlog, droot)
+    mid = LakeTable(droot, n_buckets=8)
+    dlog2 = str(tmp_path / "dstlog2")
+    os.makedirs(dlog2)
+    droot2 = str(tmp_path / "dstlake2")
+    out = _cycle(spark, mid, dlog, dlog2, droot2, name="hop2")
+    assert out["view"] == "bootstrap"
+    assert engine_digest(spark, droot2) == engine_digest(spark, sroot)
+
+    # source advances (remaining epoch + a DELETE); both hops converge
+    R.replay(spark, sd, sroot, n_buckets=8)
+    res = synthesize_dml_segment(spark, src, sd, "lang = 'go'")
+    assert res["matched"] > 0
+    R.replay(spark, sd, sroot, n_buckets=8)
+    _cycle(spark, src, sd, dlog, droot)
+    out2 = _cycle(spark, mid, dlog, dlog2, droot2, name="hop2")
+    assert out2["view"] == "upsert" and out2["events"] > 0
+    assert (
+        engine_digest(spark, droot2)
+        == engine_digest(spark, droot)
+        == engine_digest(spark, sroot)
+    )
