@@ -33,6 +33,8 @@ primary restored from backup.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -46,6 +48,7 @@ def sync_lake(
     src_log,
     dst_log_dir: str,
     consumer: str,
+    predicate: str | None = None,
 ) -> dict:
     """Export the source window since `consumer`'s cursor (bootstrap on
     first run) into `dst_log_dir` as one synthesized event segment.
@@ -53,7 +56,19 @@ def sync_lake(
     does NOT apply (callers replay the destination, then
     `confirm_synced`). The cursor stays put until `confirm_synced` — a
     crash between append and replica commit re-exports the same window,
-    which LWW absorbs bit-identically."""
+    which LWW absorbs bit-identically.
+
+    ``predicate`` makes the replica PARTIAL (DMS table-filter /
+    "replicate only python files to the code-training lake"): a
+    deterministic row-level SQL expression over payload columns.
+    Bootstrap ships only matching rows; windows classify each touched key
+    by its PRE- and POST-image membership (the changelog view supplies
+    the pre-image columns the predicate needs): stays-in -> update,
+    moves IN -> update, moves OUT -> delete ON THE REPLICA (the source
+    row is alive but out of scope — the subtlety naive filtered syncs
+    get wrong), never-in -> no event. The predicate is part of the
+    replica's identity: changing it mid-stream makes the cursor
+    meaningless, so name the consumer after it (e.g. ``replica-py``)."""
     from ..operators.dml import append_event_segment
 
     head = src_lake.current_manifest()
@@ -69,7 +84,10 @@ def sync_lake(
         return {"view": "noop", "from_epoch": cursor, "to_epoch": head_epoch,
                 "events": 0, "segment": None, "seq_lo": None, "seq_hi": None}
     if cursor is None:
-        rows = src_lake.read_state(spark).withColumn("change", F.lit("insert"))
+        rows = src_lake.read_state(spark)
+        if predicate is not None:
+            rows = rows.where(predicate)
+        rows = rows.withColumn("change", F.lit("insert"))
         view = "bootstrap"
     else:
         m_from = src_lake.manifest(cursor)
@@ -79,7 +97,37 @@ def sync_lake(
                 f"(epoch {cursor}): a forward-only replica cannot apply a "
                 "backward window — drop the consumer and re-bootstrap"
             )
-        rows = src_lake.read_changes(spark, src_log, cursor)
+        if predicate is None:
+            rows = src_lake.read_changes(spark, src_log, cursor)
+        else:
+            # pre-image membership needs the predicate's columns at the
+            # FROM snapshot — the changelog view's opt-in prev_<col>s.
+            # Column references are rewritten by name (payload names are
+            # plain identifiers; predicates quoting them inside string
+            # literals are out of contract).
+            pcols = tuple(
+                c for c in payload if re.search(rf"\b{c}\b", predicate)
+            )
+            ch = src_lake.read_changes(
+                spark, src_log, cursor,
+                include_before=True, before_columns=pcols,
+            )
+            pre_pred = re.sub(
+                rf"\b({'|'.join(payload)})\b", r"prev_\1", predicate
+            )
+            post_in = F.coalesce(
+                (F.col("change") != "delete") & F.expr(predicate), F.lit(False)
+            )
+            pre_in = F.coalesce(
+                F.col("prev_lsn").isNotNull() & F.expr(pre_pred), F.lit(False)
+            )
+            rows = (
+                ch.where(post_in | pre_in)
+                .withColumn(
+                    "change",
+                    F.when(post_in, F.lit("update")).otherwise(F.lit("delete")),
+                )
+            )
         view = "upsert"
 
     op = (
@@ -87,6 +135,7 @@ def sync_lake(
         .when(F.lit(view == "bootstrap"), F.lit("insert"))
         .otherwise(F.lit("update"))
     )
+    is_del = F.col("change") == "delete"
     events = rows.select(
         F.col("lsn").cast("long").alias("lsn"),
         F.concat(
@@ -96,7 +145,15 @@ def sync_lake(
         op.alias("op"),
         F.col("repo"),
         F.col("path"),
-        *[F.col(c).cast(types[c].simpleString()).alias(c) for c in payload],
+        # moved-out keys become replica tombstones: the post-image payload
+        # must not ride along on a delete event
+        *[
+            F.when(is_del, F.lit(None))
+            .otherwise(F.col(c))
+            .cast(types[c].simpleString())
+            .alias(c)
+            for c in payload
+        ],
         F.lit(None).cast("timestamp").alias("ts"),
         F.lit(ver).cast("int").alias("schema_version"),
     )

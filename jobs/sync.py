@@ -37,6 +37,12 @@ def main() -> None:
     p.add_argument("--target-lake", required=True)
     p.add_argument("--target-log", required=True)
     p.add_argument("--consumer", required=True)
+    p.add_argument("--filter", default=None,
+                   help="partial replication: deterministic SQL predicate "
+                        "over payload/key columns; keys leaving the "
+                        "predicate tombstone on the replica. The predicate "
+                        "is part of the replica's identity — name the "
+                        "consumer after it")
     p.add_argument("--mode", default="cow", choices=["cow", "mor"])
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--source-n-buckets", type=int, default=64)
@@ -51,7 +57,8 @@ def main() -> None:
     src = LakeTable(args.source_lake, n_buckets=args.source_n_buckets)
     os.makedirs(args.target_log, exist_ok=True)
     out = sync_lake(
-        spark, src, EventLog(args.source_log), args.target_log, args.consumer
+        spark, src, EventLog(args.source_log), args.target_log, args.consumer,
+        predicate=args.filter,
     )
     if not args.no_apply:
         from pyspark.sql import functions as F

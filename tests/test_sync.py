@@ -141,3 +141,64 @@ def test_sync_chains_replica_to_replica(spark, tmp_path):
         == engine_digest(spark, droot)
         == engine_digest(spark, sroot)
     )
+
+
+def _filtered_digest_frame(spark, root, pred):
+    pdf = engine_live_pdf(spark, root)
+    return pdf.query(pred).sort_values(["repo", "path"]).reset_index(drop=True)[
+        ["repo", "path", "lsn", "content_sha256"]
+    ]
+
+
+def test_sync_filtered_replica_with_membership_churn(spark, tmp_path):
+    """Partial replication: the replica tracks exactly the predicate's
+    slice. Keys that MOVE OUT of the predicate (an update flips lang) must
+    tombstone on the replica even though the source row stays live; keys
+    that move IN appear with their source lsn."""
+    from bbc_news_etl_pipeline_spark.operators.dml import synthesize_dml_segment
+
+    sd, sroot, src, dlog, droot = _setup(spark, tmp_path, max_epochs=2)
+    pred = "lang = 'py'"
+
+    out = sync_lake(spark, src, EventLog(sd), dlog, "replica-py", predicate=pred)
+    assert out["view"] == "bootstrap"
+    R.replay(spark, dlog, droot, n_buckets=8)
+    confirm_synced(src, "replica-py", out)
+    got = engine_live_pdf(spark, droot)
+    exp = _filtered_digest_frame(spark, sroot, "lang == 'py'")
+    assert len(got) == len(exp) > 0
+    assert got[["repo", "path", "lsn", "content_sha256"]].equals(exp)
+
+    # membership churn through the log AND through DML: the remaining
+    # source epoch updates keys both ways; then flip a slice explicitly
+    R.replay(spark, sd, sroot, n_buckets=8)
+    res_out = synthesize_dml_segment(
+        spark, src, sd, "lang = 'py' AND size_bytes % 2 = 0",
+        set_exprs={"lang": "'go'"},
+    )  # moves OUT of the predicate
+    res_in = synthesize_dml_segment(
+        spark, src, sd, "lang = 'md' AND size_bytes % 3 = 0",
+        set_exprs={"lang": "'py'"},
+    )  # moves IN
+    assert res_out["matched"] > 0 and res_in["matched"] > 0
+    R.replay(spark, sd, sroot, n_buckets=8)
+
+    out2 = sync_lake(spark, src, EventLog(sd), dlog, "replica-py", predicate=pred)
+    assert out2["view"] == "upsert" and out2["events"] > 0
+    R.replay(spark, dlog, droot, n_buckets=8)
+    confirm_synced(src, "replica-py", out2)
+    got2 = engine_live_pdf(spark, droot)
+    exp2 = _filtered_digest_frame(spark, sroot, "lang == 'py'")
+    assert got2[["repo", "path", "lsn", "content_sha256"]].equals(exp2)
+    # moved-out keys are genuinely tombstoned on the replica, alive on the
+    # source
+    src_live = engine_live_pdf(spark, sroot)
+    moved_out = src_live[src_live["lang"] == "go"].merge(
+        got[["repo", "path"]], on=["repo", "path"]
+    )
+    assert len(moved_out) > 0
+    assert not got2.merge(moved_out[["repo", "path"]], on=["repo", "path"]).shape[0]
+
+    # a no-churn re-sync is a noop
+    out3 = sync_lake(spark, src, EventLog(sd), dlog, "replica-py", predicate=pred)
+    assert out3["view"] == "noop"
