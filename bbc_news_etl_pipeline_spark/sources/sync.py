@@ -42,6 +42,27 @@ from ..plans import schema_registry as reg
 from .lake import LakeTable
 
 
+def _split_literals(predicate: str) -> list[str]:
+    """Split a SQL expression on single-quoted literals (''-escaped); odd
+    indices are the literals. Column-name rewriting must never reach
+    inside them (`license = 'content'` names no content column)."""
+    return re.split(r"('(?:[^']|'')*')", predicate)
+
+
+def _pred_cols(predicate: str, names) -> tuple[str, ...]:
+    parts = _split_literals(predicate)
+    code = " ".join(parts[::2])
+    return tuple(c for c in names if re.search(rf"\b{c}\b", code))
+
+
+def _pre_image_pred(predicate: str, names) -> str:
+    pat = re.compile(rf"\b({'|'.join(names)})\b")
+    return "".join(
+        p if i % 2 else pat.sub(r"prev_\1", p)
+        for i, p in enumerate(_split_literals(predicate))
+    )
+
+
 def sync_lake(
     spark: SparkSession,
     src_lake: LakeTable,
@@ -102,19 +123,14 @@ def sync_lake(
         else:
             # pre-image membership needs the predicate's columns at the
             # FROM snapshot — the changelog view's opt-in prev_<col>s.
-            # Column references are rewritten by name (payload names are
-            # plain identifiers; predicates quoting them inside string
-            # literals are out of contract).
-            pcols = tuple(
-                c for c in payload if re.search(rf"\b{c}\b", predicate)
-            )
+            # Column references are rewritten by name OUTSIDE string
+            # literals (payload names are plain identifiers).
+            pcols = _pred_cols(predicate, payload)
             ch = src_lake.read_changes(
                 spark, src_log, cursor,
                 include_before=True, before_columns=pcols,
             )
-            pre_pred = re.sub(
-                rf"\b({'|'.join(payload)})\b", r"prev_\1", predicate
-            )
+            pre_pred = _pre_image_pred(predicate, payload)
             post_in = F.coalesce(
                 (F.col("change") != "delete") & F.expr(predicate), F.lit(False)
             )

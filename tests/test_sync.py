@@ -202,3 +202,25 @@ def test_sync_filtered_replica_with_membership_churn(spark, tmp_path):
     # a no-churn re-sync is a noop
     out3 = sync_lake(spark, src, EventLog(sd), dlog, "replica-py", predicate=pred)
     assert out3["view"] == "noop"
+
+
+def test_pred_rewrite_ignores_string_literals():
+    """Pure helper contract: column-name rewriting never reaches inside
+    SQL string literals, and literal-only mentions pull no pre-image
+    column."""
+    from bbc_news_etl_pipeline_spark.sources.sync import (
+        _pre_image_pred,
+        _pred_cols,
+    )
+
+    payload = ["commit", "lang", "content", "size_bytes", "license"]
+    p = "license = 'content' AND lang != 'it''s lang'"
+    assert _pred_cols(p, payload) == ("lang", "license")
+    assert _pre_image_pred(p, payload) == (
+        "prev_license = 'content' AND prev_lang != 'it''s lang'"
+    )
+    q = "content LIKE 'size_bytes%' OR size_bytes > 10"
+    assert _pred_cols(q, payload) == ("content", "size_bytes")
+    assert _pre_image_pred(q, payload) == (
+        "prev_content LIKE 'size_bytes%' OR prev_size_bytes > 10"
+    )
