@@ -189,3 +189,85 @@ def confirm_synced(src_lake: LakeTable, consumer: str, out: dict) -> None:
     src_lake.advance_consumer_cursor(
         consumer, out["to_epoch"], expected=out["from_epoch"]
     )
+
+
+def validate_sync(
+    spark: SparkSession,
+    src_lake: LakeTable,
+    dst_lake: LakeTable,
+    predicate: str | None = None,
+    k: int = 1024,
+) -> dict:
+    """Replica drift detection (DMS table-validation parity): compare the
+    source's live state against the replica's over K VIRTUAL buckets
+    (``predicate`` scopes BOTH sides — validating a filtered replica, or
+    one slice of a full one) — `pmod(xxhash64(key), K)`, a
+    CONSTANT independent of either lake's physical n_buckets, so lakes
+    with different layouts compare directly. Per-vbucket order-insensitive
+    digests (bit_xor of the row identity hash) localize drift to
+    ~table/K keys per flagged vbucket without ever joining full states;
+    the flagged vbuckets' keys then diff exactly (bounded work).
+
+    Detection only, by design: an out-of-band replica write can carry an
+    lsn ABOVE the source's for that key, and no forward-only log repair
+    can fix that without poisoning future LWW — the honest recovery is
+    the same as for rollback: drop the consumer and re-bootstrap.
+    Returns {in_sync, vbuckets_checked, drifted_vbuckets, drift_keys,
+    sample} (sample: up to 20 differing keys with both sides' identity)."""
+    ident = F.bit_xor(
+        F.xxhash64("repo", "path", "lsn", F.coalesce("content_sha256", F.lit("")))
+    )
+
+    def side(lake, pred):
+        df = lake.read_state(spark)
+        if pred is not None:
+            df = df.where(pred)
+        return df.select(
+            "repo", "path", "lsn", "content_sha256",
+            F.pmod(F.xxhash64("repo", "path"), F.lit(k)).cast("int").alias("_vb"),
+        )
+
+    a, b = side(src_lake, predicate), side(dst_lake, predicate)
+    da = a.groupBy("_vb").agg(ident.alias("h"), F.count(F.lit(1)).alias("n"))
+    db = b.groupBy("_vb").agg(ident.alias("h"), F.count(F.lit(1)).alias("n"))
+    # <= K metadata rows per side — a bounded driver collect, like the
+    # lake's stats probes
+    j = (
+        da.alias("s").join(db.alias("r"), "_vb", "full")
+        .where(
+            F.col("s.h").eqNullSafe(F.col("r.h")) == F.lit(False)  # noqa: E712
+        )
+        .select("_vb")
+        .collect()
+    )
+    drifted = sorted(r["_vb"] for r in j)
+    out = {
+        "in_sync": not drifted,
+        "vbuckets_checked": k,
+        "drifted_vbuckets": drifted,
+        "drift_keys": 0,
+        "sample": [],
+    }
+    if not drifted:
+        return out
+    af = a.where(F.col("_vb").isin(drifted)).alias("s")
+    bf = b.where(F.col("_vb").isin(drifted)).alias("r")
+    diff = (
+        af.join(bf, ["repo", "path"], "full")
+        .where(
+            ~(
+                F.col("s.lsn").eqNullSafe(F.col("r.lsn"))
+                & F.col("s.content_sha256").eqNullSafe(F.col("r.content_sha256"))
+            )
+        )
+        .select(
+            "repo", "path",
+            F.col("s.lsn").alias("src_lsn"),
+            F.col("r.lsn").alias("replica_lsn"),
+            F.col("s.content_sha256").alias("src_sha"),
+            F.col("r.content_sha256").alias("replica_sha"),
+        )
+    )
+    out["drift_keys"] = diff.count()
+    out["sample"] = [r.asDict() for r in diff.orderBy("repo", "path").limit(20).collect()]
+    return out

@@ -49,12 +49,27 @@ def main() -> None:
     p.add_argument("--no-apply", action="store_true",
                    help="append the replica segment only; don't replay or "
                         "advance the cursor")
+    p.add_argument("--validate", action="store_true",
+                   help="drift detection instead of sync: compare the "
+                        "(filtered) source state against the replica over "
+                        "constant virtual buckets and report drifted keys; "
+                        "recovery for real drift is re-bootstrap")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
     spark = build_session(app_name="cdc-sync", master=args.master)
     ship_engine_package(spark)
     src = LakeTable(args.source_lake, n_buckets=args.source_n_buckets)
+    if args.validate:
+        from bbc_news_etl_pipeline_spark.sources.sync import validate_sync
+
+        rep = validate_sync(
+            spark, src, LakeTable(args.target_lake, n_buckets=args.n_buckets),
+            predicate=args.filter,
+        )
+        print(json.dumps(rep))
+        spark.stop()
+        sys.exit(0 if rep["in_sync"] else 4)
     os.makedirs(args.target_log, exist_ok=True)
     out = sync_lake(
         spark, src, EventLog(args.source_log), args.target_log, args.consumer,

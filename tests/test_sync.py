@@ -224,3 +224,47 @@ def test_pred_rewrite_ignores_string_literals():
     assert _pre_image_pred(q, payload) == (
         "prev_content LIKE 'size_bytes%' OR prev_size_bytes > 10"
     )
+
+
+def test_validate_sync_detects_and_localizes_drift(spark, tmp_path):
+    """Drift detection: in-sync right after a cycle; an out-of-band write
+    on the REPLICA (the classic drift source) is detected, localized to
+    its virtual buckets, and the differing keys reported with both sides'
+    identity; re-bootstrap (the documented recovery) returns in_sync."""
+    from bbc_news_etl_pipeline_spark.operators.dml import synthesize_dml_segment
+    from bbc_news_etl_pipeline_spark.sources.sync import validate_sync
+
+    sd, sroot, src, dlog, droot = _setup(spark, tmp_path)
+    _cycle(spark, src, sd, dlog, droot)
+    dst = LakeTable(droot, n_buckets=8)
+
+    rep = validate_sync(spark, src, dst)
+    assert rep["in_sync"] and rep["drifted_vbuckets"] == []
+
+    # out-of-band: someone runs DML against the REPLICA directly
+    res = synthesize_dml_segment(
+        spark, dst, dlog, "lang = 'go'", set_exprs={"license": "'ROGUE'"}
+    )
+    assert res["matched"] > 0
+    R.replay(spark, dlog, droot, n_buckets=8)
+
+    rep2 = validate_sync(spark, src, dst)
+    assert not rep2["in_sync"]
+    assert rep2["drift_keys"] == res["matched"]
+    assert 0 < len(rep2["drifted_vbuckets"]) <= rep2["vbuckets_checked"]
+    s = rep2["sample"][0]
+    assert s["replica_lsn"] is not None and s["src_lsn"] is not None
+    assert s["replica_lsn"] > s["src_lsn"], "out-of-band write carries a higher lsn"
+
+    # filtered validation scopes the comparison the same way the sync did
+    rep3 = validate_sync(spark, src, dst, predicate="lang = 'md'")
+    assert rep3["in_sync"], "drift is outside the md slice"
+
+    # documented recovery: re-bootstrap a fresh replica
+    src.drop_consumer("replica")
+    dlog2 = str(tmp_path / "dstlog2")
+    os.makedirs(dlog2)
+    droot2 = str(tmp_path / "dstlake2")
+    _cycle(spark, src, sd, dlog2, droot2)
+    rep4 = validate_sync(spark, src, LakeTable(droot2, n_buckets=8))
+    assert rep4["in_sync"]
