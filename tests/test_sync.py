@@ -268,3 +268,32 @@ def test_validate_sync_detects_and_localizes_drift(spark, tmp_path):
     _cycle(spark, src, sd, dlog2, droot2)
     rep4 = validate_sync(spark, src, LakeTable(droot2, n_buckets=8))
     assert rep4["in_sync"]
+
+
+def test_sync_survives_source_log_retention(spark, tmp_path):
+    """The replica's cursor is a movable retention pin: with the cursor
+    parked mid-stream, the source can expire history and compact its log
+    — the cursor bounds compaction so the replica's NEXT window still
+    reads its diff base — and the subsequent sync converges normally."""
+    from bbc_news_etl_pipeline_spark.sources.event_log import compact_log
+
+    sd, sroot, src, dlog, droot = _setup(spark, tmp_path, max_epochs=2)
+    out = _cycle(spark, src, sd, dlog, droot)
+    assert out["view"] == "bootstrap"
+
+    # the source advances, then runs retention while the replica lags
+    R.replay(spark, sd, sroot, n_buckets=8)
+    src.expire_snapshots(keep_last=1)
+    rep = compact_log(spark, EventLog(sd), src)
+    # the cursor's pinned snapshot bounds the compaction horizon
+    assert src.consumer_cursor("replica") == out["to_epoch"]
+
+    out2 = _cycle(spark, src, sd, dlog, droot)
+    assert out2["view"] == "upsert" and out2["events"] > 0
+    assert engine_digest(spark, droot) == engine_digest(spark, sroot)
+    # and once the replica caught up (pin released), the retention
+    # horizon moves past the old pin
+    src.expire_snapshots(keep_last=1)
+    rep2 = compact_log(spark, EventLog(sd), src)
+    assert rep2["bound"] is None or rep2["bound"] > (rep["bound"] or -1)
+    assert engine_digest(spark, droot) == engine_digest(spark, sroot)
