@@ -35,6 +35,7 @@ from bbc_news_etl_pipeline_spark.operators import multimodal as MM  # noqa: E402
 from bbc_news_etl_pipeline_spark.operators import relational as R  # noqa: E402
 from bbc_news_etl_pipeline_spark.operators import search as SR  # noqa: E402
 from bbc_news_etl_pipeline_spark.operators import similarity as S  # noqa: E402
+from bbc_news_etl_pipeline_spark.operators import temporal as T  # noqa: E402
 from bbc_news_etl_pipeline_spark.operators import textstats as TS  # noqa: E402
 
 
@@ -96,6 +97,24 @@ def _planted_secrets(docs: DataFrame) -> DataFrame:
     )
 
 
+def _j5_interval_session_assign(s: SparkSession, d: str) -> DataFrame:
+    """Binned interval join: assign every event to the session interval
+    containing it (intervals derived per user with a 30-min gap). Sessions
+    are disjoint per user, so exactly one row per event comes back — the
+    oracle re-derives intervals declaratively and joins with BETWEEN."""
+    ev = _t(s, d, "events")
+    iv = T.session_intervals(ev, gap_minutes=30)
+    return T.interval_join(
+        ev.select("event_id", "user_id", "ts"), iv, on=["user_id"], bin_width_sec=3600
+    ).select(
+        "event_id",
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -127,6 +146,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["j2_gap_detection"] = lambda s, d: R.date_gaps(
         _t(s, d, "orders"), "1995-01-01", "1995-06-30", 3
     )
+
+    # ---- temporal joins (as-of + binned interval; operators/temporal.py) ----
+    q["j4_asof_click_before_purchase"] = lambda s, d: T.asof_join(
+        _t(s, d, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", F.round("value", 4).alias("value_r")),
+        _t(s, d, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_event_id"),
+            F.round("value", 4).alias("click_value_r"),
+        ),
+        on=["user_id"],
+        tie_break="click_event_id",
+    ).select("event_id", "user_id", "value_r", "click_event_id", "click_value_r")
+    q["j5_interval_session_assign"] = _j5_interval_session_assign
 
     # ---- LWW merge-state / window top-1 (J3, 2.5) ----
     q["j3_lww_latest_state"] = lambda s, d: R.lww_latest_state(_t(s, d, "events"))
@@ -971,6 +1008,38 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS n_sessions, "
         "count(*) AS n_events FROM g GROUP BY user_id"
+    )
+    # as-of join oracle: an INDEPENDENT algorithm (per-probe LATERAL top-1,
+    # the quadratic formulation the Spark operator exists to avoid) with the
+    # identical tie-break (max ts, then max event_id, inclusive <=)
+    o["j4_asof_click_before_purchase"] = (
+        "SELECT p.event_id, p.user_id, round(p.value, 4) AS value_r, "
+        "c.click_event_id, c.click_value_r "
+        "FROM events p LEFT JOIN LATERAL ("
+        "  SELECT b.event_id AS click_event_id, round(b.value, 4) AS click_value_r "
+        "  FROM events b WHERE b.event_type = 'click' AND b.user_id = p.user_id "
+        "  AND b.ts <= p.ts ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) c ON TRUE "
+        "WHERE p.event_type = 'purchase'"
+    )
+    # interval join oracle: re-derive session intervals declaratively, then
+    # a plain BETWEEN containment join (the formulation the binned equi-join
+    # replaces at scale)
+    o["j5_interval_session_assign"] = (
+        "WITH f AS (SELECT event_id, user_id, ts, CASE WHEN "
+        "  lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+        "    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "  OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) "
+        "    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+        "  THEN 1 ELSE 0 END AS new_sess FROM events), "
+        "s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id "
+        "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM f), "
+        "iv AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+        "  min(ts) AS s, max(ts) AS e, count(*) AS n_events "
+        "  FROM s GROUP BY 1, 2) "
+        "SELECT p.event_id, p.user_id, i.session_seq, "
+        "strftime(i.s, '%Y-%m-%d %H:%M:%S') AS session_start, i.n_events "
+        "FROM events p JOIN iv i ON p.user_id = i.user_id "
+        "AND p.ts >= i.s AND p.ts <= i.e"
     )
     o["f_json_props_stats"] = (
         "SELECT event_type, count(*) AS n, "

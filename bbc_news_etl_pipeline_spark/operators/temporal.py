@@ -1,0 +1,174 @@
+"""Temporal joins: as-of (point-in-time) join and interval/range join.
+
+Two operators Spark has no native form of, each expressed as the
+composition of built-in DataFrame ops (no Python in the plan):
+
+- ``asof_join``: for every probe row, attach the single build row with the
+  greatest build timestamp at-or-before (backward) / least at-or-after
+  (forward) the probe's timestamp, per key. The naive formulation is an
+  inequality join + per-probe top-1 — quadratic per key. This one is the
+  classic union trick: tag both sides, ONE hash exchange on the key, one
+  per-key sort on the timestamp, and ``last(ignorenulls)`` over a running
+  window carries the most recent build payload into each probe row. Cost
+  is sort-of-(|probe|+|build|) per key — the same shape kdb/Pandas
+  ``merge_asof`` uses, but distributed: the only shuffle is the key hash
+  exchange (plan-pinned: 1 Exchange, 1 Sort, NO join node at all).
+- ``interval_join``: probe points against build intervals (containment).
+  The naive form is a BroadcastNestedLoop/cartesian with a BETWEEN filter.
+  This one bins time into fixed-width buckets: each interval explodes to
+  the buckets it covers (bounded fan-out = interval span / bin width),
+  each point maps to exactly one bucket, and the match becomes a hash
+  EQUI-join on (key, bin) + an exact BETWEEN residual — the standard
+  binned range-join (same plan Databricks' range-join hint produces).
+
+Reference parity: the reference pipeline matches scraped articles to their
+scrape-date checkpoint window (date-based work generation,
+/root/reference/src/components/work_generator.py) — an as-of lookup in
+disguise; both operators generalize it to arbitrary keys and timelines.
+
+Scale notes (100 TB): ``asof_join`` shuffles each key's rows to one
+reducer — the per-key volume bound is the same one the merge tier's LWW
+reduce lives with, and hot keys should be range-split upstream if a single
+key's history exceeds an executor (for the CDC lake's (repo, path) keys it
+never does). ``interval_join`` fan-out is span/bin_width per interval:
+pick a bin width near the median interval span so the explode stays O(1)
+per interval while each bin holds few intervals; skewed bins are ordinary
+AQE-splittable hash-join skew, never a cartesian.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_ATS, _SIDE = "__asof_ts", "__asof_side"
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[str],
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    tie_break: str | None = None,
+    direction: str = "backward",
+    strict: bool = False,
+) -> DataFrame:
+    """Left as-of join: every probe row, plus the build columns of the
+    closest build row per key (NULLs when none qualifies).
+
+    ``direction='backward'`` picks the greatest ``build_ts`` <= probe ts
+    (the point-in-time enrichment / last-known-value lookup);
+    ``'forward'`` the least >= probe ts. ``strict=True`` excludes the
+    equal timestamp. ``tie_break`` names a build column ordering build
+    rows that share a timestamp (the max wins backward / min forward);
+    without it, equal-timestamp build rows pick an arbitrary but
+    plan-stable winner — pass one whenever (key, ts) is not unique on the
+    build side.
+
+    Build payload columns (everything but ``on`` + ``build_ts``) must not
+    collide with probe column names — rename on the way in.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload = [c for c in build.columns if c not in set(on) | {build_ts}]
+    clash = sorted(set(payload) & set(probe.columns))
+    if clash:
+        raise ValueError(f"build payload columns collide with probe: {clash}")
+    if tie_break is not None and tie_break not in payload:
+        raise ValueError(f"tie_break {tie_break!r} is not a build payload column")
+    if not payload:
+        raise ValueError("build side has no payload columns to attach")
+
+    p = probe.withColumn(_ATS, F.col(probe_ts)).withColumn(_SIDE, F.lit(1))
+    b = build.withColumn(_ATS, F.col(build_ts)).withColumn(_SIDE, F.lit(0))
+    if build_ts not in on:
+        b = b.drop(build_ts)
+    u = p.unionByName(b, allowMissingColumns=True)
+
+    fwd = direction == "forward"
+    ts_key: Column = F.col(_ATS).desc() if fwd else F.col(_ATS).asc()
+    # at equal ts: build rows sort before probe rows for an inclusive
+    # match, after them for a strict one
+    side_key = F.col(_SIDE).desc() if strict else F.col(_SIDE).asc()
+    order = [ts_key, side_key]
+    if tie_break is not None:
+        order.append(F.col(tie_break).desc() if fwd else F.col(tie_break).asc())
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__c_{c}") for c in payload]
+    )
+    out = carried.where(F.col(_SIDE) == 1).drop(_ATS, _SIDE, *payload)
+    for c in payload:
+        out = out.withColumnRenamed(f"__c_{c}", c)
+    return out
+
+
+def session_intervals(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session INTERVALS (the row-per-session form of
+    ``relational.sessionize``, which only counts them): a session breaks
+    when two consecutive events of a user are more than ``gap_minutes``
+    apart. Returns (user_id, session_seq, session_start, session_end,
+    n_events) — ``session_seq`` is 1-based per user in time order."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    flagged = events.withColumn(
+        "__new",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    seq = flagged.withColumn(
+        "session_seq",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return seq.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def interval_join(
+    probe: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    probe_ts: str = "ts",
+    start: str = "session_start",
+    end: str = "session_end",
+    bin_width_sec: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (inclusive both ends) as a binned equi-join:
+    one output row per (probe row, containing interval) pair.
+
+    Each interval explodes to the ``bin_width_sec``-wide epoch buckets it
+    overlaps; each probe point lands in exactly one bucket, so every true
+    containment meets exactly once on (key, bin) and duplicates are
+    impossible by construction. The plan is a plain hash join — no
+    BroadcastNestedLoopJoin, no cartesian (plan-pinned)."""
+    if bin_width_sec <= 0:
+        raise ValueError("bin_width_sec must be positive")
+    to_bin = lambda c: F.floor(F.col(c).cast("timestamp").cast("long") / bin_width_sec)
+    # build-side keys get a disambiguating prefix: probe and intervals often
+    # share lineage (intervals derived from the probe frame), where raw
+    # p[k] == b[k] predicates resolve ambiguously
+    b = intervals.select(
+        *[F.col(k).alias(f"__b_{k}") for k in on],
+        *[c for c in intervals.columns if c not in on],
+    ).withColumn("__b_bin", F.explode(F.sequence(to_bin(start), to_bin(end))))
+    p = probe.withColumn("__bin", to_bin(probe_ts))
+    cond = reduce(
+        lambda a, c: a & c,
+        [F.col(k) == F.col(f"__b_{k}") for k in on],
+        F.col("__bin") == F.col("__b_bin"),
+    )
+    joined = p.join(b, cond, "inner").where(
+        (F.col(probe_ts) >= F.col(start)) & (F.col(probe_ts) <= F.col(end))
+    )
+    keep = probe.columns + [c for c in intervals.columns if c not in on]
+    return joined.select(*keep)

@@ -1,0 +1,208 @@
+"""As-of join and binned interval join (operators/temporal.py): semantics
+on hand-built frames, cross-operator consistency with the SCD2 interval
+view, and the plan contracts the 100 TB design depends on (as-of = one
+exchange + one sort + NO join node; interval join = hash equi-join, never
+BroadcastNestedLoop/cartesian)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bbc_news_etl_pipeline_spark.operators import temporal as T
+
+
+def _ts(m: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, m, 0)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, "k1", _ts(10)),
+            (2, "k1", _ts(20)),
+            (3, "k1", _ts(5)),   # before every build row
+            (4, "k2", _ts(30)),  # key with no build rows at all
+        ],
+        "pid int, k string, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            ("k1", _ts(8), 100, "a"),
+            ("k1", _ts(10), 101, "b"),   # equal-ts row for the inclusive probe
+            ("k1", _ts(10), 102, "b2"),  # tie on ts -> max bid must win
+            ("k1", _ts(15), 103, "c"),
+        ],
+        "k string, ts timestamp, bid int, tag string",
+    )
+    return probe, build
+
+
+def _by_pid(df):
+    return {r["pid"]: (r["bid"], r["tag"]) for r in df.collect()}
+
+
+def test_asof_backward_inclusive_with_tiebreak(spark, frames):
+    probe, build = frames
+    got = _by_pid(T.asof_join(probe, build, on=["k"], tie_break="bid"))
+    assert got[1] == (102, "b2")  # equal ts included, tie -> max bid
+    assert got[2] == (103, "c")   # latest at-or-before 20
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+
+
+def test_asof_backward_strict_excludes_equal(spark, frames):
+    probe, build = frames
+    got = _by_pid(T.asof_join(probe, build, on=["k"], tie_break="bid", strict=True))
+    assert got[1] == (100, "a")  # ts==10 rows excluded
+
+
+def test_asof_forward(spark, frames):
+    probe, build = frames
+    got = _by_pid(
+        T.asof_join(probe, build, on=["k"], tie_break="bid", direction="forward")
+    )
+    assert got[3] == (100, "a")   # earliest at-or-after 5
+    assert got[1] == (101, "b")   # equal ts inclusive, tie -> MIN bid forward
+    assert got[2] == (None, None)
+
+
+def test_asof_validation(spark, frames):
+    probe, build = frames
+    with pytest.raises(ValueError, match="collide"):
+        T.asof_join(probe, build.withColumnRenamed("bid", "pid"), on=["k"])
+    with pytest.raises(ValueError, match="tie_break"):
+        T.asof_join(probe, build, on=["k"], tie_break="nope")
+    with pytest.raises(ValueError, match="direction"):
+        T.asof_join(probe, build, on=["k"], direction="sideways")
+
+
+def test_asof_plan_one_exchange_one_sort_no_join(spark, frames):
+    probe, build = frames
+    plan = (
+        T.asof_join(probe, build, on=["k"], tie_break="bid")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "Join" not in plan, "as-of must not plan a join node"
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Sort\b", plan, flags=re.M)) == 1
+
+
+def test_asof_matches_scd2_interval_lookup(spark, sf_dir):
+    """Cross-operator invariant: as-of joining probe LSNs against the SCD2
+    version-start events == the era containing each LSN (same contract
+    state_at_lsn satisfies, here checked through the generic operator)."""
+    from bbc_news_etl_pipeline_spark.fixtures.generator import ensure_cached_stream
+    from bbc_news_etl_pipeline_spark.operators.history import scd2_history
+    from bbc_news_etl_pipeline_spark.plans import schema_registry as reg
+    from bbc_news_etl_pipeline_spark.sources.event_log import EventLog
+
+    log = EventLog(ensure_cached_stream(800, 1, seed=7))
+    ev = log.read_range(spark, -1, log.max_seq(), reg.LATEST_VERSION)
+    hist = scd2_history(ev).cache()
+    for lsn in (50, 300, 701):
+        # interval semantics: era with valid_from <= lsn < valid_to
+        expect = hist.where(
+            (F.col("valid_from_lsn") <= lsn)
+            & (F.col("valid_to_lsn").isNull() | (F.col("valid_to_lsn") > lsn))
+            & ~F.col("is_deleted")
+        ).select("repo", "path", "content_sha256")
+        probes = hist.select("repo", "path").distinct().withColumn(
+            "at", F.lit(lsn).cast("long")
+        )
+        vers = hist.select(
+            "repo",
+            "path",
+            F.col("valid_from_lsn").alias("vlsn"),
+            F.col("content_sha256").alias("sha"),
+            "is_deleted",
+        )
+        got = (
+            T.asof_join(
+                probes, vers, on=["repo", "path"], probe_ts="at",
+                build_ts="vlsn", tie_break="sha",
+            )
+            .where(F.col("sha").isNotNull() & ~F.col("is_deleted"))
+            .select("repo", "path", F.col("sha").alias("content_sha256"))
+        )
+        assert got.exceptAll(expect).count() == 0
+        assert expect.exceptAll(got).count() == 0
+    hist.unpersist()
+
+
+def test_interval_join_containment_and_dupes(spark):
+    iv = spark.createDataFrame(
+        [
+            ("k1", 1, _ts(0), _ts(30)),    # spans multiple 600s bins
+            ("k1", 2, _ts(40), _ts(50)),
+            ("k2", 1, _ts(0), _ts(59)),
+        ],
+        "user string, sid int, s timestamp, e timestamp",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, "k1", _ts(0)),   # boundary start inclusive
+            (2, "k1", _ts(30)),  # boundary end inclusive
+            (3, "k1", _ts(35)),  # in no interval
+            (4, "k1", _ts(45)),
+            (5, "k2", _ts(45)),  # same time, other key
+        ],
+        "pid int, user string, ts timestamp",
+    )
+    out = T.interval_join(
+        pts, iv, on=["user"], probe_ts="ts", start="s", end="e", bin_width_sec=600
+    )
+    got = sorted((r["pid"], r["sid"]) for r in out.collect())
+    assert got == [(1, 1), (2, 1), (4, 2), (5, 1)]
+
+
+def test_interval_join_plan_is_hash_equi_join(spark):
+    iv = spark.range(10).select(
+        F.col("id").alias("user"),
+        F.lit(1).alias("sid"),
+        F.current_timestamp().alias("s"),
+        F.current_timestamp().alias("e"),
+    )
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 10).alias("user"),
+        F.current_timestamp().alias("ts"),
+    )
+    plan = (
+        T.interval_join(pts, iv, on=["user"], probe_ts="ts", start="s", end="e")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan
+
+
+def test_session_intervals_cover_all_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = T.session_intervals(ev, gap_minutes=30)
+    assigned = T.interval_join(
+        ev.select("event_id", "user_id", "ts"), iv, on=["user_id"]
+    )
+    # sessions are disjoint per user and cover every event exactly once
+    assert assigned.count() == ev.count()
+    assert assigned.select("event_id").distinct().count() == ev.count()
+    # per-session n_events agrees with the assignment's group sizes
+    sizes = assigned.groupBy("user_id", "session_seq").count()
+    bad = sizes.join(iv, ["user_id", "session_seq"]).where(
+        F.col("count") != F.col("n_events")
+    )
+    assert bad.count() == 0
