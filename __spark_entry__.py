@@ -283,6 +283,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         TS.chunk_windows(_t(s, d, "documents"), size=32, stride=24),
         capacity=128, n_shards=8,
     )
+    # corpus vocabulary / heavy-hitters (tokenizer-training primitive):
+    # two partial-combining aggregates, TakeOrderedAndProject top-k
+    q["corpus_token_vocabulary"] = lambda s, d: TS.token_vocabulary(
+        _t(s, d, "documents"), min_count=2, top_k=500
+    )
+    # per-language length distribution (exact percentiles at oracle scale;
+    # approx=True is the bounded-memory 100 TB path, same schema)
+    q["corpus_length_profile"] = lambda s, d: TS.length_profile(
+        _t(s, d, "documents")
+    )
 
     # ---- multimodal plumbing (Arrow mapInPandas over binary payloads) ----
     q["mm_binary_metadata"] = lambda s, d: MM.media_metadata_sql_checkable(
@@ -1499,6 +1509,31 @@ def oracle_sql() -> dict[str, str]:
         "SELECT shard, CAST((cum - n_tokens) // 128 AS BIGINT) AS seq_id, "
         "CAST((cum - n_tokens) % 128 AS BIGINT) AS seq_pos, "
         "doc_id, chunk_idx, n_tokens FROM wn"
+    )
+    # vocabulary: same whitespace split, (token, doc) pre-collapse, then the
+    # token rollup; the (n_occurrences DESC, token ASC) order key makes the
+    # top-k boundary deterministic on both engines
+    o["corpus_token_vocabulary"] = (
+        r"WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) "
+        "  AS token FROM documents), "
+        "f AS (SELECT token, doc_id, count(*) AS n FROM tok "
+        "  WHERE length(token) > 0 GROUP BY 1, 2), "
+        "v AS (SELECT token, CAST(sum(n) AS BIGINT) AS n_occurrences, "
+        "  CAST(count(*) AS BIGINT) AS n_docs FROM f GROUP BY 1) "
+        "SELECT token, n_occurrences, n_docs FROM v WHERE n_occurrences >= 2 "
+        "ORDER BY n_occurrences DESC, token ASC LIMIT 500"
+    )
+    # length profile: DuckDB quantile_cont shares Spark percentile()'s
+    # linear-interpolation definition; +1e-9 is the engine-agreement nudge
+    o["corpus_length_profile"] = (
+        "WITH b AS (SELECT lang, CAST(length(text) AS BIGINT) AS n_chars "
+        "FROM documents) "
+        "SELECT lang, count(*) AS n_docs, "
+        "round(avg(n_chars) + 1e-9, 4) AS avg_chars, "
+        "round(quantile_cont(n_chars, 0.5) + 1e-9, 4) AS p50_chars, "
+        "round(quantile_cont(n_chars, 0.9) + 1e-9, 4) AS p90_chars, "
+        "round(quantile_cont(n_chars, 0.99) + 1e-9, 4) AS p99_chars "
+        "FROM b GROUP BY lang"
     )
     o["text_lang_id"] = (
         r"WITH s AS (SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS w FROM documents), "

@@ -310,3 +310,70 @@ def pack_sequences(
             "n_tokens",
         )
     )
+
+
+def token_vocabulary(
+    docs: DataFrame, min_count: int = 2, top_k: int = 1000
+) -> DataFrame:
+    """Corpus vocabulary / heavy-hitters: the ``top_k`` most frequent
+    whitespace tokens with total occurrences and document frequency — the
+    tokenizer-training and stopword-discovery primitive of a pretraining
+    pipeline. Returns (token, n_occurrences, n_docs), ordered by
+    (n_occurrences desc, token) so the top-k boundary is deterministic.
+
+    Scale shape: the explode is map-side; the first aggregate keys on
+    (token, doc_id) with map-side partial combine, so a hot token's rows
+    collapse per doc before they travel; the second aggregate keys on the
+    token (|vocab| cardinality, not |tokens|) and partial-combines again;
+    the top-k is TakeOrderedAndProject — no global sort materializes.
+    """
+    if top_k <= 0:
+        raise ValueError("top_k must be positive")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    ).where(F.length("token") > 0)
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("n"))
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("n").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return (
+        vocab.where(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+
+
+def length_profile(docs: DataFrame, approx: bool = False) -> DataFrame:
+    """Per-language corpus length profile: doc count, mean chars, and the
+    p50/p90/p99 char-length quantiles — the distribution snapshot a corpus
+    curator reads before setting length filters. ``approx=True`` switches
+    to ``percentile_approx`` (bounded-memory sketch) — the 100 TB path,
+    where the exact percentile's per-group sorted buffer is the limit; the
+    exact form is the small-scale oracle tier (value-checked vs DuckDB's
+    ``quantile_cont``, which shares the linear-interpolation definition).
+
+    The +1e-9 nudge before round(…, 4) is the engine-agreement idiom from
+    ``quality_score``: far above double noise, far below the rounding
+    grain, applied identically in the SQL oracle."""
+    qs = [0.5, 0.9, 0.99]
+    n_chars = F.length("text").cast("long")
+    if approx:
+        pct = F.percentile_approx(n_chars, qs, 10_000)
+    else:
+        pct = F.percentile(n_chars, F.array(*[F.lit(q) for q in qs]))
+    eps = F.lit(1e-9)
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(n_chars) + eps, 4).alias("avg_chars"),
+        pct.alias("_p"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "avg_chars",
+        *[
+            F.round(F.col("_p")[i].cast("double") + eps, 4).alias(name)
+            for i, name in enumerate(("p50_chars", "p90_chars", "p99_chars"))
+        ],
+    )

@@ -117,3 +117,55 @@ def test_redact_secrets_planted_fixture_hits_every_type(spark):
         F.sum("n_private_key").alias("p"),
     ).first()
     assert sums["e"] > 0 and sums["a"] > 0 and sums["p"] > 0
+
+
+def test_token_vocabulary_hand_case(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c"),
+            (2, "a b  b"),  # double space: empty token must be dropped
+            (3, "c"),
+        ],
+        "doc_id long, text string",
+    )
+    out = TS.token_vocabulary(docs, min_count=2, top_k=10).toPandas()
+    got = {r.token: (r.n_occurrences, r.n_docs) for r in out.itertuples()}
+    assert got == {"a": (3, 2), "b": (3, 2), "c": (2, 2)}
+    # deterministic order: occurrences desc, then token asc
+    assert list(out["token"]) == ["a", "b", "c"]
+
+
+def test_token_vocabulary_topk_boundary_is_deterministic(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = TS.token_vocabulary(docs, 2, 50).toPandas()
+    b = TS.token_vocabulary(docs.repartition(17), 2, 50).toPandas()
+    assert list(a["token"]) == list(b["token"])
+    assert 0 < len(a) <= 50
+    # and the cap actually binds somewhere on this fixture
+    assert len(TS.token_vocabulary(docs, 2, 5).toPandas()) == 5
+
+
+def test_length_profile_exact_matches_hand_percentiles(spark):
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i, "en", "x" * n) for i, n in enumerate([10, 20, 30, 40, 100])],
+        "doc_id long, lang string, text string",
+    )
+    row = TS.length_profile(docs).collect()[0]
+    lens = np.array([10, 20, 30, 40, 100])
+    assert row.n_docs == 5 and row.avg_chars == 40.0
+    for col, q in (("p50_chars", 0.5), ("p90_chars", 0.9), ("p99_chars", 0.99)):
+        assert abs(getattr(row, col) - np.quantile(lens, q)) < 1e-6
+
+
+def test_length_profile_approx_same_schema_close_values(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = TS.length_profile(docs).toPandas().set_index("lang").sort_index()
+    approx = (
+        TS.length_profile(docs, approx=True).toPandas().set_index("lang").sort_index()
+    )
+    assert list(exact.columns) == list(approx.columns)
+    # the sketch's p50 stays within 5% of exact on this fixture
+    rel = ((exact["p50_chars"] - approx["p50_chars"]).abs() / exact["p50_chars"]).max()
+    assert rel < 0.05
