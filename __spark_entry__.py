@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_merge_soft_delete"] = _cdc_merge_soft_delete
     q["cdc_sync_replica_state"] = _cdc_sync_replica_state
     q["cdc_log_compacted_state"] = _cdc_log_compacted_state
+    q["cdc_clustered_bounds_state"] = _cdc_clustered_bounds_state
 
     # ---- streaming-analytics plan (same code the watermarked stream runs) ----
     q["cdc_windowed_counts"] = _cdc_windowed_counts
@@ -375,6 +376,34 @@ def _cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         LakeTable(lake_root, n_buckets=8)
         .read_state(spark)
         .select("repo", "path", "lsn", "content_sha256")
+    )
+
+
+def _cdc_clustered_bounds_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File clustering end-to-end (Delta OPTIMIZE ZORDER analog): MOR
+    replay -> `compact(cluster_by=("lang", "repo"))` (z-order rewrite that
+    harvests lang/repo footer bounds into the manifest) -> a
+    `read_state(bounds=...)` range scan that SKIPS files whose bounds
+    exclude the range. Pruning must be value-invisible: the result equals
+    a plain `lang BETWEEN` filter over the LWW final state, which is
+    exactly what the DuckDB oracle computes straight off the staged
+    segments. `target_file_rows` is set low so every bucket splits into
+    several z-contiguous files — the layout where skipping actually
+    engages (one file per bucket can never prune)."""
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    log_dir = _ensure_cdc_oracle_log()
+    lake_root = os.path.join(tempfile.mkdtemp(prefix="cdc_cluster_"), "lake")
+    replay(spark, log_dir, lake_root, n_buckets=8, mode="mor")
+    lake = LakeTable(lake_root, n_buckets=8, target_file_rows=40)
+    m = lake.compact(spark, cluster_by=("lang", "repo"))
+    assert m is not None and not m.get("layered")
+    return (
+        lake.read_state(spark, bounds={"lang": ("go", "js")})
+        .select("repo", "path", "lsn", "lang")
     )
 
 
@@ -1620,6 +1649,20 @@ def oracle_sql() -> dict[str, str]:
     # merged replay must equal the straight full-log LWW oracle.
     o["cdc_multilog_state"] = o["cdc_replay_state"]
     o["cdc_sync_replica_state"] = o["cdc_replay_state"]
+    # clustering compact + bounds read: file skipping on z-order-harvested
+    # footer bounds must be value-invisible, so the engine result equals a
+    # plain lang-range row filter over the same full-log LWW final state.
+    o["cdc_clustered_bounds_state"] = (
+        f"WITH ev AS (SELECT repo, path, lsn, op, lang, content "
+        f"  FROM read_parquet('{log_glob}', union_by_name=true) "
+        "  WHERE op IN ('insert', 'update', 'delete') AND repo IS NOT NULL "
+        "    AND path IS NOT NULL AND lsn IS NOT NULL "
+        "    AND (op = 'delete' OR content IS NOT NULL)), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev) "
+        "SELECT repo, path, lsn, lang FROM ranked "
+        "WHERE rn = 1 AND op <> 'delete' AND lang BETWEEN 'go' AND 'js'"
+    )
     # SCD Type-2 history: dedup redelivered (key, lsn) copies, then lead()
     # per key gives each era's half-open validity interval; tombstone eras
     # stay as is_deleted rows (lossless — the refresh contract depends on

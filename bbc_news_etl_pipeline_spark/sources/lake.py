@@ -74,12 +74,16 @@ def bucket_generations(entries: list[dict]) -> int:
     return len(entries)
 
 
-def parquet_key_stats(full_path: str) -> dict | None:
-    """Per-file (repo, path) min/max from the parquet FOOTER — the Iceberg
+def parquet_key_stats(
+    full_path: str, columns: tuple[str, ...] = ("repo", "path")
+) -> dict | None:
+    """Per-file column min/max from the parquet FOOTER — the Iceberg
     manifest-stats analog, collected once at commit time with a
     metadata-only read (no data pages touched; cost is per-file-per-epoch,
-    independent of table size). Returns ``{"repo": [lo, hi], "path":
-    [lo, hi]}`` or None when the footer carries no usable bounds (stats
+    independent of table size). Default columns are the key pair; a
+    clustered compaction adds its cluster columns so readers can skip
+    files on those bounds too. Returns ``{col: [lo, hi]}`` (string-typed
+    columns only) or None when the footer carries no usable bounds (stats
     disabled, non-string physical type, truncation without bounds) — a
     None is always SAFE because readers treat a stats-less entry as
     may-contain."""
@@ -90,7 +94,7 @@ def parquet_key_stats(full_path: str) -> dict | None:
         idx = {
             md.schema.column(i).path: i
             for i in range(md.num_columns)
-            if md.schema.column(i).path in ("repo", "path")
+            if md.schema.column(i).path in columns
         }
         out: dict[str, list[str]] = {}
         for name, i in idx.items():
@@ -170,6 +174,82 @@ def entry_may_contain(entry: dict, repo: str, path: str) -> bool:
     if p and r and r[0] == r[1] and (path < p[0] or path > p[1]):
         return False
     return True
+
+
+def entry_overlaps_bounds(entry: dict, col: str, lo: str, hi: str) -> bool:
+    """Conservative file-skip test for a range predicate ``col BETWEEN lo
+    AND hi``: False ONLY when the entry's footer bounds prove no row of the
+    file can satisfy it. Stats-less entries (or entries whose stats predate
+    clustering on `col`) always may-overlap. NULL cells never satisfy a
+    BETWEEN, so bounds harvested over non-null values stay sound even for
+    files that also hold NULLs in `col`."""
+    st = entry.get("stats")
+    b = st.get(col) if st else None
+    if not b:
+        return True
+    return not (hi < b[0] or lo > b[1])
+
+
+#: bit width of each per-column z-order code; 8 bits x <=3 columns keeps
+#: the interleaved key inside a codegen-friendly BIGINT with room to spare
+ZORDER_BITS = 8
+
+
+def _zorder_sort_col(
+    df: DataFrame, cluster_by: tuple[str, ...]
+) -> Column:
+    """Interleaved-bit z-order key over 2-3 STRING columns — the multi-dim
+    file-clustering key (Delta OPTIMIZE ZORDER analog), built so every
+    piece stays inside whole-stage codegen:
+
+    1. order-preserving 56-bit numeric projection of each column's first 7
+       bytes (`conv(hex(encode(substr,7)))` — strings sharing a 7-byte
+       prefix collide, which only coarsens the bins, never mis-orders);
+    2. one column-pruned min/max aggregate over `df` fixes each column's
+       span as DRIVER LITERALS (two longs per column — bounded, the same
+       count-gated-literal discipline as the k-means centroids), and the
+       span need not be exact: any superset just widens the bins;
+    3. per-row 8-bit bin codes and bit interleaving are pure map-side
+       integer arithmetic.
+
+    The z key orders rows so that a within-bucket sort gives every output
+    file tight footer bounds on ALL cluster columns at once, instead of
+    tight-on-first / useless-on-rest that a lexicographic sort yields."""
+    k = len(cluster_by)
+    if not 2 <= k <= 3:
+        raise ValueError("zorder needs 2-3 cluster columns; use linear for 1")
+
+    def proj(c: str) -> Column:
+        return F.coalesce(
+            F.conv(F.hex(F.encode(F.substring(F.col(c), 1, 7), "UTF-8")), 16, 10)
+            .cast("long"),
+            F.lit(0),
+        )
+
+    spans = df.select(
+        *[proj(c).alias(c) for c in cluster_by]
+    ).agg(
+        *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cluster_by)],
+        *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cluster_by)],
+    ).first()
+    codes = []
+    n_bins = 1 << ZORDER_BITS
+    for i, c in enumerate(cluster_by):
+        mn = spans[f"mn_{i}"] or 0
+        span = max(1, (spans[f"mx_{i}"] or 0) - mn + 1)
+        codes.append(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((proj(c) - F.lit(mn)).cast("double") * (n_bins / span)),
+            ).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for b in range(ZORDER_BITS):
+        for i, code in enumerate(codes):
+            z = z + F.shiftleft(
+                F.shiftright(code, b).bitwiseAND(F.lit(1)), b * k + i
+            )
+    return z
 
 
 #: stage-1 salt fan-out of the read-side winner reduce (mirrors the write
@@ -1814,6 +1894,7 @@ class LakeTable:
         spark: SparkSession,
         target_version: int | None = None,
         epoch: int | str | None = None,
+        bounds: dict[str, tuple[str, str]] | None = None,
     ) -> DataFrame:
         """The merged current state (live rows only) — what a user queries.
         `epoch` selects a historical snapshot (time travel) — an epoch
@@ -1826,18 +1907,51 @@ class LakeTable:
         the read tax MOR trades for O(epoch) writes; `compact()` pays it
         once and clears the flag). Tombstone filtering runs AFTER
         resolution: a tombstone layer must hide older live layers, never
-        the reverse."""
+        the reverse.
+
+        ``bounds`` — ``{col: (lo, hi)}``, each an inclusive string range —
+        filters rows AND, on a NON-layered snapshot, skips whole files
+        whose manifest footer bounds exclude the range (the payoff of
+        ``compact(cluster_by=...)``). On a layered snapshot only the row
+        filter applies: a file-level skip by a NON-key column could drop a
+        key's newest layer while older layers survive elsewhere, silently
+        resurrecting an overwritten row — so pruning there is unsound by
+        construction, not merely unimplemented."""
         manifest = (
             self.manifest(self.resolve_ref(epoch))
             if epoch is not None
             else self.current_manifest()
         )
         ver = target_version or (manifest["schema_version"] if manifest else reg.LATEST_VERSION)
+        if bounds and manifest and not manifest.get("layered"):
+            manifest = {
+                **manifest,
+                "buckets": {
+                    b: [
+                        # pin generation ordinals BEFORE pruning shifts
+                        # list positions (same discipline as read_key)
+                        {**e, "layer": e.get("layer", i)}
+                        for i, e in enumerate(entries)
+                        if all(
+                            entry_overlaps_bounds(e, c, lo, hi)
+                            for c, (lo, hi) in bounds.items()
+                        )
+                    ]
+                    for b, entries in manifest["buckets"].items()
+                },
+            }
         df = self.read_resolved(spark, None, ver, manifest=manifest)
+        if bounds:
+            for c, (lo, hi) in bounds.items():
+                df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
         return df.where(~F.col("is_deleted")).drop("is_deleted")
 
     def compact(
-        self, spark: SparkSession, tombstone_horizon_lsn: int | None = None
+        self,
+        spark: SparkSession,
+        tombstone_horizon_lsn: int | None = None,
+        cluster_by: tuple[str, ...] | None = None,
+        cluster_method: str = "zorder",
     ) -> dict | None:
         """Collapse a layered (merge-on-read) table back to one row per key
         — the Iceberg `rewrite_data_files` analog. Commits as a new epoch
@@ -1863,9 +1977,21 @@ class LakeTable:
         arrive (the log's late-delivery bound — the analog of a streaming
         watermark). Dropping beyond that guarantee would let a late
         lower-lsn upsert resurrect a deleted key. No-op (returns None) when
-        the current snapshot is not layered."""
+        the current snapshot is not layered.
+
+        ``cluster_by`` turns the pass into a CLUSTERING rewrite (Delta
+        OPTIMIZE ZORDER analog): EVERY bucket is rewritten — even a pure
+        copy-on-write table, where plain compaction would no-op — with rows
+        ordered inside each bucket by the cluster columns (``cluster_method``
+        'zorder' interleaves 2-3 columns' bin bits; 'linear' sorts
+        lexicographically), and each output file's footer bounds on those
+        columns are harvested into its manifest entry, so a
+        ``read_state(bounds=...)`` range scan skips whole files. The trade:
+        within-file (repo, path) runs are no longer globally sorted, so
+        point-lookup key bounds get wider (still correct — `read_key` prunes
+        on harvested stats, never on an assumed sort)."""
         m = self.current_manifest()
-        if m is None or not m.get("layered"):
+        if m is None or (not m.get("layered") and cluster_by is None):
             return None
         lease = self.acquire_writer_lease("compact")
         try:
@@ -1873,9 +1999,12 @@ class LakeTable:
             # pre-lease read is only a cheap early-out, and compacting a
             # stale snapshot would commit against a superseded epoch number
             m = self.current_manifest()
-            if m is None or not m.get("layered"):
+            if m is None or (not m.get("layered") and cluster_by is None):
                 return None
-            return self._compact_locked(spark, m, tombstone_horizon_lsn)
+            return self._compact_locked(
+                spark, m, tombstone_horizon_lsn,
+                cluster_by=cluster_by, cluster_method=cluster_method,
+            )
         finally:
             self.release_writer_lease(lease)
 
@@ -1906,17 +2035,22 @@ class LakeTable:
             self.release_writer_lease(lease)
 
     def _compact_locked(
-        self, spark: SparkSession, m: dict, tombstone_horizon_lsn: int | None
+        self,
+        spark: SparkSession,
+        m: dict,
+        tombstone_horizon_lsn: int | None,
+        cluster_by: tuple[str, ...] | None = None,
+        cluster_method: str = "zorder",
     ) -> dict:
         ver = m["schema_version"]
         epoch = m["epoch"] + 1
-        # tombstone GC must visit single-generation buckets too; plain
-        # compaction rewrites ONLY multi-GENERATION buckets (a COW
-        # generation spanning several files is already one row per key and
-        # carries forward untouched)
+        # tombstone GC and clustering must visit single-generation buckets
+        # too; plain compaction rewrites ONLY multi-GENERATION buckets (a
+        # COW generation spanning several files is already one row per key
+        # and carries forward untouched)
         target = (
             None
-            if tombstone_horizon_lsn is not None
+            if tombstone_horizon_lsn is not None or cluster_by is not None
             else sorted(
                 int(b)
                 for b, e in m["buckets"].items()
@@ -1933,6 +2067,7 @@ class LakeTable:
             for b, entries in self._write_compacted(
                 spark, m, target, ver, tombstone_horizon_lsn,
                 self.epoch_data_dir(epoch),
+                cluster_by=cluster_by, cluster_method=cluster_method,
             ).items():
                 buckets[b] = entries
         from datetime import datetime, timezone
@@ -1952,6 +2087,16 @@ class LakeTable:
                 ),
                 "buckets_carried": len(m["buckets"])
                 - (len(m["buckets"]) if target is None else len(target)),
+                **(
+                    {
+                        "cluster_by": list(cluster_by),
+                        "cluster_method": (
+                            "linear" if len(cluster_by) == 1 else cluster_method
+                        ),
+                    }
+                    if cluster_by
+                    else {}
+                ),
             },
             "buckets": buckets,
         }
@@ -1966,29 +2111,49 @@ class LakeTable:
         ver: int,
         tombstone_horizon_lsn: int | None,
         out_dir: str,
+        cluster_by: tuple[str, ...] | None = None,
+        cluster_method: str = "zorder",
     ) -> dict[str, list[dict]]:
         """Resolve `target` buckets of snapshot `m` (None = all) to one row
         per key and write them under `out_dir` as a fresh generation-0
         layout. Shared by the lease-held compaction (`_compact_locked`,
         which writes straight into the next epoch's dir) and the lock-free
         path (`prepare_compaction`, which writes into a parked scratch
-        namespace). Returns manifest-ready entries keyed by bucket."""
+        namespace). Returns manifest-ready entries keyed by bucket.
+
+        With ``cluster_by``, rows are ordered inside each bucket by the
+        cluster key (z-order bit interleave for 2-3 columns, plain
+        lexicographic for 1 or method='linear') so each output file gets
+        tight footer bounds on the cluster columns, which are harvested
+        into the manifest entries for reader-side file skipping."""
         resolved = self.read_resolved(spark, target, ver, manifest=m)
         if tombstone_horizon_lsn is not None:
             resolved = resolved.where(
                 ~F.col("is_deleted") | (F.col("lsn") > F.lit(tombstone_horizon_lsn))
             )
+        sort_cols: list[Column | str] = ["repo", "path"]
+        if cluster_by:
+            if len(cluster_by) == 1 or cluster_method == "linear":
+                sort_cols = [*cluster_by, "repo", "path"]
+            else:
+                # span literals come from the RAW (column-pruned) bucket
+                # scan, not the resolved view: bounds only need to be a
+                # superset, and this avoids paying the MOR winner reduce
+                # twice on a layered snapshot
+                raw = self.read_buckets(spark, target, ver, manifest=m)
+                sort_cols = [_zorder_sort_col(raw, cluster_by), "repo", "path"]
         (
             resolved.repartition("bucket")
             .withColumn("bucket_p", F.col("bucket"))
-            .sortWithinPartitions("bucket_p", "repo", "path")
+            .sortWithinPartitions("bucket_p", *sort_cols)
             .write.mode("overwrite")
             .options(**PARQUET_BLOOM_OPTIONS, **self.file_size_options())
             .partitionBy("bucket_p")
             .parquet(out_dir)
         )
         out: dict[str, list[dict]] = {}
-        for b, entries in self._scan_data_dir(out_dir).items():
+        stats_cols = ("repo", "path", *(cluster_by or ()))
+        for b, entries in self._scan_data_dir(out_dir, stats_cols).items():
             for e in entries:
                 e["schema_version"] = ver
                 e["layer"] = 0  # compacted = one fresh generation
@@ -2822,7 +2987,9 @@ class LakeTable:
         to the table root (what goes into the manifest)."""
         return self._scan_data_dir(self.epoch_data_dir(epoch, staged=staged))
 
-    def _scan_data_dir(self, ddir: str) -> dict[int, list[dict]]:
+    def _scan_data_dir(
+        self, ddir: str, stats_columns: tuple[str, ...] = ("repo", "path")
+    ) -> dict[int, list[dict]]:
         out: dict[int, list[dict]] = {}
         for bdir in sorted(glob.glob(os.path.join(ddir, "bucket_p=*"))):
             b = int(os.path.basename(bdir).split("=", 1)[1])
@@ -2833,7 +3000,7 @@ class LakeTable:
                 }
                 # Iceberg-style file-level column bounds, harvested from the
                 # footer at commit time; carried-forward entries keep theirs
-                stats = parquet_key_stats(fp)
+                stats = parquet_key_stats(fp, stats_columns)
                 if stats:
                     entry["stats"] = stats
                 out.setdefault(b, []).append(entry)

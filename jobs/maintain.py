@@ -79,6 +79,14 @@ def main() -> None:
                         "lease-held commit; refuses on rollback/rebucket "
                         "interleaves — re-run on the new head")
     p.add_argument("--tombstone-horizon-lsn", type=int, default=None)
+    p.add_argument("--cluster-by", default=None,
+                   help="with --compact: comma-separated STRING columns to "
+                        "cluster files by (rewrites every bucket; harvests "
+                        "those columns' footer bounds for file skipping)")
+    p.add_argument("--cluster-method", default="zorder",
+                   choices=("zorder", "linear"),
+                   help="2-3 cluster columns: interleaved z-order (default) "
+                        "or lexicographic")
     p.add_argument("--compact-log", action="store_true",
                    help="log retention (Kafka compacted-topic analog): "
                         "collapse segments fully consumed by the oldest "
@@ -135,7 +143,17 @@ def main() -> None:
     if args.discard_staged is not None:
         out["discarded"] = lake.discard_staged(args.discard_staged)
     if args.compact:
-        cm = lake.compact(spark, tombstone_horizon_lsn=args.tombstone_horizon_lsn)
+        cm = lake.compact(
+            spark,
+            tombstone_horizon_lsn=args.tombstone_horizon_lsn,
+            cluster_by=(
+                tuple(c.strip() for c in args.cluster_by.split(",") if c.strip())
+                or None
+                if args.cluster_by
+                else None
+            ),
+            cluster_method=args.cluster_method,
+        )
         out["compacted"] = cm["epoch"] if cm else None
     if args.compact_concurrent:
         cm = lake.compact_concurrent(

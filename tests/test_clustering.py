@@ -1,0 +1,251 @@
+"""File clustering (Delta OPTIMIZE ZORDER analog): `compact(cluster_by=...)`
+rewrites every bucket with rows ordered by the cluster key (interleaved-bit
+z-order for 2-3 columns, lexicographic for 1), harvests the cluster columns'
+footer bounds into the manifest, and `read_state(bounds=...)` skips files
+those bounds exclude. Invariants: the rewrite is value-invisible (digest
+unchanged), pruning is conservative (pruned == unpruned-then-filtered), and
+bounds pruning NEVER engages on a layered snapshot (a non-key file skip
+there could drop a key's newest layer and resurrect an old row).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import (
+    LakeTable,
+    _zorder_sort_col,
+    entry_overlaps_bounds,
+)
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest
+
+E = 4_000
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cl_stream"))
+    gen.build_stream(E, 3, d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def clustered_root(spark, stream_dir, tmp_path_factory):
+    """MOR replay (layered head) then a z-order clustering compact."""
+    root = str(tmp_path_factory.mktemp("cl_lake") / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8, mode="mor")
+    # small per-file row cap: the sorted bucket splits into several files,
+    # each covering a contiguous z range — what makes bounds pruning bite
+    lake = LakeTable(root, n_buckets=8, target_file_rows=60)
+    before = engine_digest(spark, root)
+    m = lake.compact(spark, cluster_by=("lang", "repo"))
+    assert m is not None and not m.get("layered")
+    assert m["counts"]["cluster_by"] == ["lang", "repo"]
+    assert m["counts"]["cluster_method"] == "zorder"
+    assert engine_digest(spark, root) == before  # value-invisible rewrite
+    return root
+
+
+def test_cluster_entries_carry_true_cluster_bounds(spark, clustered_root):
+    lake = LakeTable(clustered_root, n_buckets=8)
+    m = lake.current_manifest()
+    checked = 0
+    for entries in m["buckets"].values():
+        for e in entries:
+            st = e.get("stats")
+            assert st and "repo" in st, e["path"]
+            t = pq.read_table(
+                os.path.join(clustered_root, e["path"]), columns=["lang"]
+            )
+            langs = [v for v in t.column("lang").to_pylist() if v is not None]
+            if langs:
+                # any non-null value -> the footer carries bounds and they
+                # are true (all-NULL files — pure tombstones — have none,
+                # and the reader treats that as may-contain)
+                assert "lang" in st, e["path"]
+                assert min(langs) >= st["lang"][0]
+                assert max(langs) <= st["lang"][1]
+                checked += 1
+    assert checked >= 8
+
+
+def test_bounds_read_skips_files_and_matches_row_filter(
+    spark, clustered_root, monkeypatch
+):
+    lake = LakeTable(clustered_root, n_buckets=8)
+    m = lake.current_manifest()
+    # pick the lexicographically smallest lang as the probe range: with
+    # multiple langs z-ordered, some files must exclude it
+    langs = sorted(
+        {
+            r["lang"]
+            for r in lake.read_state(spark).select("lang").distinct().collect()
+            if r["lang"] is not None
+        }
+    )
+    assert len(langs) >= 2, "fixture needs multiple langs to prune on"
+    probe = langs[0]
+
+    captured: dict = {}
+    orig = LakeTable._read_files
+
+    def spy(self, spark_, entries, target_version, with_layer=False):
+        captured["paths"] = [e["path"] for _, e in entries]
+        return orig(self, spark_, entries, target_version, with_layer=with_layer)
+
+    monkeypatch.setattr(LakeTable, "_read_files", spy)
+    pruned = (
+        lake.read_state(spark, bounds={"lang": (probe, probe)})
+        .select("repo", "path", "lsn")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    opened = list(captured["paths"])
+    monkeypatch.setattr(LakeTable, "_read_files", orig)
+
+    total = sum(len(v) for v in m["buckets"].values())
+    assert len(opened) < total, "clustered bounds must skip at least one file"
+    # conservative: every skipped file's bounds really exclude the probe
+    skipped = [
+        e
+        for v in m["buckets"].values()
+        for e in v
+        if e["path"] not in set(opened)
+    ]
+    assert all(
+        not entry_overlaps_bounds(e, "lang", probe, probe) for e in skipped
+    )
+    full = (
+        lake.read_state(spark)
+        .where(F.col("lang") == probe)
+        .select("repo", "path", "lsn")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    assert pruned.equals(full)
+
+
+def test_bounds_on_layered_snapshot_never_prunes_files(
+    spark, stream_dir, clustered_root, tmp_path, monkeypatch
+):
+    """Re-layer the clustered lake with one more MOR epoch (touching a few
+    keys), then a bounds read: files must NOT be pruned (resolution needs
+    every layer of a key) and the result must still equal the row filter."""
+    import shutil
+
+    root = str(tmp_path / "lake")
+    shutil.copytree(clustered_root, root)
+    lake = LakeTable(root, n_buckets=8)
+    m = lake.current_manifest()
+    # synthesize a tiny overriding epoch through the DML surface: flip one
+    # live key's lang so the clustered file's bounds go stale for that key
+    from bbc_news_etl_pipeline_spark.operators.dml import synthesize_dml_segment
+
+    log2 = str(tmp_path / "log2")
+    shutil.copytree(stream_dir, log2)
+    victim = (
+        lake.read_state(spark)
+        .orderBy("repo", "path")
+        .select("repo", "path", "lang")
+        .first()
+    )
+    new_lang = "zz_clustertest"
+    res = synthesize_dml_segment(
+        spark,
+        lake,
+        log2,
+        where=f"repo = '{victim['repo']}' AND path = '{victim['path']}'",
+        set_exprs={"lang": f"'{new_lang}'"},
+    )
+    assert res["matched"] == 1
+    R.replay(spark, log2, root, n_buckets=8, mode="mor")
+    m2 = lake.current_manifest()
+    assert m2.get("layered"), "MOR DML epoch must re-layer the head"
+
+    captured: dict = {}
+    orig = LakeTable._read_files
+
+    def spy(self, spark_, entries, target_version, with_layer=False):
+        captured["paths"] = [e["path"] for _, e in entries]
+        return orig(self, spark_, entries, target_version, with_layer=with_layer)
+
+    monkeypatch.setattr(LakeTable, "_read_files", spy)
+    got = (
+        lake.read_state(spark, bounds={"lang": (new_lang, new_lang)})
+        .select("repo", "path", "lang")
+        .collect()
+    )
+    # layered: every file is opened (no pruning), and the moved key is found
+    total = sum(len(v) for v in m2["buckets"].values())
+    assert len(captured["paths"]) == total
+    assert [(r["repo"], r["path"]) for r in got] == [
+        (victim["repo"], victim["path"])
+    ]
+
+
+def test_cluster_compact_works_on_pure_cow_table(spark, stream_dir, tmp_path):
+    root = str(tmp_path / "lake")
+    R.replay(spark, stream_dir, root, n_buckets=8)  # COW: not layered
+    lake = LakeTable(root, n_buckets=8)
+    assert lake.compact(spark) is None  # plain compact: nothing to do
+    before = engine_digest(spark, root)
+    m = lake.compact(spark, cluster_by=("lang",))
+    assert m is not None and m["counts"]["cluster_method"] == "linear"
+    assert m["counts"]["buckets_rewritten"] == 8
+    assert engine_digest(spark, root) == before
+    # single-column linear clustering still harvests lang bounds (all-NULL
+    # tombstone-only files legitimately carry none)
+    assert any(
+        "lang" in (e.get("stats") or {})
+        for v in m["buckets"].values()
+        for e in v
+    )
+
+
+def test_zorder_key_is_monotone_per_dimension(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("m", "x"), ("z", "x"), ("z", "y")],
+        "lang string, repo string",
+    )
+    z = _zorder_sort_col(df, ("lang", "repo"))
+    rows = {
+        (r["lang"], r["repo"]): r["z"]
+        for r in df.select("lang", "repo", z.alias("z")).collect()
+    }
+    # holding one coordinate fixed, the z key is monotone in the other
+    assert rows[("a", "x")] <= rows[("m", "x")] <= rows[("z", "x")]
+    assert rows[("a", "x")] <= rows[("a", "y")]
+    assert rows[("z", "x")] <= rows[("z", "y")]
+    # and deterministic across partitionings
+    rows2 = {
+        (r["lang"], r["repo"]): r["z"]
+        for r in df.repartition(5)
+        .select("lang", "repo", _zorder_sort_col(df, ("lang", "repo")).alias("z"))
+        .collect()
+    }
+    assert rows == rows2
+
+
+def test_zorder_requires_2_to_3_columns(spark):
+    df = spark.createDataFrame([("a",)], "lang string")
+    with pytest.raises(ValueError, match="2-3"):
+        _zorder_sort_col(df, ("lang",))
+
+
+def test_entry_overlaps_bounds_is_conservative():
+    e = {"stats": {"lang": ["go", "py"]}}
+    assert not entry_overlaps_bounds(e, "lang", "rs", "zz")  # above hi
+    assert not entry_overlaps_bounds(e, "lang", "a", "c")  # below lo
+    assert entry_overlaps_bounds(e, "lang", "md", "md")  # inside
+    assert entry_overlaps_bounds(e, "lang", "a", "zz")  # spanning
+    assert entry_overlaps_bounds(e, "repo", "a", "b")  # no bounds for col
+    assert entry_overlaps_bounds({}, "lang", "a", "b")  # stats-less
