@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_sync_replica_state"] = _cdc_sync_replica_state
     q["cdc_log_compacted_state"] = _cdc_log_compacted_state
     q["cdc_clustered_bounds_state"] = _cdc_clustered_bounds_state
+    q["cdc_constraint_state"] = _cdc_constraint_state
 
     # ---- streaming-analytics plan (same code the watermarked stream runs) ----
     q["cdc_windowed_counts"] = _cdc_windowed_counts
@@ -404,6 +405,29 @@ def _cdc_clustered_bounds_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lake.read_state(spark, bounds={"lang": ("go", "js")})
         .select("repo", "path", "lsn", "lang")
+    )
+
+
+def _cdc_constraint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table CHECK constraints end-to-end (Delta ADD CONSTRAINT parity,
+    quarantine-not-fail): declare `size_bytes < 2000` BEFORE replay, run
+    the real engine — violating upserts land in the DLQ, the rest commit —
+    and return the live state. The DuckDB oracle applies the same
+    SQL-standard CHECK (FALSE violates, NULL passes, deletes exempt) to the
+    event stream before the LWW ranking."""
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    log_dir = _ensure_cdc_oracle_log()
+    lake_root = os.path.join(tempfile.mkdtemp(prefix="cdc_constraint_"), "lake")
+    lake = LakeTable(lake_root, n_buckets=8)
+    lake.add_check_constraint("max_doc_size", "size_bytes < 2000", spark=spark)
+    replay(spark, log_dir, lake_root, n_buckets=8)
+    return (
+        lake.read_state(spark)
+        .select("repo", "path", "lsn", "content_sha256")
     )
 
 
@@ -1649,6 +1673,22 @@ def oracle_sql() -> dict[str, str]:
     # merged replay must equal the straight full-log LWW oracle.
     o["cdc_multilog_state"] = o["cdc_replay_state"]
     o["cdc_sync_replica_state"] = o["cdc_replay_state"]
+    # CHECK constraint at ingest: the oracle applies the identical
+    # SQL-standard rule (FALSE violates, NULL passes, deletes exempt) to
+    # the events BEFORE ranking — a quarantined update leaves the key's
+    # previous valid version live, which the filtered LWW reproduces.
+    o["cdc_constraint_state"] = (
+        f"WITH ev AS (SELECT repo, path, lsn, op, content "
+        f"  FROM read_parquet('{log_glob}', union_by_name=true) "
+        "  WHERE op IN ('insert', 'update', 'delete') AND repo IS NOT NULL "
+        "    AND path IS NOT NULL AND lsn IS NOT NULL "
+        "    AND (op = 'delete' OR content IS NOT NULL) "
+        "    AND (op = 'delete' OR size_bytes IS NULL OR size_bytes < 2000)), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev) "
+        "SELECT repo, path, lsn, sha256(content) AS content_sha256 "
+        "FROM ranked WHERE rn = 1 AND op <> 'delete'"
+    )
     # clustering compact + bounds read: file skipping on z-order-harvested
     # footer bounds must be value-invisible, so the engine result equals a
     # plain lang-range row filter over the same full-log LWW final state.

@@ -113,6 +113,45 @@ def proxy_divergence_count() -> Column:
     ).alias("proxy_divergences")
 
 
+def constraint_clauses(
+    events: DataFrame, constraints: dict[str, str] | None
+) -> list[tuple[str, Column]]:
+    """Compile table CHECK constraints (`LakeTable.add_check_constraint`,
+    the Delta `ALTER TABLE ... ADD CONSTRAINT ... CHECK` analog) into
+    per-event pass/fail clauses. SQL-standard CHECK semantics: an event
+    fails only when its expression evaluates to FALSE — NULL passes (add an
+    explicit `col IS NOT NULL` conjunct for not-null enforcement), so
+    events from schema versions predating a column satisfy constraints on
+    it vacuously. Deletes are exempt: a tombstone's payload columns are
+    NULL by construction and the constraint governs row STATE, not its
+    removal. Sorted by name so quarantine error labeling is deterministic.
+    Unlike Delta — which fails the whole transaction on one bad row — a
+    violating event QUARANTINES through the engine's DLQ tier (the batch
+    commits; `drop_check_constraint` + redrive re-applies them).
+
+    A constraint whose expression references a column this `events` frame
+    lacks — a schema era predating the column — is VACUOUS for the frame,
+    not an error: the column is NULL for every row of that era and NULL
+    passes. Detected by analyzing the clause against the frame (eager in
+    PySpark), so a v1-era replay under a v3-column constraint proceeds
+    instead of stalling on an unresolvable expression."""
+    if not constraints:
+        return []
+    from pyspark.errors import AnalysisException
+
+    out: list[tuple[str, Column]] = []
+    for name, expr in sorted(constraints.items()):
+        clause = (F.col("op") == F.lit("delete")) | F.coalesce(
+            F.expr(expr), F.lit(True)
+        )
+        try:
+            events.where(clause)
+        except AnalysisException:
+            continue
+        out.append((name, clause))
+    return out
+
+
 def bucket_col(n_buckets: int) -> Column:
     """Iceberg-style hidden partitioning: bucket(P, repo||path)."""
     return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(n_buckets)).cast("int")
@@ -134,13 +173,19 @@ def unknown_column_clause(events: DataFrame) -> Column:
     return F.col("_unknown_json").isNull()
 
 
-def split_valid_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_valid_quarantine(
+    events: DataFrame, constraints: dict[str, str] | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Validation filter: diverts malformed events instead of failing the
-    batch (reference DLQ semantics). Returns (valid, quarantine)."""
+    batch (reference DLQ semantics). `constraints` adds the table's CHECK
+    constraints (see `constraint_clauses`) — violating events quarantine
+    with the constraint named in the error. Returns (valid, quarantine)."""
+    clauses = constraint_clauses(events, constraints)
     is_valid = valid_predicate() & unknown_column_clause(events)
+    for _, c in clauses:
+        is_valid = is_valid & c
     valid = events.where(is_valid)
-    quarantine = events.where(~F.coalesce(is_valid, F.lit(False))).select(
-        F.to_json(F.struct(*events.columns)).alias("event_json"),
+    err = (
         F.when(
             ~F.coalesce(
                 F.col("schema_version").between(1, reg.LATEST_VERSION), F.lit(False)
@@ -154,14 +199,35 @@ def split_valid_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
         .when(~F.col("op").isin(*VALID_OPS), F.lit("invalid op"))
         .when(F.col("repo").isNull() | F.col("path").isNull(), F.lit("null key"))
         .when(F.col("lsn").isNull(), F.lit("null lsn"))
-        .otherwise(F.lit("null content for upsert"))
-        .alias("error"),
+    )
+    if clauses:
+        # built-in labels keep priority: name the null-content rule
+        # explicitly so a row failing both it and a constraint labels as
+        # the envelope defect, then one labeled branch per constraint
+        err = err.when(
+            (F.col("op") != F.lit("delete")) & F.col("content").isNull(),
+            F.lit("null content for upsert"),
+        )
+        for name, c in clauses:
+            err = err.when(
+                ~F.coalesce(c, F.lit(False)),
+                F.lit(f"constraint {name} violated"),
+            )
+        err = err.otherwise(F.lit("constraint violated"))
+    else:
+        err = err.otherwise(F.lit("null content for upsert"))
+    quarantine = events.where(~F.coalesce(is_valid, F.lit(False))).select(
+        F.to_json(F.struct(*events.columns)).alias("event_json"),
+        err.alias("error"),
     )
     return valid, quarantine
 
 
 def slim_events(
-    events: DataFrame, n_buckets: int, narrow_validity: bool = False
+    events: DataFrame,
+    n_buckets: int,
+    narrow_validity: bool = False,
+    constraints: dict[str, str] | None = None,
 ) -> DataFrame:
     """The epoch's narrow pass over the raw events: key columns, bucket,
     the fully-evaluated validity flag, and the hashed key triple. ~120 bytes
@@ -184,6 +250,14 @@ def slim_events(
     """
     ok = valid_predicate_narrow() if narrow_validity else valid_predicate()
     ok = ok & unknown_column_clause(events)
+    # CHECK constraints join the planning flag so n_valid/touched agree
+    # with the payload split. Constraint columns (narrow payload fields)
+    # enter this scan's ReadSchema; a constraint referencing `content`
+    # would widen it to the full payload, so the caller forces exact mode
+    # for those instead (streaming/replay.py) — the content-free plan
+    # contract stays pinned for content-free constraints.
+    for _, c in constraint_clauses(events, constraints):
+        ok = ok & c
     return events.select(
         bucket_col(n_buckets).alias("bucket"),
         "repo",

@@ -606,6 +606,76 @@ class LakeTable:
                 self._write_refs(refs)
         return epoch
 
+    # ---------- CHECK constraints (Delta ADD CONSTRAINT ... CHECK parity) ----------
+    def check_constraints(self) -> dict[str, str]:
+        """{name: sql_expr} — the table's declared CHECK constraints.
+        Enforced at INGEST: replay/tail/redrive evaluate them per event and
+        quarantine violators through the DLQ tier (the batch commits —
+        unlike Delta, one bad row never fails the transaction). SQL-standard
+        semantics: only FALSE violates, NULL passes; deletes are exempt
+        (operators/merge.py constraint_clauses)."""
+        return dict(self.refs().get("constraints", {}))
+
+    def add_check_constraint(
+        self, name: str, expr: str, spark: SparkSession | None = None
+    ) -> None:
+        """Declare a CHECK constraint. Delta parity on both halves of the
+        contract: the expression must analyze against the event schema
+        (parse errors / unknown columns refuse up front), and — when the
+        lake is non-empty — the EXISTING live state must already satisfy
+        it, else the declaration refuses with the violation count (a
+        constraint the current table violates would make the table's own
+        state un-redrivable). Requires `spark` for both checks unless the
+        lake is empty and the caller accepts parse-only validation at
+        first use. Re-adding the same (name, expr) is idempotent;
+        retargeting an existing name raises (drop first), same discipline
+        as tags."""
+        _validate_ref_name(name)
+        if spark is not None:
+            probe = spark.createDataFrame(
+                [], reg.event_schema(reg.LATEST_VERSION)
+            ).where(F.expr(expr))
+            probe.schema  # force analysis: unknown column / parse -> error
+            m = self.current_manifest()
+            if m is not None:
+                bad = (
+                    self.read_state(spark)
+                    .where(~F.coalesce(F.expr(expr), F.lit(True)))
+                    .limit(1_000)
+                    .count()
+                )
+                if bad:
+                    raise ValueError(
+                        f"cannot add constraint {name!r}: existing live state "
+                        f"violates it ({bad}{'+' if bad == 1000 else ''} rows)"
+                    )
+        # constraints are legitimately declared BEFORE the first replay
+        # creates the table root (Delta: constraints at table creation)
+        os.makedirs(self.root, exist_ok=True)
+        with self._refs_lock():
+            refs = self.refs()
+            cons = refs.setdefault("constraints", {})
+            held = cons.get(name)
+            if held is not None and held != expr:
+                raise ValueError(
+                    f"constraint {name!r} already declares {held!r}; "
+                    "drop it first to retarget"
+                )
+            cons[name] = expr
+            self._write_refs(refs)
+
+    def drop_check_constraint(self, name: str) -> str | None:
+        """Remove a constraint (returns its expression; None = absent,
+        idempotent). Events it quarantined stay parked until a redrive —
+        which re-validates against the CURRENT constraint set, so drop +
+        `jobs/redrive.py` is the recovery path for an over-tight rule."""
+        with self._refs_lock():
+            refs = self.refs()
+            expr = refs.setdefault("constraints", {}).pop(name, None)
+            if expr is not None:
+                self._write_refs(refs)
+        return expr
+
     # ---------- consumer cursors (Kafka consumer-group offset parity) ----------
     def consumer_cursor(self, name: str) -> int | None:
         """Last snapshot the named downstream consumer has applied (None =

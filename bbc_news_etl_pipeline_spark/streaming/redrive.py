@@ -163,9 +163,14 @@ def _redrive_locked(
     if fix_fn is not None:
         events = fix_fn(events)
 
-    if not events.where(
-        M.valid_predicate() & M.unknown_column_clause(events)
-    ).head(1):
+    # re-validation runs against the CURRENT constraint set: dropping an
+    # over-tight CHECK constraint is itself the "fix" that re-drives the
+    # events it quarantined (no fix_fn needed)
+    ok = M.valid_predicate() & M.unknown_column_clause(events)
+    for _, c in M.constraint_clauses(events, lake.check_constraints()):
+        ok = ok & c
+
+    if not events.where(ok).head(1):
         # nothing became valid: committing would start an unbounded chain of
         # epochs re-quarantining the same events. Mark attempted instead;
         # these epochs re-enter pending only alongside a fix_fn.
@@ -191,8 +196,15 @@ def _redrive_locked(
     # are not derivable from the quarantine json after the fact). Written
     # before the fenced commit: a crash leaves an orphan the vacuum
     # reclaims; the re-run overwrites it.
+    # rebuild the validity clause against the CAST frame: the cast to `ver`
+    # may have dropped a column a constraint references (clause goes
+    # vacuous, consistent with apply_events' own evaluation — data in such
+    # a column implies an event version that keeps it)
+    ok = M.valid_predicate() & M.unknown_column_clause(events)
+    for _, c in M.constraint_clauses(events, lake.check_constraints()):
+        ok = ok & c
     (
-        events.where(M.valid_predicate() & M.unknown_column_clause(events))
+        events.where(ok)
         .select("repo", "path")
         .distinct()
         .write.mode("overwrite")

@@ -327,6 +327,21 @@ def apply_events(
     """
     t0 = time.perf_counter()
 
+    # ---- 0. table CHECK constraints (driver-side metadata read, one per
+    # epoch). They join BOTH validity evaluations below — planning flag and
+    # payload split — so counts/touched agree with what actually applies. A
+    # constraint whose expression references `content` would pull the wide
+    # column into the planning scan, so those force exact mode for the
+    # whole epoch (conservative: a textual match can only over-trigger, and
+    # exact mode is always correct).
+    constraints = lake.check_constraints()
+    if narrow_validity and any("content" in e for e in constraints.values()):
+        RUN_LOGGER.event(
+            "constraints_force_exact", job_id=f"epoch-{epoch}",
+            names=sorted(n for n, e in constraints.items() if "content" in e),
+        )
+        narrow_validity = False
+
     # ---- 1. stats probe over the epoch's narrow pass (slim_events). The
     # hot-repo filter runs BEFORE collect with a threshold derived from the
     # epoch's offset range (known upfront) — scale-safe: only repos above
@@ -335,7 +350,10 @@ def apply_events(
     # narrow parquet scan (winner reduce) is cheaper than materializing a
     # ~120 B/row cache — persist only in exact mode, where the scan decodes
     # the wide column and a re-scan would double that cost.
-    slim = M.slim_events(events, lake.n_buckets, narrow_validity=narrow_validity)
+    slim = M.slim_events(
+        events, lake.n_buckets, narrow_validity=narrow_validity,
+        constraints=constraints,
+    )
     if not narrow_validity:
         slim = slim.persist()
     hot_cut = max(1, int((seq_hi - seq_lo) * M.HOT_REPO_SHARE))
@@ -395,7 +413,7 @@ def apply_events(
         )
     else:
         _obs = None
-    valid, quarantine = M.split_valid_quarantine(events)
+    valid, quarantine = M.split_valid_quarantine(events, constraints)
     prev_manifest = lake.current_manifest()
     # a write-audit-publish run parks its data in the `e{N}s` staged
     # namespace so a maintenance commit consuming the same epoch number can

@@ -71,6 +71,14 @@ def main() -> None:
                         "compaction-moved head (metadata-only)")
     p.add_argument("--discard-staged", type=int, default=None,
                    help="drop a staged snapshot and its data files")
+    p.add_argument("--add-constraint", default=None, metavar="NAME=EXPR",
+                   help="declare a CHECK constraint (Delta ADD CONSTRAINT "
+                        "parity): ingest quarantines events whose EXPR "
+                        "evaluates FALSE (NULL passes, deletes exempt); "
+                        "refused if the existing live state violates it")
+    p.add_argument("--drop-constraint", default=None, metavar="NAME",
+                   help="remove a CHECK constraint; quarantined violators "
+                        "re-drive via jobs/redrive.py afterwards")
     p.add_argument("--compact", action="store_true")
     p.add_argument("--compact-concurrent", action="store_true",
                    help="optimistic compaction: the rewrite runs WITHOUT "
@@ -128,6 +136,17 @@ def main() -> None:
         out["tagged"] = {"name": args.tag, "epoch": lake.create_tag(args.tag, args.tag_at)}
     if args.drop_tag is not None:
         out["dropped_tag"] = {"name": args.drop_tag, "epoch": lake.drop_tag(args.drop_tag)}
+    if args.add_constraint is not None:
+        name, sep, expr = args.add_constraint.partition("=")
+        if not sep or not name or not expr:
+            raise SystemExit("--add-constraint needs NAME=EXPR")
+        lake.add_check_constraint(name, expr, spark=spark)
+        out["constraint_added"] = {"name": name, "expr": expr}
+    if args.drop_constraint is not None:
+        out["constraint_dropped"] = {
+            "name": args.drop_constraint,
+            "expr": lake.drop_check_constraint(args.drop_constraint),
+        }
     if args.rollback_to is not None:
         rb = lake.rollback(lake.resolve_ref(args.rollback_to))
         out["rolled_back"] = {

@@ -1,0 +1,223 @@
+"""Table CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT ... CHECK`
+parity, re-expressed for a CDC engine): declared predicates evaluate per
+ingested event; violators QUARANTINE through the DLQ tier instead of
+failing the batch (Delta fails the transaction — a poison message must not
+stall a 10^10-event stream). SQL-standard semantics: only FALSE violates,
+NULL passes, deletes are exempt. Declaration refuses when the existing
+live state already violates the rule (Delta parity). Recovery from an
+over-tight rule is drop + redrive — no fix_fn needed, because redrive
+re-validates against the CURRENT constraint set.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+from bbc_news_etl_pipeline_spark.streaming.redrive import redrive
+
+from .util import engine_digest, engine_live_pdf
+
+E = 1_500
+
+
+def _stream(tmp_path, n_epochs=3):
+    d = str(tmp_path / "log")
+    gen.build_stream(E, n_epochs, d)
+    return d
+
+
+def _lww_oracle(log_dir: str, extra_valid=None) -> pd.DataFrame:
+    """Pandas LWW over the staged segments: the independent ground truth.
+    `extra_valid(df) -> bool mask` models a constraint (applied to
+    non-delete events only)."""
+    import glob as _glob
+
+    parts = [
+        pd.read_parquet(p)
+        for p in sorted(_glob.glob(f"{log_dir}/segment-*.parquet"))
+    ]
+    ev = pd.concat(parts, ignore_index=True)
+    ok = (
+        ev["op"].isin(["insert", "update", "delete"])
+        & ev["repo"].notna()
+        & ev["path"].notna()
+        & ev["lsn"].notna()
+        & ((ev["op"] == "delete") | ev["content"].notna())
+    )
+    if extra_valid is not None:
+        ok &= (ev["op"] == "delete") | extra_valid(ev)
+    ev = ev[ok]
+    win = ev.sort_values("lsn").groupby(["repo", "path"], as_index=False).last()
+    return (
+        win[win["op"] != "delete"][["repo", "path", "lsn"]]
+        .sort_values(["repo", "path"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_violators_quarantine_and_batch_commits(spark, tmp_path):
+    """`size_bytes < 2000` splits the stream roughly in half: big payloads
+    quarantine with the constraint named, the rest applies, and the final
+    state equals the pandas LWW oracle with the same filter."""
+    log = _stream(tmp_path)
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, n_buckets=8)
+    lake.add_check_constraint("max_doc_size", "size_bytes < 2000", spark=spark)
+    res = R.replay(spark, log, root, n_buckets=8)
+    n_quar = sum(e.n_quarantined for e in res.epochs)
+    assert n_quar > 0
+
+    got = engine_live_pdf(spark, root)[["repo", "path", "lsn"]]
+    want = _lww_oracle(log, extra_valid=lambda ev: ev["size_bytes"] < 2000)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    assert (got.merge(want, how="outer", indicator=True)["_merge"] == "both").all()
+
+    # quarantine rows name the constraint; envelope defects keep their label
+    quar = spark.read.parquet(
+        *[lake.sidecar_dir("_quarantine", e.epoch) for e in res.epochs if e.n_quarantined]
+    )
+    labels = {r["error"] for r in quar.select("error").distinct().collect()}
+    assert "constraint max_doc_size violated" in labels
+    sized = quar.where(F.col("error") == "constraint max_doc_size violated").select(
+        F.get_json_object("event_json", "$.size_bytes").cast("long").alias("sb")
+    )
+    assert sized.where(F.col("sb") < 2000).count() == 0
+
+
+def test_null_passes_and_deletes_exempt(spark, tmp_path):
+    """v1/v2 eras carry no license column (vacuous), v3 NULL license passes,
+    and delete tombstones always pass: a license constraint on this stream
+    quarantines exactly the v3 upserts that carry the banned value."""
+    log = _stream(tmp_path)
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, n_buckets=8)
+    lake.add_check_constraint(
+        "no_gpl", "license <> 'gpl-3.0'", spark=spark
+    )
+    res = R.replay(spark, log, root, n_buckets=8)
+    got = engine_live_pdf(spark, root)[["repo", "path", "lsn"]]
+    want = _lww_oracle(
+        log,
+        extra_valid=lambda ev: ev.get("license").isna() | (ev["license"] != "gpl-3.0")
+        if "license" in ev.columns
+        else pd.Series(True, index=ev.index),
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    # some deletes exist in the stream and none were quarantined for the
+    # constraint (deletes are exempt even with license NULL)
+    quar_epochs = [e.epoch for e in res.epochs if e.n_quarantined]
+    if quar_epochs:
+        quar = spark.read.parquet(
+            *[lake.sidecar_dir("_quarantine", ep) for ep in quar_epochs]
+        ).where(F.col("error") == "constraint no_gpl violated")
+        dels = quar.select(
+            F.get_json_object("event_json", "$.op").alias("op")
+        ).where(F.col("op") == "delete")
+        assert dels.count() == 0
+
+
+def test_add_refuses_violating_state_bad_expr_and_retarget(spark, tmp_path):
+    log = _stream(tmp_path)
+    root = str(tmp_path / "lake")
+    R.replay(spark, log, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    # live state has py files -> declaration refuses (Delta parity)
+    with pytest.raises(ValueError, match="existing live state"):
+        lake.add_check_constraint("no_py", "lang <> 'py'", spark=spark)
+    # unknown column / parse error refuse up front
+    with pytest.raises(Exception, match="nosuchcol|UNRESOLVED"):
+        lake.add_check_constraint("bad", "nosuchcol > 1", spark=spark)
+    lake.add_check_constraint("nonneg", "size_bytes >= 0", spark=spark)
+    lake.add_check_constraint("nonneg", "size_bytes >= 0", spark=spark)  # idempotent
+    with pytest.raises(ValueError, match="drop it first"):
+        lake.add_check_constraint("nonneg", "size_bytes >= 1", spark=spark)
+    assert lake.check_constraints() == {"nonneg": "size_bytes >= 0"}
+    assert lake.drop_check_constraint("nonneg") == "size_bytes >= 0"
+    assert lake.drop_check_constraint("nonneg") is None  # idempotent
+    assert lake.check_constraints() == {}
+
+
+def test_drop_then_redrive_recovers_quarantined_events(spark, tmp_path):
+    """The over-tight-rule recovery path: constraint quarantines events,
+    dropping it + a fix-less redrive re-applies them, and the final state
+    is bit-identical to a constraint-free replay of the same log."""
+    log = _stream(tmp_path)
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, n_buckets=8)
+    lake.add_check_constraint("max_doc_size", "size_bytes < 2000", spark=spark)
+    res = R.replay(spark, log, root, n_buckets=8)
+    assert sum(e.n_quarantined for e in res.epochs) > 0
+
+    plain_root = str(tmp_path / "plain")
+    R.replay(spark, log, plain_root, n_buckets=8)
+    want = engine_digest(spark, plain_root)
+    assert engine_digest(spark, root) != want  # constraint visibly bit
+
+    # redrive WITH the constraint still active: violators stay violators
+    assert redrive(spark, lake) is None
+
+    lake.drop_check_constraint("max_doc_size")
+    # the no-valid attempt above parked the epochs as "attempted"; an
+    # identity fix_fn re-enters them (the documented escalation path)
+    rr = redrive(spark, lake, fix_fn=lambda df: df)
+    assert rr is not None and rr.n_events > 0
+    assert engine_digest(spark, root) == want
+
+
+def test_content_constraint_forces_exact_mode(spark, tmp_path):
+    """A constraint referencing `content` would break the content-free
+    narrow planning scan, so the epoch runs in exact mode (and still
+    enforces the rule)."""
+    log = _stream(tmp_path, n_epochs=1)
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, n_buckets=8)
+    lake.add_check_constraint(
+        "content_cap", "length(content) < 2000", spark=spark
+    )
+    res = R.replay(spark, log, root, n_buckets=8)
+    assert sum(e.n_quarantined for e in res.epochs) > 0
+    m = lake.current_manifest()
+    assert m["counts"]["validity_mode"] == "exact"
+    got = engine_live_pdf(spark, root)[["repo", "path", "lsn"]]
+    want = _lww_oracle(
+        log, extra_valid=lambda ev: ev["content"].str.len() < 2000
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+
+
+def test_constraint_on_future_column_is_vacuous_for_old_eras(spark, tmp_path):
+    """A v1-only stream has no license column at all: a license constraint
+    must not stall replay (missing column == NULL for every row of the
+    era, and NULL passes)."""
+    import glob as _glob
+
+    # build a v1-ONLY log: schema_version is monotone in lsn, so the first
+    # ~40% of a generated stream is the v1 era — keep exactly those events
+    ev = gen.generate_events(gen.StreamSpec(n_events=E, n_epochs=1))
+    ev = ev[ev["schema_version"] == 1].copy()
+    ev["arrival_seq"] = range(len(ev))
+    log = str(tmp_path / "log")
+    gen.write_event_log(ev, log)
+    seg = pd.read_parquet(sorted(_glob.glob(f"{log}/segment-*.parquet"))[0])
+    assert "license" not in seg.columns
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, n_buckets=8)
+    lake.add_check_constraint("no_gpl", "license <> 'gpl-3.0'", spark=spark)
+    res = R.replay(spark, log, root, n_buckets=8)
+    assert res.events_applied > 0
+    got = engine_live_pdf(spark, root)[["repo", "path", "lsn"]]
+    want = _lww_oracle(log)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
