@@ -176,6 +176,28 @@ def entry_may_contain(entry: dict, repo: str, path: str) -> bool:
     return True
 
 
+def parquet_row_counts(full_path: str) -> tuple[int | None, int | None]:
+    """Per-file (rows, tombstones) harvested at commit time — the Iceberg
+    manifest `record_count` analog, plus the tombstone count that makes a
+    LIVE count derivable from metadata alone. `rows` is free (footer);
+    `tombstones` costs one read of the boolean `is_deleted` column
+    (RLE/bit-packed — bytes per thousand rows, no payload pages). Returns
+    (None, None) when the footer is unreadable; readers treat missing
+    counts as unknown, never as zero."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.read_metadata(full_path)
+        cols = {md.schema.column(i).path for i in range(md.num_columns)}
+        if "is_deleted" not in cols:
+            return md.num_rows, None
+        col = pq.read_table(full_path, columns=["is_deleted"]).column("is_deleted")
+        return md.num_rows, int(pc.sum(col).as_py() or 0)
+    except Exception:
+        return None, None
+
+
 def entry_overlaps_bounds(entry: dict, col: str, lo: str, hi: str) -> bool:
     """Conservative file-skip test for a range predicate ``col BETWEEN lo
     AND hi``: False ONLY when the entry's footer bounds prove no row of the
@@ -2926,6 +2948,12 @@ class LakeTable:
                     st = e.get("stats") or {}
                     r = st.get("repo") or [None, None]
                     p = st.get("path") or [None, None]
+                    # manifest-harvested counts when present (commit-time,
+                    # zero IO here); legacy entries fall back to one footer
+                    # read
+                    nrows = e.get("rows")
+                    if nrows is None:
+                        nrows = parquet_num_rows(fp)
                     frows.append(
                         (
                             int(b),
@@ -2933,7 +2961,8 @@ class LakeTable:
                             int(e.get("layer", i)),
                             e.get("schema_version"),
                             nbytes,
-                            parquet_num_rows(fp),
+                            nrows,
+                            e.get("tombstones"),
                             r[0],
                             r[1],
                             p[0],
@@ -2946,6 +2975,7 @@ class LakeTable:
                     frows,
                     "bucket int, file_path string, generation int, "
                     "schema_version int, file_bytes long, record_count long, "
+                    "tombstone_count long, "
                     "repo_lo string, repo_hi string, path_lo string, "
                     "path_hi string",
                 ).createOrReplaceTempView(name)
@@ -2960,6 +2990,32 @@ class LakeTable:
                 ).createOrReplaceTempView(pname)
                 views.append(pname)
         return views
+
+    def count_live(self, epoch: int | str | None = None) -> int | None:
+        """Metadata-only live row count (Iceberg `record_count` parity):
+        sum of per-file (rows - tombstones) straight from the manifest —
+        no Spark job, no file reads, O(head files) driver time at any
+        table size. Only sound on a NON-layered snapshot (one row per key:
+        live = rows minus tombstones); a layered head returns None — the
+        winner reduce is the price of knowing, exactly like reads — as
+        does any snapshot with entries predating count harvesting. 0 for
+        an empty lake."""
+        m = (
+            self.manifest(self.resolve_ref(epoch))
+            if epoch is not None
+            else self.current_manifest()
+        )
+        if m is None:
+            return 0
+        if m.get("layered"):
+            return None
+        total = 0
+        for entries in m["buckets"].values():
+            for e in entries:
+                if e.get("rows") is None or e.get("tombstones") is None:
+                    return None
+                total += e["rows"] - e["tombstones"]
+        return total
 
     def report(self) -> dict:
         """Operational health report, driver-side metadata only (manifests
@@ -3018,6 +3074,16 @@ class LakeTable:
                         / max(len(files), 1),
                         3,
                     ),
+                    # metadata-only row picture: total rows across head
+                    # files (MOR: includes superseded layer copies) and the
+                    # live count when derivable (non-layered head)
+                    "rows": (
+                        sum(e["rows"] for e in files)
+                        if all(e.get("rows") is not None for e in files)
+                        else None
+                    ),
+                    "live_rows": self.count_live(),
+                    "constraints": self.check_constraints(),
                 }
             )
         return out
@@ -3073,5 +3139,10 @@ class LakeTable:
                 stats = parquet_key_stats(fp, stats_columns)
                 if stats:
                     entry["stats"] = stats
+                rows, tombs = parquet_row_counts(fp)
+                if rows is not None:
+                    entry["rows"] = rows
+                if tombs is not None:
+                    entry["tombstones"] = tombs
                 out.setdefault(b, []).append(entry)
         return out

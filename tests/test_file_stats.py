@@ -184,3 +184,43 @@ def test_parquet_bloom_filter_written_on_path_column(spark, lake_root):
         assert offsets.get("content", -1) == -1, offsets
     finally:
         reader.close()
+
+
+def test_manifest_record_counts_and_metadata_live_count(
+    spark, tmp_path_factory
+):
+    """Iceberg `record_count` parity: every fresh manifest entry carries
+    (rows, tombstones) and `count_live()` — pure manifest arithmetic, no
+    Spark job — equals the engine's actual live count on any non-layered
+    snapshot (including time travel), returns None on a layered head, and
+    becomes exact again after compaction."""
+    stream = str(tmp_path_factory.mktemp("rc_stream"))
+    gen.build_stream(3_000, 2, stream)
+
+    root = str(tmp_path_factory.mktemp("rc_lake") / "lake")
+    R.replay(spark, stream, root, n_buckets=8)
+    lake = LakeTable(root, n_buckets=8)
+    m = lake.current_manifest()
+    entries = [e for v in m["buckets"].values() for e in v]
+    assert all(e.get("rows") is not None for e in entries)
+    assert all(e.get("tombstones") is not None for e in entries)
+    assert sum(e["rows"] for e in entries) >= sum(
+        e["tombstones"] for e in entries
+    ) > 0  # the stream deletes some keys
+    assert lake.count_live() == lake.read_state(spark).count()
+    # time travel: the epoch-0 snapshot counts its own live rows
+    assert lake.count_live(epoch=0) == lake.read_state(spark, epoch=0).count()
+    rep = lake.report()
+    assert rep["live_rows"] == lake.count_live()
+    assert rep["rows"] == sum(e["rows"] for e in entries)
+
+    # layered MOR head: superseded layer copies make rows-minus-tombstones
+    # unsound, so the metadata count declines to answer
+    mroot = str(tmp_path_factory.mktemp("rc_mor") / "lake")
+    R.replay(spark, stream, mroot, n_buckets=8, mode="mor")
+    mlake = LakeTable(mroot, n_buckets=8)
+    assert mlake.current_manifest().get("layered")
+    assert mlake.count_live() is None
+    mlake.compact(spark)
+    assert mlake.count_live() == mlake.read_state(spark).count()
+    assert mlake.count_live() == lake.count_live()  # same log, same state
