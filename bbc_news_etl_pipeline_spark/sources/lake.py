@@ -2044,6 +2044,7 @@ class LakeTable:
         tombstone_horizon_lsn: int | None = None,
         cluster_by: tuple[str, ...] | None = None,
         cluster_method: str = "zorder",
+        cluster_scope: str = "full",
     ) -> dict | None:
         """Collapse a layered (merge-on-read) table back to one row per key
         — the Iceberg `rewrite_data_files` analog. Commits as a new epoch
@@ -2081,7 +2082,21 @@ class LakeTable:
         ``read_state(bounds=...)`` range scan skips whole files. The trade:
         within-file (repo, path) runs are no longer globally sorted, so
         point-lookup key bounds get wider (still correct — `read_key` prunes
-        on harvested stats, never on an assumed sort)."""
+        on harvested stats, never on an assumed sort).
+
+        ``cluster_scope='stale'`` makes the clustering rewrite INCREMENTAL
+        (the Iceberg `rewrite_data_files` filtered-rewrite analog): only
+        buckets that are layered OR hold files not yet clustered by exactly
+        this `cluster_by` (entries carry a `clustered` tag at rewrite time)
+        are rewritten; already-clustered buckets carry forward untouched.
+        This is what makes clustering a sustainable MAINTENANCE policy at
+        100 TB — after an ingest window touching 1% of buckets, re-cluster
+        pays 1% of the table, not all of it. Returns None when nothing is
+        stale (idempotent). 'full' (default) keeps the rewrite-everything
+        semantics — the right first-clustering pass, and the only scope
+        that re-BINS the z-order when the data distribution drifted."""
+        if cluster_scope not in ("full", "stale"):
+            raise ValueError(f"cluster_scope must be full|stale: {cluster_scope!r}")
         m = self.current_manifest()
         if m is None or (not m.get("layered") and cluster_by is None):
             return None
@@ -2096,6 +2111,7 @@ class LakeTable:
             return self._compact_locked(
                 spark, m, tombstone_horizon_lsn,
                 cluster_by=cluster_by, cluster_method=cluster_method,
+                cluster_scope=cluster_scope,
             )
         finally:
             self.release_writer_lease(lease)
@@ -2133,22 +2149,36 @@ class LakeTable:
         tombstone_horizon_lsn: int | None,
         cluster_by: tuple[str, ...] | None = None,
         cluster_method: str = "zorder",
-    ) -> dict:
+        cluster_scope: str = "full",
+    ) -> dict | None:
         ver = m["schema_version"]
         epoch = m["epoch"] + 1
-        # tombstone GC and clustering must visit single-generation buckets
-        # too; plain compaction rewrites ONLY multi-GENERATION buckets (a
-        # COW generation spanning several files is already one row per key
-        # and carries forward untouched)
-        target = (
-            None
-            if tombstone_horizon_lsn is not None or cluster_by is not None
-            else sorted(
+        # tombstone GC and full clustering must visit single-generation
+        # buckets too; plain compaction rewrites ONLY multi-GENERATION
+        # buckets (a COW generation spanning several files is already one
+        # row per key and carries forward untouched); stale-scope
+        # clustering rewrites layered buckets plus those holding files not
+        # yet tagged as clustered by exactly this cluster_by
+        if tombstone_horizon_lsn is not None or (
+            cluster_by is not None and cluster_scope == "full"
+        ):
+            target = None
+        elif cluster_by is not None:
+            want = list(cluster_by)
+            target = sorted(
+                int(b)
+                for b, e in m["buckets"].items()
+                if bucket_generations(e) > 1
+                or any(x.get("clustered") != want for x in e)
+            )
+            if not target:
+                return None  # nothing stale: idempotent no-op, no commit
+        else:
+            target = sorted(
                 int(b)
                 for b, e in m["buckets"].items()
                 if bucket_generations(e) > 1
             )
-        )
         buckets: dict[str, list[dict]] = {}
         if target is not None:
             tset = set(target)
@@ -2185,6 +2215,7 @@ class LakeTable:
                         "cluster_method": (
                             "linear" if len(cluster_by) == 1 else cluster_method
                         ),
+                        "cluster_scope": cluster_scope,
                     }
                     if cluster_by
                     else {}
@@ -2249,6 +2280,11 @@ class LakeTable:
             for e in entries:
                 e["schema_version"] = ver
                 e["layer"] = 0  # compacted = one fresh generation
+                if cluster_by:
+                    # the stale-scope marker: which cluster key this file
+                    # was written under (all-NULL files get it too — they
+                    # are clustered, they just have no bounds to harvest)
+                    e["clustered"] = list(cluster_by)
             out[str(b)] = entries
         return out
 

@@ -55,6 +55,8 @@ SKIP = {
     "cdc_scd2_incremental",
     "cdc_state_at_lsn",
     "cdc_multilog_state",
+    "cdc_clustered_bounds_state",
+    "cdc_constraint_state",
 }
 
 

@@ -95,6 +95,12 @@ def main() -> None:
                    choices=("zorder", "linear"),
                    help="2-3 cluster columns: interleaved z-order (default) "
                         "or lexicographic")
+    p.add_argument("--cluster-scope", default="full",
+                   choices=("full", "stale"),
+                   help="with --cluster-by: 'full' rewrites every bucket "
+                        "(first clustering / re-bin after drift); 'stale' "
+                        "rewrites only layered or not-yet-clustered buckets "
+                        "(the incremental maintenance pass)")
     p.add_argument("--compact-log", action="store_true",
                    help="log retention (Kafka compacted-topic analog): "
                         "collapse segments fully consumed by the oldest "
@@ -172,6 +178,7 @@ def main() -> None:
                 else None
             ),
             cluster_method=args.cluster_method,
+            cluster_scope=args.cluster_scope,
         )
         out["compacted"] = cm["epoch"] if cm else None
     if args.compact_concurrent:

@@ -249,3 +249,67 @@ def test_entry_overlaps_bounds_is_conservative():
     assert entry_overlaps_bounds(e, "lang", "a", "zz")  # spanning
     assert entry_overlaps_bounds(e, "repo", "a", "b")  # no bounds for col
     assert entry_overlaps_bounds({}, "lang", "a", "b")  # stats-less
+
+
+def test_stale_scope_recluster_rewrites_only_stale_buckets(
+    spark, stream_dir, clustered_root, tmp_path
+):
+    """Incremental clustering maintenance: after an ingest window touches a
+    bucket subset, `cluster_scope='stale'` rewrites ONLY the layered /
+    not-yet-clustered buckets (carried buckets keep their exact file
+    paths), restores full clustered coverage, keeps the digest invariant,
+    and a second stale pass is an idempotent no-op (None, no commit)."""
+    import shutil
+
+    from bbc_news_etl_pipeline_spark.operators.dml import synthesize_dml_segment
+
+    root = str(tmp_path / "lake")
+    shutil.copytree(clustered_root, root)
+    lake = LakeTable(root, n_buckets=8, target_file_rows=60)
+    key = ("lang", "repo")
+
+    # fully clustered, nothing layered -> stale scope has nothing to do
+    assert lake.compact(spark, cluster_by=key, cluster_scope="stale") is None
+    head_before = lake.current_manifest()["epoch"]
+    assert lake.current_manifest()["epoch"] == head_before  # no commit
+
+    # one DML epoch touching a single key -> exactly its bucket goes stale
+    log2 = str(tmp_path / "log2")
+    shutil.copytree(stream_dir, log2)
+    victim = (
+        lake.read_state(spark).orderBy("repo", "path").select("repo", "path").first()
+    )
+    res = synthesize_dml_segment(
+        spark,
+        lake,
+        log2,
+        where=f"repo = '{victim['repo']}' AND path = '{victim['path']}'",
+        set_exprs={"lang": "'zz_stale'"},
+    )
+    assert res["matched"] == 1
+    R.replay(spark, log2, root, n_buckets=8, mode="mor")
+    m_layered = lake.current_manifest()
+    stale = {
+        b
+        for b, entries in m_layered["buckets"].items()
+        if any(e.get("clustered") != list(key) for e in entries)
+    }
+    assert 1 <= len(stale) < len(m_layered["buckets"])
+    before = engine_digest(spark, root)
+
+    m2 = lake.compact(spark, cluster_by=key, cluster_scope="stale")
+    assert m2 is not None and not m2.get("layered")
+    assert m2["counts"]["cluster_scope"] == "stale"
+    assert m2["counts"]["buckets_rewritten"] == len(stale)
+    for b, entries in m2["buckets"].items():
+        if b in stale:
+            assert all(f"e{m2['epoch']:06d}" in e["path"] for e in entries), b
+        else:  # carried forward untouched: identical manifest entries
+            assert entries == m_layered["buckets"][b], b
+        assert all(e.get("clustered") == list(key) for e in entries)
+    assert engine_digest(spark, root) == before
+    # the re-langed key is findable through a bounds read again
+    got = lake.read_state(spark, bounds={"lang": ("zz_stale", "zz_stale")}).collect()
+    assert [(r["repo"], r["path"]) for r in got] == [(victim["repo"], victim["path"])]
+    # idempotent: everything clustered again
+    assert lake.compact(spark, cluster_by=key, cluster_scope="stale") is None
