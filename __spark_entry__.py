@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_log_compacted_state"] = _cdc_log_compacted_state
     q["cdc_clustered_bounds_state"] = _cdc_clustered_bounds_state
     q["cdc_constraint_state"] = _cdc_constraint_state
+    q["cdc_clone_state"] = _cdc_clone_state
 
     # ---- streaming-analytics plan (same code the watermarked stream runs) ----
     q["cdc_windowed_counts"] = _cdc_windowed_counts
@@ -461,6 +462,48 @@ def _cdc_sync_replica_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         LakeTable(dst_root, n_buckets=8)
         .read_state(spark)
+        .select("repo", "path", "lsn", "content_sha256")
+    )
+
+
+def _cdc_clone_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone end to end (Delta SHALLOW CLONE parity,
+    sources/lake.py shallow_clone/materialize): full MOR replay into a
+    source, ZERO-COPY clone of the head (metadata-only — every manifest
+    entry resolves into the source's tree through an explicit root
+    marker), then the source advances past the clone (a DML epoch
+    re-stamps lsns) and the clone MATERIALIZES (incremental localize
+    rewrite) before reading. The clone's live state must equal the
+    full-log LWW oracle: snapshot isolation (the source's later DML is
+    invisible to the clone) AND value-invisible localization, verified in
+    one pass. The log is copied into the work dir first — the source-side
+    DML appends a segment, which must never touch the shared oracle
+    cache."""
+    import shutil
+    import tempfile
+
+    from bbc_news_etl_pipeline_spark.operators.dml import synthesize_dml_segment
+    from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+    from bbc_news_etl_pipeline_spark.streaming.replay import replay
+
+    work = tempfile.mkdtemp(prefix="cdc_clone_")
+    log_dir = os.path.join(work, "log")
+    shutil.copytree(_ensure_cdc_oracle_log(), log_dir)
+    src_root = os.path.join(work, "src")
+    replay(spark, log_dir, src_root, n_buckets=8, mode="mor")
+    src = LakeTable(src_root, n_buckets=8)
+    clone_root = os.path.join(work, "clone")
+    src.shallow_clone(clone_root, name="contract")
+    # advance the SOURCE past the clone point: invisible to the clone
+    synthesize_dml_segment(
+        spark, src, log_dir, where="lang = 'md'", set_exprs={"lang": "'txt'"}
+    )
+    replay(spark, log_dir, src_root, n_buckets=8, mode="mor")
+    clone = LakeTable(clone_root, n_buckets=8)
+    m = clone.materialize(spark)
+    assert m is not None and clone.external_file_count() == 0
+    return (
+        clone.read_state(spark)
         .select("repo", "path", "lsn", "content_sha256")
     )
 
@@ -1673,6 +1716,9 @@ def oracle_sql() -> dict[str, str]:
     # merged replay must equal the straight full-log LWW oracle.
     o["cdc_multilog_state"] = o["cdc_replay_state"]
     o["cdc_sync_replica_state"] = o["cdc_replay_state"]
+    # shallow clone: snapshot isolation + value-invisible materialization
+    # mean the clone's state IS the full-log LWW state at clone time
+    o["cdc_clone_state"] = o["cdc_replay_state"]
     # CHECK constraint at ingest: the oracle applies the identical
     # SQL-standard rule (FALSE violates, NULL passes, deletes exempt) to
     # the events BEFORE ranking — a quarantined update leaves the key's

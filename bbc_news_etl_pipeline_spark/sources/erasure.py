@@ -76,6 +76,18 @@ def _blockers(lake: LakeTable) -> list[str]:
             f"consumer cursors pin pre-erasure snapshots: {sorted(consumers)} "
             "(let them drain + advance, or drop_consumer first)"
         )
+    # a shallow clone's inherited entries live in the SOURCE table's tree:
+    # this lake's DML/compact/expire/vacuum can rewrite its own references
+    # but never scrub the source's bytes — erasure here would be cosmetic
+    ext = sum(
+        lake.external_file_count(lake.manifest(ep))
+        for ep in lake.committed_epochs()
+    )
+    if ext:
+        out.append(
+            f"{ext} manifest entries reference a clone SOURCE's files "
+            "(materialize() first, then erase the source table separately)"
+        )
     return out
 
 

@@ -74,6 +74,16 @@ def bucket_generations(entries: list[dict]) -> int:
     return len(entries)
 
 
+def entry_abspath(root: str, entry: dict) -> str:
+    """Absolute filesystem path of a manifest file entry. Entries this
+    table wrote are root-relative; entries inherited through
+    `shallow_clone` carry an explicit ``root`` marker pointing into the
+    SOURCE table's tree. Readers resolve through the marker; local
+    maintenance (expire/vacuum) skips marked entries entirely, so a clone
+    can never delete its source's files."""
+    return os.path.join(entry.get("root", root), entry["path"])
+
+
 def parquet_key_stats(
     full_path: str, columns: tuple[str, ...] = ("repo", "path")
 ) -> dict | None:
@@ -627,6 +637,158 @@ class LakeTable:
             if epoch is not None:
                 self._write_refs(refs)
         return epoch
+
+    # ---------- shallow clone (Delta CREATE TABLE ... SHALLOW CLONE parity) ----------
+    #
+    # A shallow clone is a NEW table whose first snapshot is a copy of one
+    # of this table's manifests, with every file entry marked with an
+    # explicit ``root`` pointing back into this table's tree — pure
+    # metadata, zero data movement, so a dev/test copy of a 100 TB table
+    # costs one JSON write. The clone is a full citizen: replay/tail/DML/
+    # compaction/WAP/branches all run on it unchanged, and any local write
+    # (new epochs, compaction) produces ordinary local files, so the clone
+    # diverges copy-on-write. Two guarantees Delta leaves to the operator
+    # are structural here: (1) the source pins the cloned snapshot with a
+    # `clone:<name>` tag, so source-side expire/vacuum can NEVER reclaim
+    # files the clone still reads (Delta documents the breakage instead);
+    # (2) clone-side expire/vacuum skip marked entries entirely, so clone
+    # maintenance can never delete source files. `materialize()` localizes
+    # incrementally (only still-external buckets rewrite); once localized,
+    # `release_clone` on the source lifts the pin. The reference's analog
+    # is the per-date backup collection it copies scraped batches into
+    # (/root/reference/src/entity/config_entity.py:46) — a clone is the
+    # set-at-a-time version: an isolated, writable copy of a snapshot.
+
+    def shallow_clone(
+        self,
+        target_root: str,
+        epoch: int | str | None = None,
+        name: str | None = None,
+    ) -> dict:
+        """Create a zero-copy clone of snapshot `epoch` (int, tag name, or
+        None = head) at `target_root` (must not already be a lake). Returns
+        the clone's first manifest. The source snapshot is pinned with a
+        `clone:<name>` tag (name defaults to the target's basename) and the
+        pin target is recorded in the refs file so `release_clone` can
+        check localization before lifting it."""
+        if self.branch is not None:
+            raise ValueError(
+                "clone from the MAIN table (fast_forward the branch first)"
+            )
+        m = self.current_manifest() if epoch is None else self.manifest(
+            self.resolve_ref(epoch)
+        )
+        if m is None:
+            raise ValueError("cannot clone an empty lake")
+        src_root = os.path.abspath(self.root)
+        tgt_root = os.path.abspath(target_root)
+        if tgt_root == src_root:
+            raise ValueError("clone target is the source table itself")
+        if glob.glob(os.path.join(tgt_root, "_manifests", "manifest-*.json")):
+            raise ValueError(f"clone target is already a lake: {target_root}")
+        name = name or os.path.basename(tgt_root.rstrip("/")) or "clone"
+        _validate_ref_name(name)
+        manifest = json.loads(json.dumps(m))  # deep copy — never alias source
+        for entries in manifest["buckets"].values():
+            for e in entries:
+                # clone-of-clone keeps the ORIGINAL root: chains stay flat,
+                # every external entry resolves in one hop
+                e.setdefault("root", src_root)
+        manifest["cloned_from"] = {"root": src_root, "epoch": m["epoch"]}
+        # pin BEFORE the target commit: between tag and commit a crash
+        # leaves only a droppable tag, never an unpinned clone
+        self.create_tag(f"clone:{name}", m["epoch"])
+        with self._refs_lock():
+            refs = self.refs()
+            refs.setdefault("clones", {})[name] = {
+                "epoch": m["epoch"],
+                "target": tgt_root,
+            }
+            self._write_refs(refs)
+        target = LakeTable(tgt_root, n_buckets=int(manifest["n_buckets"]))
+        if not target.commit(manifest):
+            raise ValueError(
+                f"clone target already holds epoch {manifest['epoch']}"
+            )
+        # Delta clones carry table properties: CHECK constraints transfer so
+        # ingest on the clone enforces the same rules from the first epoch
+        src_constraints = self.refs().get("constraints", {})
+        if src_constraints:
+            with target._refs_lock():
+                trefs = target.refs()
+                trefs["constraints"] = dict(src_constraints)
+                target._write_refs(trefs)
+        return manifest
+
+    def external_file_count(self, manifest: dict | None = None) -> int:
+        """Clone-inherited entries still resolving into a source table's
+        tree (0 on an ordinary table, or once a clone is fully
+        materialized) — the localization progress gauge."""
+        m = manifest if manifest is not None else self.current_manifest()
+        if m is None:
+            return 0
+        return sum(
+            1 for entries in m["buckets"].values() for e in entries
+            if "root" in e
+        )
+
+    def materialize(
+        self,
+        spark: SparkSession,
+        cluster_by: tuple[str, ...] | None = None,
+        cluster_method: str = "zorder",
+    ) -> dict | None:
+        """Localize a shallow clone INCREMENTALLY: rewrite only buckets
+        still holding clone-inherited (external) entries — resolved through
+        the ordinary MOR read, written as local generation-0 files — and
+        carry every already-local bucket forward untouched. None when
+        nothing is external (idempotent). After this returns, the clone
+        reads no source files and `release_clone` on the source succeeds.
+        ``cluster_by`` optionally z-orders the rewritten buckets in the
+        same pass (one rewrite instead of materialize-then-cluster)."""
+        m = self.current_manifest()
+        if m is None or self.external_file_count(m) == 0:
+            return None
+        lease = self.acquire_writer_lease("materialize")
+        try:
+            m = self.current_manifest()  # re-read under the lease
+            return self._compact_locked(
+                spark, m, None,
+                cluster_by=cluster_by, cluster_method=cluster_method,
+                localize=True,
+            )
+        finally:
+            self.release_writer_lease(lease)
+
+    def release_clone(self, name: str, force: bool = False) -> dict:
+        """Lift a clone's pin on this SOURCE table (the cloned snapshot
+        becomes expirable again). Refuses while the clone's retained
+        manifests still reference this table's files — expiring those would
+        break the clone's reads mid-flight (`materialize()` it first) —
+        unless ``force=True`` or the clone's tree no longer exists."""
+        rec = self.refs().get("clones", {}).get(name)
+        if rec is None and self.refs()["tags"].get(f"clone:{name}") is None:
+            raise ValueError(f"unknown clone {name!r}")
+        still_external = 0
+        if rec and os.path.isdir(os.path.join(rec["target"], "_manifests")):
+            t = LakeTable(rec["target"])
+            for ep in t.committed_epochs():
+                for entries in t.manifest(ep)["buckets"].values():
+                    still_external += sum(
+                        1 for e in entries if e.get("root") == os.path.abspath(self.root)
+                    )
+            if still_external and not force:
+                raise ValueError(
+                    f"clone {name!r} still reads {still_external} files from "
+                    f"this table (materialize + expire_snapshots on "
+                    f"{rec['target']}, or force=True)"
+                )
+        self.drop_tag(f"clone:{name}")
+        with self._refs_lock():
+            refs = self.refs()
+            refs.get("clones", {}).pop(name, None)
+            self._write_refs(refs)
+        return {"released": name, "external_refs_forced_past": still_external}
 
     # ---------- CHECK constraints (Delta ADD CONSTRAINT ... CHECK parity) ----------
     def check_constraints(self) -> dict[str, str]:
@@ -1621,9 +1783,13 @@ class LakeTable:
             if not drop:
                 return {"manifests_dropped": 0, "files_deleted": 0}
             referenced = set()
+            # clone-inherited entries (explicit "root" marker) are the
+            # SOURCE table's files: never candidates for local deletion,
+            # and never needed to protect local ones (epoch-dir numbering
+            # is disjoint by construction)
             for ep in keep:
                 for entries in self.manifest(ep)["buckets"].values():
-                    referenced.update(e["path"] for e in entries)
+                    referenced.update(e["path"] for e in entries if "root" not in e)
             # other chains (main/branches, incl. their staged snapshots)
             # pin their files exactly like tags pin manifests: a branch
             # base references main files, and a promoted branch's files
@@ -1632,7 +1798,7 @@ class LakeTable:
             candidates = set()
             for ep in drop:
                 for entries in self.manifest(ep)["buckets"].values():
-                    candidates.update(e["path"] for e in entries)
+                    candidates.update(e["path"] for e in entries if "root" not in e)
             for ep in drop:
                 os.unlink(
                     os.path.join(self.manifests_dir, f"manifest-{ep:06d}.json")
@@ -1754,7 +1920,9 @@ class LakeTable:
         committed = set(self.committed_epochs()) | set(self.staged_epochs())
         for ep in committed:
             for entries in self.manifest(ep)["buckets"].values():
-                referenced.update(e["path"] for e in entries)
+                # clone-inherited entries are not local files (see
+                # expire_snapshots) — nothing here resolves under this root
+                referenced.update(e["path"] for e in entries if "root" not in e)
         # branch/main cross-references pin files exactly like staged ones
         referenced |= self._referenced_paths_other_chains()
         cutoff = _time.time() - grace_seconds
@@ -1902,7 +2070,7 @@ class LakeTable:
         by_grp: dict[tuple[int, int], list[str]] = {}
         for layer, e in entries:
             k = (e["schema_version"], layer if with_layer else 0)
-            by_grp.setdefault(k, []).append(os.path.join(self.root, e["path"]))
+            by_grp.setdefault(k, []).append(entry_abspath(self.root, e))
         parts = []
         for (ver, layer), files in sorted(by_grp.items()):
             df = spark.read.schema(reg.lake_schema(ver)).parquet(*files)
@@ -2150,6 +2318,7 @@ class LakeTable:
         cluster_by: tuple[str, ...] | None = None,
         cluster_method: str = "zorder",
         cluster_scope: str = "full",
+        localize: bool = False,
     ) -> dict | None:
         ver = m["schema_version"]
         epoch = m["epoch"] + 1
@@ -2158,8 +2327,18 @@ class LakeTable:
         # buckets (a COW generation spanning several files is already one
         # row per key and carries forward untouched); stale-scope
         # clustering rewrites layered buckets plus those holding files not
-        # yet tagged as clustered by exactly this cluster_by
-        if tombstone_horizon_lsn is not None or (
+        # yet tagged as clustered by exactly this cluster_by; localize
+        # (clone materialization) rewrites buckets still holding
+        # clone-inherited external entries
+        if localize:
+            target = sorted(
+                int(b)
+                for b, e in m["buckets"].items()
+                if any("root" in x for x in e)
+            )
+            if not target:
+                return None  # fully local already: idempotent no-op
+        elif tombstone_horizon_lsn is not None or (
             cluster_by is not None and cluster_scope == "full"
         ):
             target = None
@@ -2220,6 +2399,7 @@ class LakeTable:
                     if cluster_by
                     else {}
                 ),
+                **({"localized": True} if localize else {}),
             },
             "buckets": buckets,
         }
@@ -2976,7 +3156,7 @@ class LakeTable:
                 head["buckets"].items(), key=lambda kv: int(kv[0])
             ):
                 for i, e in enumerate(fentries):
-                    fp = os.path.join(self.root, e["path"])
+                    fp = entry_abspath(self.root, e)
                     try:
                         nbytes = os.path.getsize(fp)
                     except OSError:
@@ -3093,12 +3273,13 @@ class LakeTable:
             nbytes = 0
             for e in files:
                 try:
-                    nbytes += os.path.getsize(os.path.join(self.root, e["path"]))
+                    nbytes += os.path.getsize(entry_abspath(self.root, e))
                 except OSError:
                     pass
             out.update(
                 {
                     "files": len(files),
+                    "external_files": self.external_file_count(head),
                     "total_bytes": nbytes,
                     "max_generations": max(gens_per_bucket, default=0),
                     "mean_generations": round(

@@ -57,6 +57,7 @@ SKIP = {
     "cdc_multilog_state",
     "cdc_clustered_bounds_state",
     "cdc_constraint_state",
+    "cdc_clone_state",
 }
 
 

@@ -79,6 +79,26 @@ def main() -> None:
     p.add_argument("--drop-constraint", default=None, metavar="NAME",
                    help="remove a CHECK constraint; quarantined violators "
                         "re-drive via jobs/redrive.py afterwards")
+    p.add_argument("--clone-to", default=None, metavar="PATH",
+                   help="shallow-clone a snapshot to PATH (Delta SHALLOW "
+                        "CLONE parity): metadata-only, zero data copy; the "
+                        "source pins the cloned snapshot until "
+                        "--release-clone")
+    p.add_argument("--clone-at", default=None, metavar="E|TAG",
+                   help="snapshot --clone-to copies (default: head)")
+    p.add_argument("--clone-name", default=None,
+                   help="pin name for the clone (default: target basename)")
+    p.add_argument("--materialize", action="store_true",
+                   help="localize a shallow clone: rewrite only buckets "
+                        "still reading the source's files (incremental; "
+                        "no-op when fully local)")
+    p.add_argument("--release-clone", default=None, metavar="NAME",
+                   help="lift a clone's pin on this source table; refused "
+                        "while the clone still reads this table's files")
+    p.add_argument("--force-release", action="store_true",
+                   help="with --release-clone: lift the pin even if the "
+                        "clone still reads this table's files (its reads "
+                        "break once expire/vacuum reclaim them)")
     p.add_argument("--compact", action="store_true")
     p.add_argument("--compact-concurrent", action="store_true",
                    help="optimistic compaction: the rewrite runs WITHOUT "
@@ -167,6 +187,29 @@ def main() -> None:
         out["published"] = lake.cherrypick_staged(args.cherrypick_staged)
     if args.discard_staged is not None:
         out["discarded"] = lake.discard_staged(args.discard_staged)
+    if args.clone_to is not None:
+        cm = lake.shallow_clone(
+            args.clone_to, epoch=args.clone_at, name=args.clone_name
+        )
+        out["cloned"] = {
+            "target": args.clone_to,
+            "epoch": cm["epoch"],
+            "files": sum(len(v) for v in cm["buckets"].values()),
+        }
+    if args.materialize:
+        cm = lake.materialize(spark)
+        out["materialized"] = (
+            {
+                "epoch": cm["epoch"],
+                "buckets_rewritten": cm["counts"]["buckets_rewritten"],
+            }
+            if cm
+            else None
+        )
+    if args.release_clone is not None:
+        out["released_clone"] = lake.release_clone(
+            args.release_clone, force=args.force_release
+        )
     if args.compact:
         cm = lake.compact(
             spark,

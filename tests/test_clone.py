@@ -1,0 +1,217 @@
+"""Shallow clone (Delta `CREATE TABLE ... SHALLOW CLONE` parity): a new
+table whose first snapshot references the source's files through explicit
+per-entry `root` markers — zero data movement at clone time, copy-on-write
+divergence afterwards. Invariants pinned here:
+
+- clone is METADATA-ONLY (no data files under the target) yet reads equal
+  the source snapshot bit-for-bit;
+- writes to the clone never touch the source (and vice versa);
+- the source pins the cloned snapshot (`clone:<name>` tag) so source-side
+  expire/vacuum cannot break the clone; `release_clone` refuses while the
+  clone still reads source files, and succeeds after `materialize()`;
+- `materialize()` localizes INCREMENTALLY (only still-external buckets
+  rewrite) and is digest-invariant + idempotent;
+- erasure refuses on both sides while a clone relationship exists (the
+  clone cannot scrub source bytes; the source is pinned).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest
+
+E = 4_000
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    """(stream_dir, source_root): a 3-epoch MOR replay (layered head)."""
+    d = tmp_path_factory.mktemp("clone_src")
+    stream = str(d / "stream")
+    root = str(d / "lake")
+    gen.build_stream(E, 3, stream)
+    R.replay(spark, stream, root, n_buckets=8, mode="mor")
+    return stream, root
+
+
+def _fresh_copy(built, tmp_path):
+    stream, root = built
+    s2, r2 = str(tmp_path / "stream"), str(tmp_path / "lake")
+    shutil.copytree(stream, s2)
+    shutil.copytree(root, r2)
+    return s2, r2
+
+
+def _data_files(root: str) -> list[str]:
+    return sorted(
+        glob.glob(os.path.join(root, "data", "**", "*.parquet"), recursive=True)
+    )
+
+
+def test_shallow_clone_is_metadata_only_and_reads_equal(spark, built, tmp_path):
+    _, src_root = _fresh_copy(built, tmp_path)
+    src = LakeTable(src_root, n_buckets=8)
+    clone_root = str(tmp_path / "dev_copy")
+    m = src.shallow_clone(clone_root)
+    assert m["epoch"] == src.current_manifest()["epoch"]
+    assert m["cloned_from"] == {
+        "root": os.path.abspath(src_root),
+        "epoch": m["epoch"],
+    }
+    # zero-copy: the clone holds NO data files, only the manifest
+    assert _data_files(clone_root) == []
+    clone = LakeTable(clone_root)
+    assert clone.n_buckets == 8  # layout adopted from the manifest
+    assert clone.external_file_count() == sum(
+        len(v) for v in m["buckets"].values()
+    )
+    assert engine_digest(spark, clone_root) == engine_digest(spark, src_root)
+    # the source pinned the snapshot under clone:<basename>
+    refs = src.refs()
+    assert refs["tags"]["clone:dev_copy"] == m["epoch"]
+    assert refs["clones"]["dev_copy"]["target"] == os.path.abspath(clone_root)
+    # report surfaces localization progress
+    assert clone.report()["external_files"] == clone.external_file_count()
+    # a second clone onto the same target refuses
+    with pytest.raises(ValueError, match="already a lake"):
+        src.shallow_clone(clone_root)
+
+
+def test_clone_diverges_cow_and_materialize_localizes(spark, built, tmp_path):
+    from bbc_news_etl_pipeline_spark.operators.dml import synthesize_dml_segment
+
+    stream, src_root = _fresh_copy(built, tmp_path)
+    src = LakeTable(src_root, n_buckets=8)
+    clone_root = str(tmp_path / "clone")
+    src.shallow_clone(clone_root, name="dev")
+    src_digest = engine_digest(spark, src_root)
+    src_files_before = {
+        p: os.path.getmtime(p) for p in _data_files(src_root)
+    }
+
+    # the clone replays its OWN log copy: a DML there diverges the clone
+    clone_stream = str(tmp_path / "clone_stream")
+    shutil.copytree(stream, clone_stream)
+    clone = LakeTable(clone_root, n_buckets=8)
+    victim = (
+        clone.read_state(spark).orderBy("repo", "path")
+        .select("repo", "path").first()
+    )
+    res = synthesize_dml_segment(
+        spark,
+        clone,
+        clone_stream,
+        where=f"repo = '{victim['repo']}' AND path = '{victim['path']}'",
+        set_exprs={"lang": "'zz_clone'"},
+    )
+    assert res["matched"] == 1
+    R.replay(spark, clone_stream, clone_root, n_buckets=8, mode="mor")
+    div_digest = engine_digest(spark, clone_root)
+    assert div_digest != src_digest
+    # copy-on-write: the source's tree is byte-untouched
+    assert {
+        p: os.path.getmtime(p) for p in _data_files(src_root)
+    } == src_files_before
+    assert engine_digest(spark, src_root) == src_digest
+
+    # materialize: ONLY still-external buckets rewrite; value-invisible
+    m_before = clone.current_manifest()
+    local_buckets = {
+        b
+        for b, entries in m_before["buckets"].items()
+        if all("root" not in e for e in entries)
+    }
+    m2 = clone.materialize(spark)
+    assert m2 is not None and m2["counts"]["localized"] is True
+    assert m2["counts"]["buckets_rewritten"] == len(m_before["buckets"]) - len(
+        local_buckets
+    )
+    assert clone.external_file_count() == 0
+    assert not m2.get("layered")
+    assert engine_digest(spark, clone_root) == div_digest
+    assert clone.materialize(spark) is None  # idempotent
+
+    # the pin only lifts once NO retained clone snapshot reads the source:
+    # pre-materialize snapshots still do (time travel into them needs the
+    # source files), so release refuses until the clone expires them
+    with pytest.raises(ValueError, match="still reads"):
+        src.release_clone("dev")
+    clone.expire_snapshots(keep_last=1)
+    src.release_clone("dev")
+    assert "clone:dev" not in src.refs()["tags"]
+    src.expire_snapshots(keep_last=1)
+    src.vacuum_orphans(grace_seconds=0.0)
+    assert engine_digest(spark, clone_root) == div_digest  # fully local
+
+
+def test_source_expire_preserves_clone_and_release_refuses(
+    spark, built, tmp_path
+):
+    from bbc_news_etl_pipeline_spark.operators.dml import synthesize_dml_segment
+
+    stream, src_root = _fresh_copy(built, tmp_path)
+    src = LakeTable(src_root, n_buckets=8)
+    clone_root = str(tmp_path / "clone")
+    src.shallow_clone(clone_root, name="pinme")
+    cloned_digest = engine_digest(spark, clone_root)
+
+    # source advances (DML epoch) and expires aggressively: the cloned
+    # snapshot and its files must survive through the clone pin
+    victim = (
+        src.read_state(spark).orderBy("repo", "path")
+        .select("repo", "path").first()
+    )
+    synthesize_dml_segment(
+        spark, src, stream,
+        where=f"repo = '{victim['repo']}' AND path = '{victim['path']}'",
+        set_exprs={"lang": "'zz_src'"},
+    )
+    R.replay(spark, stream, src_root, n_buckets=8, mode="mor")
+    src.compact(spark)
+    src.expire_snapshots(keep_last=1)
+    src.vacuum_orphans(grace_seconds=0.0)
+    assert engine_digest(spark, clone_root) == cloned_digest
+
+    with pytest.raises(ValueError, match="still reads"):
+        src.release_clone("pinme")
+    out = src.release_clone("pinme", force=True)
+    assert out["external_refs_forced_past"] > 0
+    with pytest.raises(ValueError, match="unknown clone"):
+        src.release_clone("pinme")
+
+
+def test_clone_at_epoch_time_travel_and_erasure_blockers(
+    spark, built, tmp_path
+):
+    from bbc_news_etl_pipeline_spark.sources.erasure import erase_keys
+
+    stream, src_root = _fresh_copy(built, tmp_path)
+    src = LakeTable(src_root, n_buckets=8)
+    src.create_tag("rc", 0)
+    clone_root = str(tmp_path / "clone0")
+    m = src.shallow_clone(clone_root, epoch="rc", name="c0")  # tag ref
+    assert m["epoch"] == 0
+    clone = LakeTable(clone_root, n_buckets=8)
+    # the clone's head state == the source's epoch-0 time travel
+    from .util import engine_live_pdf
+
+    assert engine_live_pdf(spark, clone_root).equals(
+        engine_live_pdf(spark, src_root, epoch=0)
+    )
+
+    # erasure refuses on the CLONE (it cannot scrub the source's bytes) …
+    key = clone.read_state(spark).select("repo", "path").first()
+    with pytest.raises(ValueError, match="clone SOURCE"):
+        erase_keys(spark, clone, stream, [(key["repo"], key["path"])])
+    # … and on the SOURCE (the clone pin is a tag blocker)
+    with pytest.raises(ValueError, match="tags pin"):
+        erase_keys(spark, src, stream, [(key["repo"], key["path"])])
