@@ -2285,14 +2285,27 @@ class LakeTable:
             self.release_writer_lease(lease)
 
     def compact_if_over(
-        self, spark: SparkSession, max_layers: int, locked: bool = False
+        self,
+        spark: SparkSession,
+        max_layers: int,
+        locked: bool = False,
+        cluster_by: tuple[str, ...] | None = None,
+        cluster_method: str = "zorder",
     ) -> dict | None:
         """Auto-compaction policy: targeted-compact iff some bucket exceeds
         ``max_layers`` layers — the read-amplification bound a long-running
         tailer wires into its loop (every MOR read pays a winner reduce over
         all layers of a bucket; without a cap a tailer left running for days
         makes that reduce unbounded). ``locked=True`` when the caller already
-        holds the writer lease (the tail/replay loops do)."""
+        holds the writer lease (the tail/replay loops do).
+
+        ``cluster_by`` makes clustering RIDE ALONG (Delta auto-optimize
+        analog): the buckets this trigger rewrites anyway come out z-ordered
+        with harvested bounds for free — a continuously-ingesting table
+        stays clustered without a separate maintenance rewrite. Runs at
+        stale scope, so the triggering pass also sweeps any
+        never-clustered buckets once and every later trigger pays only the
+        layered subset."""
         m = self.current_manifest()
         if m is None or not m.get("layered"):
             return None
@@ -2300,13 +2313,19 @@ class LakeTable:
         if worst <= max_layers:
             return None
         if locked:
-            return self._compact_locked(spark, m, None)
+            return self._compact_locked(
+                spark, m, None, cluster_by=cluster_by,
+                cluster_method=cluster_method, cluster_scope="stale",
+            )
         lease = self.acquire_writer_lease("auto-compact")
         try:
             m = self.current_manifest()  # re-read under the lease
             if m is None or not m.get("layered"):
                 return None
-            return self._compact_locked(spark, m, None)
+            return self._compact_locked(
+                spark, m, None, cluster_by=cluster_by,
+                cluster_method=cluster_method, cluster_scope="stale",
+            )
         finally:
             self.release_writer_lease(lease)
 

@@ -763,6 +763,7 @@ def replay(
     adaptive: AdaptiveEpochSizer | None = None,
     mode: str = "cow",
     auto_compact_layers: int | None = None,
+    auto_cluster_by: tuple[str, ...] | None = None,
     elide_noops: bool = False,
     stage: bool = False,
     branch: str | None = None,
@@ -792,7 +793,10 @@ def replay(
     any epoch leaves some bucket with more than this many layers, a targeted
     compaction epoch is committed in-loop (under the held lease) before the
     next event epoch, so a long replay never hands readers an unbounded
-    winner reduce.
+    winner reduce. ``auto_cluster_by`` makes those in-loop compactions also
+    z-order the buckets they rewrite anyway (stale scope — see
+    `LakeTable.compact_if_over`), keeping a continuously-ingesting table
+    clustered at no extra rewrite cost.
     """
     log = EventLog(log_dir)
     lake = LakeTable(
@@ -804,7 +808,7 @@ def replay(
         return _replay_locked(
             spark, log, lake, events_per_epoch, max_epochs, salt_buckets,
             crash_after_epoch, adaptive, mode, auto_compact_layers,
-            elide_noops, stage,
+            elide_noops, stage, auto_cluster_by=auto_cluster_by,
         )
     finally:
         lake.release_writer_lease(lease)
@@ -823,6 +827,7 @@ def _replay_locked(
     auto_compact_layers: int | None = None,
     elide_noops: bool = False,
     stage: bool = False,
+    auto_cluster_by: tuple[str, ...] | None = None,
 ) -> ReplayResult:
     result = ReplayResult()
     RUN_LOGGER.new_context("replay")
@@ -841,7 +846,10 @@ def _replay_locked(
             # staging: a compaction commit would consume the epoch number
             # the staged manifest holds and move the head under the audit
             return None
-        cm = lake.compact_if_over(spark, auto_compact_layers, locked=True)
+        cm = lake.compact_if_over(
+            spark, auto_compact_layers, locked=True,
+            cluster_by=auto_cluster_by,
+        )
         if cm is not None:
             RUN_LOGGER.event(
                 "auto_compact",

@@ -124,6 +124,7 @@ def tail(
     timeout_sec: float = 120.0,
     mode: str = "cow",
     auto_compact_layers: int | None = None,
+    auto_cluster_by: tuple[str, ...] | None = None,
     elide_noops: bool = False,
     branch: str | None = None,
     target_file_rows: int | None = None,
@@ -151,6 +152,7 @@ def tail(
         return _tail_locked(
             spark, log_dir, lake, checkpoint_dir, max_files_per_trigger,
             timeout_sec, mode, auto_compact_layers, elide_noops,
+            auto_cluster_by=auto_cluster_by,
         )
     finally:
         lake.release_writer_lease(lease)
@@ -166,6 +168,7 @@ def _tail_locked(
     mode: str,
     auto_compact_layers: int | None = None,
     elide_noops: bool = False,
+    auto_cluster_by: tuple[str, ...] | None = None,
 ) -> TailResult:
     result = TailResult()
     R.RUN_LOGGER.new_context("tail")
@@ -236,7 +239,10 @@ def _tail_locked(
                 )
         result.batches.append((int(batch_id), n))
         if auto_compact_layers is not None and mode == "mor":
-            cm = lake.compact_if_over(spark, auto_compact_layers, locked=True)
+            cm = lake.compact_if_over(
+                spark, auto_compact_layers, locked=True,
+                cluster_by=auto_cluster_by,
+            )
             if cm is not None:
                 R.RUN_LOGGER.event(
                     "auto_compact",

@@ -48,6 +48,11 @@ def main() -> None:
     p.add_argument("--auto-compact-layers", type=int, default=None,
                    help="MOR read-amplification bound: targeted-compact "
                    "in-loop when any bucket exceeds this many layers")
+    p.add_argument("--auto-cluster-by", default=None,
+                   help="with --auto-compact-layers: comma-separated STRING "
+                        "columns — in-loop compactions also z-order the "
+                        "buckets they rewrite (stale scope), keeping the "
+                        "table clustered at no extra rewrite cost")
     p.add_argument("--target-file-rows", type=int, default=None,
                    help="cap rows per data file on every bucket writer "
                         "(Iceberg write.target-file-size-bytes analog); "
@@ -124,6 +129,12 @@ def main() -> None:
         adaptive=adaptive,
         mode=args.mode,
         auto_compact_layers=args.auto_compact_layers,
+        auto_cluster_by=(
+            tuple(c.strip() for c in args.auto_cluster_by.split(",") if c.strip())
+            or None
+            if args.auto_cluster_by
+            else None
+        ),
         elide_noops=args.elide_noops,
         stage=args.stage,
         branch=args.branch,

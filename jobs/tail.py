@@ -43,6 +43,11 @@ def main() -> None:
     p.add_argument("--auto-compact-layers", type=int, default=None,
                    help="MOR read-amplification bound: targeted-compact "
                    "in-loop when any bucket exceeds this many layers")
+    p.add_argument("--auto-cluster-by", default=None,
+                   help="with --auto-compact-layers: comma-separated STRING "
+                        "columns — in-loop compactions also z-order the "
+                        "buckets they rewrite (stale scope), keeping the "
+                        "table clustered at no extra rewrite cost")
     p.add_argument("--branch", default=None,
                    help="tail onto a named BRANCH of the lake (see "
                         "jobs/maintain.py --create-branch/--fast-forward)")
@@ -61,6 +66,12 @@ def main() -> None:
         timeout_sec=args.timeout_sec,
         mode=args.mode,
         auto_compact_layers=args.auto_compact_layers,
+        auto_cluster_by=(
+            tuple(c.strip() for c in args.auto_cluster_by.split(",") if c.strip())
+            or None
+            if args.auto_cluster_by
+            else None
+        ),
         elide_noops=args.elide_noops,
         branch=args.branch,
     )

@@ -391,6 +391,42 @@ def test_replay_auto_compact_layer_cap(spark, stream_dir, tmp_path, cow_digest):
     assert engine_digest(spark, root) == cow_digest
 
 
+def test_replay_auto_compact_cluster_rides_along(
+    spark, stream_dir, tmp_path, cow_digest
+):
+    """`auto_cluster_by`: the in-loop cap compactions ALSO z-order the
+    buckets they rewrite anyway (Delta auto-optimize analog, stale scope) —
+    digest-invariant, and every file a compaction epoch wrote carries the
+    `clustered` tag plus harvested cluster-column bounds where non-NULL."""
+    root = str(tmp_path / "lake")
+    res = R.replay(
+        spark, stream_dir, root, n_buckets=8, mode="mor",
+        auto_compact_layers=2, auto_cluster_by=("lang", "repo"),
+    )
+    assert res.events_applied == E
+    lake = LakeTable(root, n_buckets=8)
+    compacts = [
+        ep for ep in lake.committed_epochs()
+        if lake.manifest(ep)["counts"].get("mode") == "compact"
+    ]
+    assert compacts, "the stream must trip the cap"
+    for ep in compacts:
+        m = lake.manifest(ep)
+        assert m["counts"]["cluster_by"] == ["lang", "repo"]
+        assert m["counts"]["cluster_scope"] == "stale"
+        prefix = f"e{ep:06d}"
+        fresh = [
+            e
+            for entries in m["buckets"].values()
+            for e in entries
+            if prefix in e["path"]
+        ]
+        assert fresh and all(
+            e.get("clustered") == ["lang", "repo"] for e in fresh
+        )
+    assert engine_digest(spark, root) == cow_digest
+
+
 def test_tail_auto_compact_rebases_cleanly(spark, stream_dir, tmp_path, cow_digest):
     """The tailer's auto-compaction consumes epoch numbers between batches;
     the durable batch_id->epoch rebase must absorb that without losing or
