@@ -201,6 +201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, d: D.ngram_jaccard_pairs(
         _t(s, d, "documents"), threshold=0.8
     )
+    q["dedup_cross_doc_shingles"] = lambda s, d: D.cross_doc_shingle_stats(
+        _t(s, d, "documents")
+    )
     q["dedup_minhash_signatures"] = lambda s, d: D.minhash_signatures(_t(s, d, "documents"))
     q["dedup_minhash_lsh_pairs"] = lambda s, d: D.minhash_lsh_candidates(_t(s, d, "documents"))
     q["dedup_simhash"] = lambda s, d: D.simhash_bits(_t(s, d, "documents"))
@@ -1163,6 +1166,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, md5(norm) AS fingerprint, length(norm) AS norm_len FROM "
         "(SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), "
         "' +', ' ', 'g')) AS norm FROM documents)"
+    )
+    # cross-doc duplicated-shingle stats: docs-per-shingle over the same
+    # distinct-shingle CTE, rolled up per doc — no pair materialization
+    o["dedup_cross_doc_shingles"] = (
+        f"WITH sh AS ({_DDB_SHINGLES}), "
+        "nd AS (SELECT g, count(*) AS nd FROM sh GROUP BY 1) "
+        "SELECT s.doc_id, count(*) AS total_shingles, "
+        "CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_shingles, "
+        "round(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_fraction "
+        "FROM sh s JOIN nd ON s.g = nd.g GROUP BY 1"
     )
     o["dedup_ngram_jaccard"] = (
         f"WITH sh AS ({_DDB_SHINGLES}), "

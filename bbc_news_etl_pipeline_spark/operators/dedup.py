@@ -55,6 +55,42 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def cross_doc_shingle_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Cross-document duplicated-text signal — the exact-substring-dedup
+    measurement (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", simplified to word shingles): per document,
+    how much of its DISTINCT shingle set also appears in at least one
+    OTHER document. High fractions flag boilerplate headers, mirrored
+    passages and licence blocks that survive doc-level dedup; a pipeline
+    thresholds on `dup_fraction` or feeds `shared_shingles` into a
+    span-removal pass.
+
+    Scale (100 TB): no pairs are ever materialized (contrast
+    `ngram_jaccard_pairs`) — one shuffle on the 8-byte shingle hash for
+    the docs-per-shingle count (map-side partial agg; broadcast back when
+    it fits, h-co-partitioned join under AQE when it doesn't), then one
+    shuffle on doc_id for the per-doc rollup. Linear in total shingles,
+    and skew-safe: a boilerplate shingle shared by millions of docs stays
+    a partial-agg'd count, never a buffered group (the Window formulation
+    would buffer it)."""
+    sh = _hashed_shingles(docs, n)  # distinct per doc -> count(*) == docs
+    docs_per = sh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        sh.join(docs_per, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_shingles"),
+            F.sum(
+                F.when(F.col("nd") > 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("shared_shingles"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("shared_shingles") / F.col("total_shingles"), 4),
+        )
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
     """All near-duplicate pairs by word-n-gram Jaccard >= threshold.
 

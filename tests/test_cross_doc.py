@@ -1,0 +1,37 @@
+"""Cross-document duplicated-shingle stats (exact-substring-dedup signal):
+hand-built corpus pins the semantics the DuckDB contract oracle then checks
+at scale — distinct shingles per doc, `nd > 1` means shared with at least
+one OTHER document, short docs (< n words) drop out."""
+
+from __future__ import annotations
+
+from bbc_news_etl_pipeline_spark.operators.dedup import cross_doc_shingle_stats
+
+
+def test_cross_doc_shingle_stats_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            # A and B share the run "the quick brown fox" (2 shared 3-grams);
+            # C is disjoint; D is too short for any 3-gram; E repeats its own
+            # shingle INTERNALLY only — self-repetition must not count as
+            # cross-doc sharing (distinct-per-doc collapses it)
+            (1, "the quick brown fox jumps high"),
+            (2, "see the quick brown fox run"),
+            (3, "completely different words entirely here"),
+            (4, "too short"),
+            (5, "la la la la la"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cross_doc_shingle_stats(docs, n=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}  # doc 4 has no shingles
+    # doc 1: 4 shingles, 2 shared ("the quick brown", "quick brown fox")
+    assert out[1]["total_shingles"] == 4 and out[1]["shared_shingles"] == 2
+    assert out[1]["dup_fraction"] == 0.5
+    assert out[2]["total_shingles"] == 4 and out[2]["shared_shingles"] == 2
+    assert out[3]["shared_shingles"] == 0 and out[3]["dup_fraction"] == 0.0
+    # doc 5: "la la la" x3 occurrences -> ONE distinct shingle, unshared
+    assert out[5]["total_shingles"] == 1 and out[5]["shared_shingles"] == 0
