@@ -204,6 +204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_cross_doc_shingles"] = lambda s, d: D.cross_doc_shingle_stats(
         _t(s, d, "documents")
     )
+    q["dedup_top_shared_shingles"] = lambda s, d: D.top_shared_shingles(
+        _t(s, d, "documents")
+    )
     q["dedup_minhash_signatures"] = lambda s, d: D.minhash_signatures(_t(s, d, "documents"))
     q["dedup_minhash_lsh_pairs"] = lambda s, d: D.minhash_lsh_candidates(_t(s, d, "documents"))
     q["dedup_simhash"] = lambda s, d: D.simhash_bits(_t(s, d, "documents"))
@@ -293,6 +296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # per-language length distribution (exact percentiles at oracle scale;
     # approx=True is the bounded-memory 100 TB path, same schema)
+    q["corpus_mixture_weights"] = lambda s, d: TS.mixture_weights(
+        _t(s, d, "documents")
+    )
     q["corpus_length_profile"] = lambda s, d: TS.length_profile(
         _t(s, d, "documents")
     )
@@ -1177,6 +1183,12 @@ def oracle_sql() -> dict[str, str]:
         "round(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_fraction "
         "FROM sh s JOIN nd ON s.g = nd.g GROUP BY 1"
     )
+    # boilerplate detection: most-shared shingles, deterministic tie-break
+    o["dedup_top_shared_shingles"] = (
+        f"WITH sh AS ({_DDB_SHINGLES}) "
+        "SELECT g, count(*) AS n_docs FROM sh GROUP BY 1 "
+        "HAVING count(*) > 1 ORDER BY n_docs DESC, g LIMIT 20"
+    )
     o["dedup_ngram_jaccard"] = (
         f"WITH sh AS ({_DDB_SHINGLES}), "
         "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
@@ -1634,6 +1646,19 @@ def oracle_sql() -> dict[str, str]:
     )
     # length profile: DuckDB quantile_cont shares Spark percentile()'s
     # linear-interpolation definition; +1e-9 is the engine-agreement nudge
+    # mixture weights: uniform target share across present domains; the
+    # engine's whitespace token count == DuckDB len(string_split)
+    o["corpus_mixture_weights"] = (
+        "WITH per AS (SELECT lang, count(*) AS n_docs, "
+        "  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS domain_tokens "
+        "  FROM documents GROUP BY 1), "
+        "tot AS (SELECT sum(domain_tokens) AS total_tokens, count(*) AS nd FROM per) "
+        "SELECT lang, n_docs, domain_tokens, "
+        "round(domain_tokens * 1.0 / total_tokens + 1e-9, 6) AS actual_share, "
+        "round(1.0 / nd + 1e-9, 6) AS target_share, "
+        "round((1.0 / nd) / (domain_tokens * 1.0 / total_tokens) + 1e-9, 6) AS sample_weight "
+        "FROM per, tot"
+    )
     o["corpus_length_profile"] = (
         "WITH b AS (SELECT lang, CAST(length(text) AS BIGINT) AS n_chars "
         "FROM documents) "

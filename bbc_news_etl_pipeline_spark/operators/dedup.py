@@ -91,6 +91,23 @@ def cross_doc_shingle_stats(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def top_shared_shingles(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Boilerplate detection: the k shingles shared by the MOST documents
+    (licence headers, navigation chrome, generated-file banners — the spans
+    a span-removal pass strips corpus-wide). Keeps the RAW shingle string
+    for interpretability; one hash-agg shuffle + TakeOrderedAndProject, so
+    only k rows ever reach the driver. Ties break on the shingle text for
+    a deterministic contract."""
+    return (
+        _shingles(docs, n)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "g")
+        .limit(k)
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
     """All near-duplicate pairs by word-n-gram Jaccard >= threshold.
 

@@ -377,3 +377,62 @@ def length_profile(docs: DataFrame, approx: bool = False) -> DataFrame:
             for i, name in enumerate(("p50_chars", "p90_chars", "p99_chars"))
         ],
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    targets: dict[str, float] | None = None,
+    domain_col: str = "lang",
+    token_col_expr=None,
+) -> DataFrame:
+    """Training-mixture sampling weights per domain: given a target token
+    share for each domain (uniform across present domains when None), the
+    per-doc sampling weight is target_share / actual_token_share — the
+    multiplier an epoch sampler applies so the drawn mixture hits the
+    target (the data-mixing step every LLM pretraining run performs over
+    its domain taxonomy; weights > 1 mean upsample/repeat, < 1 subsample).
+
+    One pass: per-domain token totals (whitespace tokens by default) via a
+    tiny groupBy on the domain key, the grand total from the same
+    aggregate (no second scan — a broadcast-join of the per-domain rollup
+    against its own sum), all map-side codegen. Unknown domains (present
+    in data, absent from an explicit `targets`) get weight 0.0 — the
+    sampler drops them, matching how mixing configs treat unlisted
+    sources."""
+    toks = (
+        token_col_expr
+        if token_col_expr is not None
+        else F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    per = docs.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("domain_tokens"),
+    )
+    total = per.agg(F.sum("domain_tokens").alias("total_tokens"))
+    out = per.crossJoin(F.broadcast(total))
+    if targets is None:
+        n_domains = per.agg(F.count(F.lit(1)).alias("nd"))
+        out = out.crossJoin(F.broadcast(n_domains)).withColumn(
+            "target_share", F.lit(1.0) / F.col("nd")
+        ).drop("nd")
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in targets.items() for x in kv]
+        )
+        out = out.withColumn(
+            "target_share",
+            F.coalesce(mapping[F.col(domain_col)], F.lit(0.0)),
+        )
+    share = F.col("domain_tokens") / F.col("total_tokens")
+    return out.select(
+        F.col(domain_col),
+        "n_docs",
+        "domain_tokens",
+        F.round(share + F.lit(1e-9), 6).alias("actual_share"),
+        F.round(F.col("target_share").cast("double") + F.lit(1e-9), 6).alias(
+            "target_share"
+        ),
+        F.round(
+            F.col("target_share") / share + F.lit(1e-9), 6
+        ).alias("sample_weight"),
+    )

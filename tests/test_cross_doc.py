@@ -35,3 +35,27 @@ def test_cross_doc_shingle_stats_semantics(spark):
     assert out[3]["shared_shingles"] == 0 and out[3]["dup_fraction"] == 0.0
     # doc 5: "la la la" x3 occurrences -> ONE distinct shingle, unshared
     assert out[5]["total_shingles"] == 1 and out[5]["shared_shingles"] == 0
+
+
+def test_mixture_weights_explicit_targets_and_unknown_domain(spark):
+    from bbc_news_etl_pipeline_spark.operators.textstats import mixture_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "py"),      # 4 tokens
+            (2, "e f", "py"),          # 2 tokens -> py: 6 of 10
+            (3, "g h i", "md"),        # 3 tokens
+            (4, "j", "rs"),            # 1 token, NOT in targets -> weight 0
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["lang"]: r
+        for r in mixture_weights(docs, targets={"py": 0.5, "md": 0.5}).collect()
+    }
+    assert out["py"]["domain_tokens"] == 6 and out["py"]["n_docs"] == 2
+    # py holds 60% of tokens but should be 50% of the mix -> downsample
+    assert out["py"]["sample_weight"] == round(0.5 / 0.6 + 1e-9, 6)
+    assert out["md"]["sample_weight"] == round(0.5 / 0.3 + 1e-9, 6)
+    # unlisted domain: sampler drops it
+    assert out["rs"]["target_share"] == 0.0 and out["rs"]["sample_weight"] == 0.0
