@@ -92,11 +92,12 @@ def parquet_key_stats(
     metadata-only read (no data pages touched; cost is per-file-per-epoch,
     independent of table size). Default columns are the key pair; a
     clustered compaction adds its cluster columns so readers can skip
-    files on those bounds too. Returns ``{col: [lo, hi]}`` (string-typed
-    columns only) or None when the footer carries no usable bounds (stats
-    disabled, non-string physical type, truncation without bounds) — a
-    None is always SAFE because readers treat a stats-less entry as
-    may-contain."""
+    files on those bounds too. Returns ``{col: [lo, hi]}`` (string or
+    numeric columns — a column's bounds are kept only when every row
+    group agrees on the type, so comparisons stay homogeneous) or None
+    when the footer carries no usable bounds (stats disabled, unsupported
+    physical type, truncation without bounds) — a None is always SAFE
+    because readers treat a stats-less entry as may-contain."""
     try:
         import pyarrow.parquet as pq
 
@@ -106,18 +107,20 @@ def parquet_key_stats(
             for i in range(md.num_columns)
             if md.schema.column(i).path in columns
         }
-        out: dict[str, list[str]] = {}
+        out: dict[str, list] = {}
         for name, i in idx.items():
-            lo: str | None = None
-            hi: str | None = None
+            lo = None
+            hi = None
             usable = True
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(i).statistics
                 if (
                     st is None
                     or not st.has_min_max
-                    or not isinstance(st.min, str)
-                    or not isinstance(st.max, str)
+                    or not isinstance(st.min, (str, int, float))
+                    or isinstance(st.min, bool)
+                    or type(st.min) is not type(st.max)
+                    or (lo is not None and type(st.min) is not type(lo))
                 ):
                     usable = False  # any gap voids this column's bounds
                     break
@@ -208,18 +211,24 @@ def parquet_row_counts(full_path: str) -> tuple[int | None, int | None]:
         return None, None
 
 
-def entry_overlaps_bounds(entry: dict, col: str, lo: str, hi: str) -> bool:
+def entry_overlaps_bounds(entry: dict, col: str, lo, hi) -> bool:
     """Conservative file-skip test for a range predicate ``col BETWEEN lo
-    AND hi``: False ONLY when the entry's footer bounds prove no row of the
-    file can satisfy it. Stats-less entries (or entries whose stats predate
-    clustering on `col`) always may-overlap. NULL cells never satisfy a
-    BETWEEN, so bounds harvested over non-null values stay sound even for
-    files that also hold NULLs in `col`."""
+    AND hi`` (string or numeric bounds): False ONLY when the entry's footer
+    bounds prove no row of the file can satisfy it. Stats-less entries (or
+    entries whose stats predate clustering on `col`) always may-overlap; a
+    type mismatch between the query bounds and the harvested stats (legacy
+    string stats vs a numeric query, say) also may-overlaps — the row
+    filter still applies, so conservatism only costs a file open. NULL
+    cells never satisfy a BETWEEN, so bounds harvested over non-null
+    values stay sound even for files that also hold NULLs in `col`."""
     st = entry.get("stats")
     b = st.get(col) if st else None
     if not b:
         return True
-    return not (hi < b[0] or lo > b[1])
+    try:
+        return not (hi < b[0] or lo > b[1])
+    except TypeError:
+        return True
 
 
 #: bit width of each per-column z-order code; 8 bits x <=3 columns keeps
@@ -230,15 +239,19 @@ ZORDER_BITS = 8
 def _zorder_sort_col(
     df: DataFrame, cluster_by: tuple[str, ...]
 ) -> Column:
-    """Interleaved-bit z-order key over 2-3 STRING columns — the multi-dim
-    file-clustering key (Delta OPTIMIZE ZORDER analog), built so every
-    piece stays inside whole-stage codegen:
+    """Interleaved-bit z-order key over 2-3 columns (STRING, integral,
+    float/decimal, or timestamp) — the multi-dim file-clustering key
+    (Delta OPTIMIZE ZORDER analog), built so every piece stays inside
+    whole-stage codegen:
 
-    1. order-preserving 56-bit numeric projection of each column's first 7
-       bytes (`conv(hex(encode(substr,7)))` — strings sharing a 7-byte
-       prefix collide, which only coarsens the bins, never mis-orders);
+    1. order-preserving numeric projection per column: strings map through
+       a 56-bit prefix projection of their first 7 bytes
+       (`conv(hex(encode(substr,7)))` — shared prefixes collide, which
+       only coarsens the bins, never mis-orders); numeric and timestamp
+       columns ARE their own order-preserving projection (cast to double —
+       binning into 256 bins is insensitive to the >2^53 precision tail);
     2. one column-pruned min/max aggregate over `df` fixes each column's
-       span as DRIVER LITERALS (two longs per column — bounded, the same
+       span as DRIVER LITERALS (two scalars per column — bounded, the same
        count-gated-literal discipline as the k-means centroids), and the
        span need not be exact: any superset just widens the bins;
     3. per-row 8-bit bin codes and bit interleaving are pure map-side
@@ -247,15 +260,34 @@ def _zorder_sort_col(
     The z key orders rows so that a within-bucket sort gives every output
     file tight footer bounds on ALL cluster columns at once, instead of
     tight-on-first / useless-on-rest that a lexicographic sort yields."""
+    from pyspark.sql import types as T
+
     k = len(cluster_by)
     if not 2 <= k <= 3:
         raise ValueError("zorder needs 2-3 cluster columns; use linear for 1")
 
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+
     def proj(c: str) -> Column:
-        return F.coalesce(
-            F.conv(F.hex(F.encode(F.substring(F.col(c), 1, 7), "UTF-8")), 16, 10)
-            .cast("long"),
-            F.lit(0),
+        dt = dtypes.get(c)
+        if isinstance(dt, T.StringType) or dt is None:
+            return F.coalesce(
+                F.conv(
+                    F.hex(F.encode(F.substring(F.col(c), 1, 7), "UTF-8")), 16, 10
+                ).cast("long"),
+                F.lit(0),
+            )
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            # casts are order-preserving; NULL -> 0 is safe because the
+            # span min/max below runs over the SAME coalesced projection
+            return F.coalesce(
+                F.col(c).cast("timestamp").cast("double"), F.lit(0.0)
+            )
+        if isinstance(dt, T.NumericType):
+            return F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+        raise ValueError(
+            f"zorder cluster column {c!r} has unsupported type {dt}; "
+            "use string/numeric/timestamp columns"
         )
 
     spans = df.select(

@@ -313,3 +313,73 @@ def test_stale_scope_recluster_rewrites_only_stale_buckets(
     assert [(r["repo"], r["path"]) for r in got] == [(victim["repo"], victim["path"])]
     # idempotent: everything clustered again
     assert lake.compact(spark, cluster_by=key, cluster_scope="stale") is None
+
+
+def test_numeric_zorder_clustering_bounds_and_pruned_read(
+    spark, stream_dir, tmp_path
+):
+    """Z-order generalizes beyond strings: cluster on (lang, size_bytes) —
+    the numeric column is its own order-preserving projection — harvested
+    bounds are true INTEGER ranges per file, and a size_bytes range read
+    equals the plain row filter while opening fewer files."""
+    import shutil
+
+    root = str(tmp_path / "lake")
+    log = str(tmp_path / "log")
+    shutil.copytree(stream_dir, log)
+    R.replay(spark, log, root, n_buckets=8, mode="mor")
+    lake = LakeTable(root, n_buckets=8, target_file_rows=60)
+    before = engine_digest(spark, root)
+    m = lake.compact(spark, cluster_by=("lang", "size_bytes"))
+    assert m is not None and not m.get("layered")
+    assert engine_digest(spark, root) == before
+
+    # harvested numeric bounds are true per-file int ranges
+    checked = 0
+    for entries in m["buckets"].values():
+        for e in entries:
+            b = (e.get("stats") or {}).get("size_bytes")
+            if b is None:
+                continue
+            lo, hi = b
+            assert isinstance(lo, int) and isinstance(hi, int)
+            t = pq.read_table(
+                os.path.join(root, e["path"]), columns=["size_bytes"]
+            )
+            vals = [v for v in t.column("size_bytes").to_pylist() if v is not None]
+            if vals:
+                assert lo <= min(vals) and hi >= max(vals)
+                checked += 1
+    assert checked >= 4
+
+    # value-invisible pruning on the numeric range
+    q25, q75 = (
+        lake.read_state(spark)
+        .selectExpr("percentile(size_bytes, array(0.25, 0.75)) AS p")
+        .first()["p"]
+    )
+    lo, hi = int(q25), int(q75)
+    opened = []
+    orig = LakeTable._read_files
+
+    def spy(self, spark_, entries, ver, with_layer=False):
+        opened.extend(e["path"] for _, e in entries)
+        return orig(self, spark_, entries, ver, with_layer=with_layer)
+
+    LakeTable._read_files = spy
+    try:
+        pruned = lake.read_state(
+            spark, bounds={"size_bytes": (lo, hi)}
+        ).orderBy("repo", "path").collect()
+        n_opened = len(set(opened))
+    finally:
+        LakeTable._read_files = orig
+    total_files = sum(len(v) for v in m["buckets"].values())
+    assert n_opened < total_files, "numeric bounds must skip at least one file"
+    unpruned = (
+        lake.read_state(spark)
+        .where(F.col("size_bytes").between(lo, hi))
+        .orderBy("repo", "path")
+        .collect()
+    )
+    assert pruned == unpruned
