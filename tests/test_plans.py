@@ -274,3 +274,25 @@ def test_merge_winner_reduce_is_slim_and_packed(spark):
     assert "content" not in plan.split("== Physical Plan ==")[1].split("(1) Scan")[0], (
         "payload column leaked into the winner reduce"
     )
+
+
+def test_cross_doc_shingles_no_window_no_pairs(spark, qs):
+    """The cross-doc dup-fraction must never materialize pairs or buffer a
+    hot shingle's group: hash aggregates only — no Window, no sort-merge
+    join of shingle rows, column-pruned scans (text + doc_id, never lang/
+    source)."""
+    plan = _plan(spark, qs["dedup_cross_doc_shingles"](spark, SF))
+    assert _n_nodes(plan, "Window") == 0
+    assert _n_nodes(plan, "SortMergeJoin") == 0
+    assert _n_nodes(plan, "HashAggregate") >= 4  # partial+final x2 stages
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "source" not in ln and "n_chars" not in ln
+
+
+def test_top_shared_shingles_take_ordered(spark, qs):
+    """Boilerplate top-k: TakeOrderedAndProject (k rows to the driver),
+    never a global Sort of the full shingle-count table."""
+    plan = _plan(spark, qs["dedup_top_shared_shingles"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert _n_nodes(plan, "Sort") == 0
