@@ -31,6 +31,9 @@ Writes under --out:
                         the NEXT incremental refresh
     _corpus_meta.json   cut parameters + the lake snapshot it read
     embedding_clusters/ (cluster_id, vec_id) — only with --embeddings
+    boilerplate/        top-K most-shared shingles — only with --boilerplate-topk K
+    dup_spans/          per-doc cross-doc duplicated-shingle stats — only
+                        with --dup-span-stats
 
 Prints ONE JSON line with row counts. `--hash-mode fast` switches the
 MinHash family to xxhash64 (the production-throughput mode; `portable`
@@ -84,6 +87,15 @@ def main() -> None:
     p.add_argument("--cosine-threshold", type=float, default=0.45)
     p.add_argument("--hash-mode", choices=["portable", "fast"], default="portable")
     p.add_argument("--embedding-pairs", choices=["exact", "lsh"], default="exact")
+    p.add_argument("--boilerplate-topk", type=int, default=None, metavar="K",
+                   help="also write boilerplate/ — the K shingles shared by "
+                        "the most documents (licence headers, nav chrome; "
+                        "raw strings for span-removal tooling)")
+    p.add_argument("--dup-span-stats", action="store_true",
+                   help="also write dup_spans/ — per-doc cross-document "
+                        "duplicated-shingle fraction (the exact-substring-"
+                        "dedup signal); full-corpus diagnostic, computed "
+                        "fresh even on an incremental refresh")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -250,6 +262,22 @@ def main() -> None:
         out["embedding_cluster_members"] = spark.read.parquet(
             os.path.join(args.out, "embedding_clusters")
         ).count()
+
+    if args.boilerplate_topk:
+        top = _write(
+            D.top_shared_shingles(docs, k=args.boilerplate_topk), "boilerplate"
+        )
+        out["boilerplate_shingles"] = top.count()
+    if args.dup_span_stats:
+        ds = _write(D.cross_doc_shingle_stats(docs), "dup_spans")
+        agg = ds.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("dup_fraction"), 4).alias("mean_frac"),
+        ).first()
+        out["dup_span_docs"] = agg["n"]
+        out["dup_span_mean_fraction"] = (
+            float(agg["mean_frac"]) if agg["mean_frac"] is not None else None
+        )
 
     print(json.dumps(out))
     spark.stop()
