@@ -59,3 +59,50 @@ def test_mixture_weights_explicit_targets_and_unknown_domain(spark):
     assert out["md"]["sample_weight"] == round(0.5 / 0.3 + 1e-9, 6)
     # unlisted domain: sampler drops it
     assert out["rs"]["target_share"] == 0.0 and out["rs"]["sample_weight"] == 0.0
+
+
+def test_cross_doc_shingle_stats_property_vs_bruteforce(spark):
+    """Property: for ANY corpus over a tiny vocabulary (maximizing shingle
+    collisions), the operator's per-doc stats equal a brute-force Python
+    oracle over the same distinct-shingle sets. Few examples — a Spark job
+    per example — but hypothesis shrinks failures to minimal corpora."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=0, max_size=7).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=5)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(corpus=corpus)
+    def run(corpus):
+        n = 3
+        sets = {}
+        for i, text in enumerate(corpus):
+            w = text.split(" ")
+            sets[i] = {
+                " ".join(w[j : j + n]) for j in range(len(w) - n + 1)
+            }
+        expected = {}
+        for i, s in sets.items():
+            if not s:
+                continue
+            others = set().union(
+                *(t for j, t in sets.items() if j != i)
+            ) if len(sets) > 1 else set()
+            shared = len(s & others)
+            expected[i] = (len(s), shared)
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["total_shingles"], r["shared_shingles"])
+            for r in cross_doc_shingle_stats(docs, n=n).collect()
+        }
+        assert got == expected
+
+    run()
