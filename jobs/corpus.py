@@ -34,6 +34,8 @@ Writes under --out:
     boilerplate/        top-K most-shared shingles — only with --boilerplate-topk K
     dup_spans/          per-doc cross-doc duplicated-shingle stats — only
                         with --dup-span-stats
+    mixture/            per-domain sampling weights — only with
+                        --mixture-targets 'py=0.4,md=0.6' (or 'uniform')
 
 Prints ONE JSON line with row counts. `--hash-mode fast` switches the
 MinHash family to xxhash64 (the production-throughput mode; `portable`
@@ -96,6 +98,11 @@ def main() -> None:
                         "duplicated-shingle fraction (the exact-substring-"
                         "dedup signal); full-corpus diagnostic, computed "
                         "fresh even on an incremental refresh")
+    p.add_argument("--mixture-targets", default=None, metavar="D=F,...",
+                   help="also write mixture/ — per-domain (lang) sampling "
+                        "weights toward these target token shares (e.g. "
+                        "'py=0.4,md=0.3,rs=0.3'; 'uniform' balances across "
+                        "present domains); unlisted domains weight 0")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -263,6 +270,18 @@ def main() -> None:
             os.path.join(args.out, "embedding_clusters")
         ).count()
 
+    if args.mixture_targets:
+        if args.mixture_targets.strip() == "uniform":
+            targets = None
+        else:
+            targets = {}
+            for part in args.mixture_targets.split(","):
+                d, sep, frac = part.partition("=")
+                if not sep:
+                    raise SystemExit("--mixture-targets needs D=FRAC[,...] or 'uniform'")
+                targets[d.strip()] = float(frac)
+        mix = _write(TS.mixture_weights(docs, targets=targets), "mixture")
+        out["mixture_domains"] = mix.count()
     if args.boilerplate_topk:
         top = _write(
             D.top_shared_shingles(docs, k=args.boilerplate_topk), "boilerplate"
