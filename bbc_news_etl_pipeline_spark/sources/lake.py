@@ -3284,6 +3284,124 @@ class LakeTable:
                 total += e["rows"] - e["tombstones"]
         return total
 
+    def fsck(self, deep: bool = False) -> dict:
+        """Table integrity check (the Delta FSCK / Iceberg metadata-
+        validation analog) — READ-ONLY, driver-side metadata walk, no
+        Spark job. What it verifies:
+
+        1. every retained (and staged) manifest parses, and every file
+           entry resolves to an existing file — external clone entries
+           through their recorded source root;
+        2. no manifest claims `layered: false` while some bucket actually
+           holds multiple generations — reads would skip the winner
+           reduce and return duplicate keys (the flag is deliberately
+           CONSERVATIVE the other way: `true` over single-generation
+           buckets merely costs a no-op reduce, so that is not flagged);
+        3. per-bucket layer ordinals are non-decreasing in manifest order
+           (MOR resolution totally orders a key's copies by them);
+        4. refs integrity: tags and consumer cursors point at retained
+           epochs; clone records still hold their pin tag;
+        5. with ``deep=True``, every head-snapshot footer is re-read
+           (metadata pages only, no data): harvested `rows`/`tombstones`
+           must match the footer, and harvested stats bounds must CONTAIN
+           the footer's actual bounds (a too-tight bound would make file
+           skipping drop rows — the one corruption pruning cannot survive).
+
+        Returns ``{"ok", "checked_manifests", "checked_files",
+        "issues": [...]}`` (issues capped at 50). Run it from cron next to
+        expire/vacuum; at 100 TB the shallow pass is O(manifests + a stat
+        per file) namespace metadata, `deep` is one footer read per head
+        file — both data-free."""
+        issues: list[str] = []
+        n_manifests = 0
+        n_files = 0
+
+        def flag(msg: str) -> None:
+            if len(issues) < 50:
+                issues.append(msg)
+
+        epochs = self.committed_epochs()
+        staged = self.staged_epochs()
+        for ep in [*epochs, *staged]:
+            is_staged = ep in staged and ep not in epochs
+            try:
+                m = (
+                    json.load(open(self._staged_manifest_path(ep)))
+                    if is_staged
+                    else self.manifest(ep)
+                )
+            except (OSError, ValueError) as e:
+                flag(f"manifest {ep}: unreadable ({e})")
+                continue
+            n_manifests += 1
+            for b, entries in m.get("buckets", {}).items():
+                layers = [e.get("layer", i) for i, e in enumerate(entries)]
+                if layers != sorted(layers):
+                    flag(f"manifest {ep} bucket {b}: layer ordinals not ordered: {layers}")
+                for e in entries:
+                    n_files += 1
+                    fp = entry_abspath(self.root, e)
+                    if not os.path.isfile(fp):
+                        flag(f"manifest {ep} bucket {b}: missing file {e['path']}"
+                             + (" (external)" if "root" in e else ""))
+            if not m.get("layered") and any(
+                bucket_generations(e) > 1 for e in m["buckets"].values()
+            ):
+                flag(
+                    f"manifest {ep}: layered flag false but some bucket "
+                    "holds multiple generations — reads would skip the "
+                    "winner reduce and duplicate keys"
+                )
+        refs = self.refs()
+        for name, ep in refs.get("tags", {}).items():
+            if not self.has_epoch(int(ep)):
+                flag(f"tag {name!r} pins expired/unknown epoch {ep}")
+        for name, ep in refs.get("consumers", {}).items():
+            if not self.has_epoch(int(ep)):
+                flag(f"consumer {name!r} pins expired/unknown epoch {ep}")
+        for name in refs.get("clones", {}):
+            if f"clone:{name}" not in refs.get("tags", {}):
+                flag(f"clone record {name!r} lost its pin tag clone:{name}")
+        if deep:
+            head = self.current_manifest()
+            for b, entries in (head or {}).get("buckets", {}).items():
+                for e in entries:
+                    fp = entry_abspath(self.root, e)
+                    if not os.path.isfile(fp):
+                        continue  # already flagged above
+                    rows, tombs = parquet_row_counts(fp)
+                    if e.get("rows") is not None and rows is not None and e["rows"] != rows:
+                        flag(f"head bucket {b} {e['path']}: manifest rows "
+                             f"{e['rows']} != footer {rows}")
+                    if (
+                        e.get("tombstones") is not None
+                        and tombs is not None
+                        and e["tombstones"] != tombs
+                    ):
+                        flag(f"head bucket {b} {e['path']}: manifest tombstones "
+                             f"{e['tombstones']} != footer {tombs}")
+                    st = e.get("stats")
+                    if st:
+                        actual = parquet_key_stats(fp, tuple(st.keys())) or {}
+                        for col, (lo, hi) in st.items():
+                            a = actual.get(col)
+                            try:
+                                if a and (a[0] < lo or a[1] > hi):
+                                    flag(
+                                        f"head bucket {b} {e['path']}: stats for "
+                                        f"{col} [{lo},{hi}] do not contain footer "
+                                        f"[{a[0]},{a[1]}] — pruning would drop rows"
+                                    )
+                            except TypeError:
+                                flag(f"head bucket {b} {e['path']}: stats type "
+                                     f"mismatch on {col}")
+        return {
+            "ok": not issues,
+            "checked_manifests": n_manifests,
+            "checked_files": n_files,
+            "issues": issues,
+        }
+
     def report(self) -> dict:
         """Operational health report, driver-side metadata only (manifests
         + parquet footers, no Spark job): head snapshot, retention/staging

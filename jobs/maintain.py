@@ -136,6 +136,14 @@ def main() -> None:
     p.add_argument("--vacuum-orphans-grace", type=float, default=None,
                    help="reclaim crashed-write files older than this many "
                         "seconds that no retained manifest references")
+    p.add_argument("--fsck", action="store_true",
+                   help="read-only integrity check: manifests parse, every "
+                        "entry's file exists, layered flags/layer ordinals/"
+                        "refs consistent (Delta FSCK analog)")
+    p.add_argument("--fsck-deep", action="store_true",
+                   help="with --fsck: re-read head footers to cross-check "
+                        "harvested counts and stats bounds (metadata pages "
+                        "only)")
     p.add_argument("--report", action="store_true",
                    help="append an operational health report (head, "
                         "retention, per-bucket generation stats) — runs "
@@ -252,10 +260,14 @@ def main() -> None:
         out["vacuumed"] = lake.vacuum_orphans(
             grace_seconds=args.vacuum_orphans_grace
         )
+    if args.fsck:
+        out["fsck"] = lake.fsck(deep=args.fsck_deep)
     if args.report:
         out["report"] = lake.report()
     print(json.dumps(out))
     spark.stop()
+    if args.fsck and not out["fsck"]["ok"]:
+        sys.exit(5)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,116 @@
+"""Table integrity checker (`LakeTable.fsck`, Delta FSCK analog): a clean
+lake passes shallow AND deep; each class of corruption — missing file,
+stale layered flag, dangling ref, tampered harvested counts, too-tight
+stats bounds — is detected with a specific issue message; the check is
+read-only (digest unchanged after running it)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest
+
+E = 3_000
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fsck")
+    stream = str(d / "stream")
+    root = str(d / "lake")
+    gen.build_stream(E, 2, stream)
+    R.replay(spark, stream, root, n_buckets=4, mode="mor")
+    LakeTable(root, n_buckets=4).compact(spark)
+    return root
+
+
+def _fresh(built, tmp_path):
+    import shutil
+
+    root = str(tmp_path / "lake")
+    shutil.copytree(built, root)
+    return root
+
+
+def _head_manifest_path(lake: LakeTable) -> str:
+    ep = lake.current_manifest()["epoch"]
+    return os.path.join(lake.manifests_dir, f"manifest-{ep:06d}.json")
+
+
+def test_fsck_clean_lake_passes_shallow_and_deep(spark, built, tmp_path):
+    root = _fresh(built, tmp_path)
+    lake = LakeTable(root, n_buckets=4)
+    before = engine_digest(spark, root)
+    out = lake.fsck(deep=True)
+    assert out["ok"] and out["issues"] == []
+    assert out["checked_manifests"] >= 2 and out["checked_files"] > 0
+    assert engine_digest(spark, root) == before  # read-only
+
+
+def test_fsck_detects_missing_file_and_dangling_refs(built, tmp_path):
+    root = _fresh(built, tmp_path)
+    lake = LakeTable(root, n_buckets=4)
+    m = lake.current_manifest()
+    victim = next(iter(m["buckets"].values()))[0]["path"]
+    os.unlink(os.path.join(root, victim))
+    with lake._refs_lock():
+        refs = lake.refs()
+        refs["tags"]["ghost"] = 999
+        refs.setdefault("clones", {})["lost"] = {"epoch": 0, "target": "/x"}
+        lake._write_refs(refs)
+    out = lake.fsck()
+    assert not out["ok"]
+    msgs = "\n".join(out["issues"])
+    assert "missing file" in msgs and victim in msgs
+    assert "tag 'ghost' pins expired/unknown epoch 999" in msgs
+    assert "clone record 'lost' lost its pin tag" in msgs
+
+
+def test_fsck_detects_unlayered_flag_over_layered_buckets(built, tmp_path):
+    """The DANGEROUS direction only: layered=false over multi-generation
+    buckets (reads would duplicate keys). The conservative direction —
+    true over single-generation buckets, which the MOR writer emits by
+    design from epoch 0 — must NOT be flagged."""
+    root = _fresh(built, tmp_path)
+    lake = LakeTable(root, n_buckets=4)
+    # the pre-compact MOR manifest holds multi-generation buckets
+    pre = next(
+        ep for ep in lake.committed_epochs()
+        if any(
+            len({e.get("layer", i) for i, e in enumerate(v)}) > 1
+            for v in lake.manifest(ep)["buckets"].values()
+        )
+    )
+    p = os.path.join(lake.manifests_dir, f"manifest-{pre:06d}.json")
+    m = json.load(open(p))
+    m["layered"] = False
+    json.dump(m, open(p, "w"))
+    out = lake.fsck()
+    assert not out["ok"]
+    assert any("layered flag false" in s for s in out["issues"])
+
+
+def test_fsck_deep_detects_tampered_counts_and_tight_bounds(built, tmp_path):
+    root = _fresh(built, tmp_path)
+    lake = LakeTable(root, n_buckets=4)
+    p = _head_manifest_path(lake)
+    m = json.load(open(p))
+    entries = next(v for v in m["buckets"].values() if v)
+    e = entries[0]
+    e["rows"] = (e.get("rows") or 0) + 7
+    if e.get("stats", {}).get("repo"):
+        e["stats"]["repo"][1] = e["stats"]["repo"][0]  # hi below true hi
+    json.dump(m, open(p, "w"))
+    assert lake.fsck()["ok"]  # shallow cannot see footer-level tampering
+    out = lake.fsck(deep=True)
+    assert not out["ok"]
+    msgs = "\n".join(out["issues"])
+    assert "manifest rows" in msgs
+    assert "do not contain footer" in msgs
