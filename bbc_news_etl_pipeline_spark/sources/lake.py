@@ -239,17 +239,16 @@ ZORDER_BITS = 8
 def _zorder_sort_col(
     df: DataFrame, cluster_by: tuple[str, ...]
 ) -> Column:
-    """Interleaved-bit z-order key over 2-3 columns (STRING, integral,
-    float/decimal, or timestamp) — the multi-dim file-clustering key
-    (Delta OPTIMIZE ZORDER analog), built so every piece stays inside
-    whole-stage codegen:
+    """Interleaved-bit z-order key over 2-3 columns (STRING, integral, or
+    float/decimal) — the multi-dim file-clustering key (Delta OPTIMIZE
+    ZORDER analog), built so every piece stays inside whole-stage codegen:
 
     1. order-preserving numeric projection per column: strings map through
        a 56-bit prefix projection of their first 7 bytes
        (`conv(hex(encode(substr,7)))` — shared prefixes collide, which
-       only coarsens the bins, never mis-orders); numeric and timestamp
-       columns ARE their own order-preserving projection (cast to double —
-       binning into 256 bins is insensitive to the >2^53 precision tail);
+       only coarsens the bins, never mis-orders); numeric columns ARE
+       their own order-preserving projection (cast to double — binning
+       into 256 bins is insensitive to the >2^53 precision tail);
     2. one column-pruned min/max aggregate over `df` fixes each column's
        span as DRIVER LITERALS (two scalars per column — bounded, the same
        count-gated-literal discipline as the k-means centroids), and the
@@ -277,17 +276,15 @@ def _zorder_sort_col(
                 ).cast("long"),
                 F.lit(0),
             )
-        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-            # casts are order-preserving; NULL -> 0 is safe because the
-            # span min/max below runs over the SAME coalesced projection
-            return F.coalesce(
-                F.col(c).cast("timestamp").cast("double"), F.lit(0.0)
-            )
         if isinstance(dt, T.NumericType):
+            # NULL -> 0 is safe because the span min/max below runs over
+            # the SAME coalesced projection
             return F.coalesce(F.col(c).cast("double"), F.lit(0.0))
         raise ValueError(
             f"zorder cluster column {c!r} has unsupported type {dt}; "
-            "use string/numeric/timestamp columns"
+            "use string or numeric columns (timestamp bounds are not "
+            "harvestable into the manifest today — cast to unix micros "
+            "first if you need temporal clustering)"
         )
 
     spans = df.select(
@@ -300,11 +297,22 @@ def _zorder_sort_col(
     n_bins = 1 << ZORDER_BITS
     for i, c in enumerate(cluster_by):
         mn = spans[f"mn_{i}"] or 0
-        span = max(1, (spans[f"mx_{i}"] or 0) - mn + 1)
+        mx = spans[f"mx_{i}"] or 0
+        # integer projections (string prefix) span whole values, so +1
+        # covers the top value; continuous (float) projections must NOT
+        # round the span up to 1 — a [0, 0.004] score column would
+        # otherwise collapse into a single bin and the dimension would
+        # silently drop out of the z-key
+        if isinstance(mn, float) or isinstance(mx, float):
+            span = max(float(mx) - float(mn), 1e-12)
+            scale = (n_bins - 1) / span  # map [mn, mx] onto [0, n_bins-1]
+        else:
+            span = max(1, mx - mn + 1)
+            scale = n_bins / span
         codes.append(
             F.least(
                 F.lit(n_bins - 1),
-                F.floor((proj(c) - F.lit(mn)).cast("double") * (n_bins / span)),
+                F.floor((proj(c) - F.lit(mn)).cast("double") * F.lit(scale)),
             ).cast("long")
         )
     z = F.lit(0).cast("long")
@@ -718,14 +726,21 @@ class LakeTable:
             raise ValueError("clone target is the source table itself")
         if glob.glob(os.path.join(tgt_root, "_manifests", "manifest-*.json")):
             raise ValueError(f"clone target is already a lake: {target_root}")
+        if self.external_file_count(m) > 0:
+            # a clone-of-an-unmaterialized-clone would reference the
+            # ORIGINAL source's files while only THIS table gets pinned —
+            # the original could then reclaim files the grandchild still
+            # reads. Refusing keeps the pin graph one hop deep and honest.
+            raise ValueError(
+                "snapshot still references another table's files (an "
+                "unmaterialized clone); materialize() before cloning from it"
+            )
         name = name or os.path.basename(tgt_root.rstrip("/")) or "clone"
         _validate_ref_name(name)
         manifest = json.loads(json.dumps(m))  # deep copy — never alias source
         for entries in manifest["buckets"].values():
             for e in entries:
-                # clone-of-clone keeps the ORIGINAL root: chains stay flat,
-                # every external entry resolves in one hop
-                e.setdefault("root", src_root)
+                e["root"] = src_root
         manifest["cloned_from"] = {"root": src_root, "epoch": m["epoch"]}
         # pin BEFORE the target commit: between tag and commit a crash
         # leaves only a droppable tag, never an unpinned clone
@@ -803,12 +818,33 @@ class LakeTable:
             raise ValueError(f"unknown clone {name!r}")
         still_external = 0
         if rec and os.path.isdir(os.path.join(rec["target"], "_manifests")):
+            me = os.path.abspath(self.root)
+
+            def _count(t: "LakeTable") -> int:
+                n = 0
+                # committed chain AND staged (write-audit-publish)
+                # snapshots — a staged audit can reference source files
+                # long after the committed chain localized
+                manifests = [t.manifest(ep) for ep in t.committed_epochs()]
+                for ep in t.staged_epochs():
+                    try:
+                        with open(t._staged_manifest_path(ep)) as f:
+                            manifests.append(json.load(f))
+                    except (OSError, ValueError):
+                        pass
+                return n + sum(
+                    1
+                    for mm in manifests
+                    for entries in mm.get("buckets", {}).values()
+                    for e in entries
+                    if e.get("root") == me
+                )
+
             t = LakeTable(rec["target"])
-            for ep in t.committed_epochs():
-                for entries in t.manifest(ep)["buckets"].values():
-                    still_external += sum(
-                        1 for e in entries if e.get("root") == os.path.abspath(self.root)
-                    )
+            still_external = _count(t)
+            for b in t.branches():
+                # branch chains reference files independently of main
+                still_external += _count(LakeTable(rec["target"], branch=b))
             if still_external and not force:
                 raise ValueError(
                     f"clone {name!r} still reads {still_external} files from "
@@ -2395,11 +2431,23 @@ class LakeTable:
             target = None
         elif cluster_by is not None:
             want = list(cluster_by)
+            want_method = "linear" if len(cluster_by) == 1 else cluster_method
             target = sorted(
                 int(b)
                 for b, e in m["buckets"].items()
                 if bucket_generations(e) > 1
-                or any(x.get("clustered") != want for x in e)
+                or any(
+                    x.get("clustered") != want
+                    # legacy entries (no method recorded) default to the
+                    # writer's rule at their column count, so a method
+                    # switch re-stales them too
+                    or x.get(
+                        "clustered_method",
+                        "linear" if len(x.get("clustered") or ()) == 1 else "zorder",
+                    )
+                    != want_method
+                    for x in e
+                )
             )
             if not target:
                 return None  # nothing stale: idempotent no-op, no commit
@@ -2512,10 +2560,15 @@ class LakeTable:
                 e["schema_version"] = ver
                 e["layer"] = 0  # compacted = one fresh generation
                 if cluster_by:
-                    # the stale-scope marker: which cluster key this file
-                    # was written under (all-NULL files get it too — they
-                    # are clustered, they just have no bounds to harvest)
+                    # the stale-scope marker: which cluster key AND method
+                    # this file was written under (all-NULL files get it
+                    # too — they are clustered, they just have no bounds
+                    # to harvest); the method matters because switching
+                    # zorder<->linear must re-stale every file
                     e["clustered"] = list(cluster_by)
+                    e["clustered_method"] = (
+                        "linear" if len(cluster_by) == 1 else cluster_method
+                    )
             out[str(b)] = entries
         return out
 
@@ -3334,6 +3387,8 @@ class LakeTable:
                 flag(f"manifest {ep}: unreadable ({e})")
                 continue
             n_manifests += 1
+            if "buckets" not in m:
+                flag(f"manifest {ep}: no 'buckets' key (truncated/tampered)")
             for b, entries in m.get("buckets", {}).items():
                 layers = [e.get("layer", i) for i, e in enumerate(entries)]
                 if layers != sorted(layers):
@@ -3345,7 +3400,7 @@ class LakeTable:
                         flag(f"manifest {ep} bucket {b}: missing file {e['path']}"
                              + (" (external)" if "root" in e else ""))
             if not m.get("layered") and any(
-                bucket_generations(e) > 1 for e in m["buckets"].values()
+                bucket_generations(e) > 1 for e in m.get("buckets", {}).values()
             ):
                 flag(
                     f"manifest {ep}: layered flag false but some bucket "

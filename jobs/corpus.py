@@ -270,6 +270,14 @@ def main() -> None:
             os.path.join(args.out, "embedding_clusters")
         ).count()
 
+    # diagnostics run over the ELIGIBLE set (the doc_ids store), which both
+    # modes write identically: the full cut's post-decontamination docs ==
+    # the refresh's carried-forward survivors + vetted delta. Joining the
+    # snapshot against it keeps a refresh's diagnostics bit-comparable to a
+    # full cut's on the same data.
+    diag_docs = docs.join(
+        spark.read.parquet(os.path.join(args.out, "doc_ids")), "doc_id", "left_semi"
+    )
     if args.mixture_targets:
         if args.mixture_targets.strip() == "uniform":
             targets = None
@@ -280,15 +288,15 @@ def main() -> None:
                 if not sep:
                     raise SystemExit("--mixture-targets needs D=FRAC[,...] or 'uniform'")
                 targets[d.strip()] = float(frac)
-        mix = _write(TS.mixture_weights(docs, targets=targets), "mixture")
+        mix = _write(TS.mixture_weights(diag_docs, targets=targets), "mixture")
         out["mixture_domains"] = mix.count()
     if args.boilerplate_topk:
         top = _write(
-            D.top_shared_shingles(docs, k=args.boilerplate_topk), "boilerplate"
+            D.top_shared_shingles(diag_docs, k=args.boilerplate_topk), "boilerplate"
         )
         out["boilerplate_shingles"] = top.count()
     if args.dup_span_stats:
-        ds = _write(D.cross_doc_shingle_stats(docs), "dup_spans")
+        ds = _write(D.cross_doc_shingle_stats(diag_docs), "dup_spans")
         agg = ds.agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("dup_fraction"), 4).alias("mean_frac"),

@@ -215,3 +215,38 @@ def test_clone_at_epoch_time_travel_and_erasure_blockers(
     # … and on the SOURCE (the clone pin is a tag blocker)
     with pytest.raises(ValueError, match="tags pin"):
         erase_keys(spark, src, stream, [(key["repo"], key["path"])])
+
+
+def test_clone_chain_refusal_and_branch_aware_release(spark, built, tmp_path):
+    """Two pin-graph holes closed by review: (1) cloning FROM an
+    unmaterialized clone refuses — the grandchild would read the original
+    source's files while only the intermediate held a pin; (2) release
+    scans the clone's BRANCH chains (and staged snapshots), not just its
+    main committed chain — a branch seeded from the external base still
+    reads source files after main localizes."""
+    _, src_root = _fresh_copy(built, tmp_path)
+    src = LakeTable(src_root, n_buckets=8)
+    clone_root = str(tmp_path / "clone")
+    src.shallow_clone(clone_root, name="dev")
+    clone = LakeTable(clone_root, n_buckets=8)
+
+    # (1) clone-of-unmaterialized-clone refuses
+    with pytest.raises(ValueError, match="materialize"):
+        clone.shallow_clone(str(tmp_path / "grandchild"))
+
+    # (2) a branch created while external keeps referencing source files
+    clone.create_branch("exp")
+    clone.materialize(spark)
+    clone.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="still reads"):
+        src.release_clone("dev")
+    clone.drop_branch("exp")
+    src.release_clone("dev")
+
+    # materialized + released: cloning FROM the clone now works
+    g = clone.shallow_clone(str(tmp_path / "grandchild"), name="g")
+    assert all(
+        e["root"] == os.path.abspath(clone_root)
+        for v in g["buckets"].values()
+        for e in v
+    )

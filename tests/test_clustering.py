@@ -269,8 +269,8 @@ def test_stale_scope_recluster_rewrites_only_stale_buckets(
     key = ("lang", "repo")
 
     # fully clustered, nothing layered -> stale scope has nothing to do
-    assert lake.compact(spark, cluster_by=key, cluster_scope="stale") is None
     head_before = lake.current_manifest()["epoch"]
+    assert lake.compact(spark, cluster_by=key, cluster_scope="stale") is None
     assert lake.current_manifest()["epoch"] == head_before  # no commit
 
     # one DML epoch touching a single key -> exactly its bucket goes stale
@@ -313,6 +313,19 @@ def test_stale_scope_recluster_rewrites_only_stale_buckets(
     assert [(r["repo"], r["path"]) for r in got] == [(victim["repo"], victim["path"])]
     # idempotent: everything clustered again
     assert lake.compact(spark, cluster_by=key, cluster_scope="stale") is None
+    # switching the METHOD re-stales every file (lexicographic files are
+    # useless for multi-column pruning; the marker records the method)
+    m3 = lake.compact(
+        spark, cluster_by=key, cluster_method="linear", cluster_scope="stale"
+    )
+    assert m3 is not None
+    assert m3["counts"]["buckets_rewritten"] == len(m3["buckets"])
+    assert all(
+        e.get("clustered_method") == "linear"
+        for v in m3["buckets"].values()
+        for e in v
+    )
+    assert engine_digest(spark, root) == before
 
 
 def test_numeric_zorder_clustering_bounds_and_pruned_read(
