@@ -378,3 +378,340 @@ def centroid_outliers(embs: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.asc("cosine_to_centroid"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (the FAISS IVFADC billion-scale shape)
+# --------------------------------------------------------------------------
+
+#: PQ defaults: 64-dim embeddings split into 4 subspaces of 16 dims; each
+#: subspace gets its own K=len(KMEANS_SEED_IDS) codebook. A vector's PQ
+#: code is then 4 small ints (one byte each at K<=256) instead of 256
+#: bytes of float32 — the 64x compression that makes exhaustive ADC scans
+#: affordable at 10^9+ vectors.
+PQ_SUBSPACES = 4
+#: PQ codebooks are larger than the coarse quantizer (production PQ uses
+#: K=256; K=16 here keeps the literal plans and the unrolled SQL oracle
+#: readable while being fine-grained enough for real recall)
+PQ_SEED_IDS = list(range(1, 17))
+
+
+def pq_fit_components(
+    embs: DataFrame,
+    n_sub: int = PQ_SUBSPACES,
+    dim: int = RP_DIM,
+    seed_ids: list[int] | None = None,
+    iters: int = 3,
+) -> DataFrame:
+    """Product-quantizer fit: per-SUBSPACE k-means-lite codebooks as
+    (m, cid, spos, c) component rows (m = subspace, spos = position within
+    the subspace). Same deterministic recipe as `kmeans_fit_components`
+    (seed vectors as initial centroids, 6-digit mean rounding, micro-unit
+    fixed-point packed argmin) so a DuckDB oracle unrolling the identical
+    iterations — with the subspace id as one more grouping key — computes
+    bit-equal codebooks. One pos-explode plan; every shuffle is on slim
+    (vec_id|cid, m, spos) keys, never on vectors."""
+    seed_ids = PQ_SEED_IDS if seed_ids is None else seed_ids
+    sub = dim // n_sub
+    comp = embs.select(
+        "vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") / sub).cast("int").alias("m"),
+        (F.col("pos") % sub).alias("spos"),
+        "x",
+    )
+    cent = comp.where(F.col("vec_id").isin(seed_ids)).select(
+        F.col("vec_id").alias("cid"), "m", "spos", F.round(F.col("x"), 6).alias("c")
+    )
+    for _ in range(iters):
+        d2 = (
+            comp.join(F.broadcast(cent), ["m", "spos"])
+            .groupBy("vec_id", "m", "cid")
+            .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2"))
+        )
+        assign = (
+            d2.groupBy("vec_id", "m")
+            .agg(F.min(_dist_packed(F.col("d2"), F.col("cid"))).alias("pk"))
+            .select("vec_id", "m", (F.col("pk") % _CID_PACK).alias("cid"))
+        )
+        cent = (
+            comp.join(assign, ["vec_id", "m"])
+            .groupBy("m", "cid", "spos")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+        )
+    return cent
+
+
+def pq_iteration_components(
+    embs: DataFrame,
+    codebooks: dict[int, dict[int, list[float]]],
+    dim: int = RP_DIM,
+) -> DataFrame:
+    """ONE product-quantizer Lloyd iteration against LITERAL codebooks:
+    per-subspace codes are map-side packed-argmin codegen (no join, no
+    broadcast, no lineage growth — the codes array is computed once per
+    vector before the explode), then a single (m, cid, spos)-keyed mean.
+    The bounded (n_sub x k x sub) planning state lives in the
+    plans/quantizer.py driver loop, mirroring `kmeans_iteration_arrow`'s
+    split; assignments use the identical fixed-point argmin as the
+    portable `pq_fit_components`, so both fits converge to bit-equal
+    codebooks (pinned by tests/test_pq.py)."""
+    n_sub = len(codebooks)
+    sub = dim // n_sub
+    v = _as_double(F.col("embedding"))
+    comp = embs.select(
+        F.array(*[pq_code_col(v, m, codebooks[m], sub) for m in range(n_sub)]).alias(
+            "codes"
+        ),
+        F.posexplode(v).alias("pos", "x"),
+    )
+    m_col = (F.col("pos") / sub).cast("int")
+    return (
+        comp.select(
+            m_col.alias("m"),
+            (F.col("pos") % sub).alias("spos"),
+            F.element_at(F.col("codes"), m_col + 1).alias("cid"),
+            "x",
+        )
+        .groupBy("m", "cid", "spos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+
+
+def pq_iteration_arrow(
+    embs: DataFrame,
+    codebooks: dict[int, dict[int, list[float]]],
+    dim: int = RP_DIM,
+) -> DataFrame:
+    """ONE PQ Lloyd iteration with Arrow partial sums — the production
+    fit shape, mirroring `kmeans_iteration_arrow`: each partition folds
+    its vectors into per-subspace (k x sub) sum matrices + counts in one
+    vectorized numpy pass, and the final mean reduces
+    O(partitions x n_sub x k x sub) slim rows. Assignment is the same
+    micro-unit packed integer argmin as the portable fit, so the two
+    converge bit-equal (pinned by tests/test_pq.py). This exists because
+    the pure-column iteration (`pq_iteration_components`) pays the codes
+    HOF per EXPLODED row after Catalyst collapses the projects — ~64x
+    redundant interpreted work per vector at dim=64."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    n_sub = len(codebooks)
+    sub = dim // n_sub
+    cb = {
+        m: (
+            np.array(sorted(codebooks[m]), dtype=np.int64),
+            np.array(
+                [codebooks[m][c] for c in sorted(codebooks[m])], dtype=np.float64
+            ),
+        )
+        for m in codebooks
+    }
+
+    out_schema = T.StructType(
+        [
+            T.StructField("m", T.IntegerType()),
+            T.StructField("cid", T.LongType()),
+            T.StructField("spos", T.IntegerType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def partial_sums(batches, _cb=cb, _sub=sub):
+        import pandas as pd
+
+        sums = {m: np.zeros(_cb[m][1].shape, dtype=np.float64) for m in _cb}
+        counts = {m: np.zeros(len(_cb[m][0]), dtype=np.int64) for m in _cb}
+        for pdf in batches:
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            if not len(mat):
+                continue
+            for m, (cids, cmat) in _cb.items():
+                x = mat[:, m * _sub : (m + 1) * _sub]
+                d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                packed = (
+                    np.rint(d2 * _DIST_SCALE).astype(np.int64) * _CID_PACK
+                    + cids[None, :]
+                )
+                a = packed.argmin(axis=1)
+                for j in range(len(cids)):
+                    sel = a == j
+                    if sel.any():
+                        sums[m][j] += x[sel].sum(axis=0)
+                        counts[m][j] += int(sel.sum())
+        rows = [
+            {"m": m, "cid": int(_cb[m][0][j]), "spos": p,
+             "s": float(sums[m][j, p]), "n": int(counts[m][j])}
+            for m in _cb
+            for j in range(len(_cb[m][0]))
+            if counts[m][j]
+            for p in range(_sub)
+        ]
+        yield pd.DataFrame(rows, columns=["m", "cid", "spos", "s", "n"])
+
+    src = embs.select(_as_double(F.col("embedding")).alias("v"))
+    return (
+        src.mapInPandas(partial_sums, schema=out_schema)
+        .groupBy("m", "cid", "spos")
+        .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("c"))
+    )
+
+
+def pq_code_col(
+    v: Column, m: int, codebook: dict[int, list[float]], sub: int
+) -> Column:
+    """PQ code for subspace `m` as PURE MAP-SIDE codegen over literal
+    sub-centroids: slice the vector, packed micro-unit argmin. A corpus
+    MATERIALIZED with its code columns is scanned WITHOUT the embedding
+    column at query time — the PQ scale contract (codes are bytes, not
+    vectors)."""
+    sub_v = F.slice(v, m * sub + 1, sub)
+    cids = sorted(codebook)
+    # ONE zip_with over the literal (k x sub) centroid matrix instead of
+    # k separate fold trees: identical fixed-point arithmetic, but the
+    # expression stays compact — k=16 codebooks made the per-centroid
+    # F.least(...) tree quadratic-feeling in Catalyst analysis/codegen
+    # time (~30 s per stage at k=16 x 4 subspaces; this form analyzes in
+    # milliseconds)
+    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in codebook[c]]) for c in cids])
+    cid_arr = F.array(*[F.lit(int(c)).cast("long") for c in cids])
+    packed = F.zip_with(
+        cmat,
+        cid_arr,
+        lambda c, cid: _dist_packed(
+            F.aggregate(
+                F.zip_with(sub_v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+            cid,
+        ),
+    )
+    return (F.array_min(packed) % _CID_PACK).cast("long")
+
+
+def pq_adc_lut(
+    query_vec: list[float], codebooks: dict[int, dict[int, list[float]]], sub: int
+) -> dict[int, dict[int, int]]:
+    """Asymmetric-distance lookup table: lut[m][cid] = micro-unit squared
+    distance from the query's m-th sub-vector to that sub-centroid.
+    Driver-side Python over the bounded (n_sub x k x sub) literals; the
+    same half-even rounding grid as `_dist_packed`, so the oracle's SQL
+    `round(sum(..)*1e6)` lands on identical integers."""
+    lut: dict[int, dict[int, int]] = {}
+    for m, cb in codebooks.items():
+        q_sub = query_vec[m * sub : (m + 1) * sub]
+        lut[m] = {}
+        for cid, c in cb.items():
+            d2 = 0.0
+            for a, b in zip(q_sub, c):
+                d2 += (a - b) * (a - b)
+            # Python 3 round() is half-even — the same mode Spark's
+            # F.round/DuckDB's round apply to doubles on this grid
+            lut[m][cid] = int(round(d2 * _DIST_SCALE))
+    return lut
+
+
+def pq_adc_topk(
+    embs: DataFrame,
+    query_vec: list[float],
+    codebooks: dict[int, dict[int, list[float]]],
+    k: int = 10,
+    exclude_vec_id: int | None = None,
+    dim: int = RP_DIM,
+) -> DataFrame:
+    """Exhaustive ADC scan: encode each vector to its per-subspace codes
+    (map-side literal argmin), score = SUM of literal-map lookups of the
+    query's precomputed sub-distances — integer adds only, no vector math
+    in the scan. Output (vec_id, adc_dist_micro) ascending.
+
+    At scale the codes are materialized once at ingest; the query plan is
+    then a codes-only scan (n_sub bytes/row) + TakeOrderedAndProject —
+    no shuffle, no floats, prunable like any other column."""
+    n_sub = len(codebooks)
+    sub = dim // n_sub
+    lut = pq_adc_lut([float(x) for x in query_vec], codebooks, sub)
+    v = _as_double(F.col("embedding"))
+    score = None
+    for m in sorted(codebooks):
+        lookup = F.create_map(
+            *[
+                F.lit(x).cast("long")
+                for cid in sorted(lut[m])
+                for x in (cid, lut[m][cid])
+            ]
+        )
+        term = lookup[pq_code_col(v, m, codebooks[m], sub)]
+        score = term if score is None else score + term
+    out = embs.select("vec_id", score.cast("long").alias("adc_dist_micro"))
+    if exclude_vec_id is not None:
+        out = out.where(F.col("vec_id") != exclude_vec_id)
+    return out.orderBy(F.asc("adc_dist_micro"), F.asc("vec_id")).limit(k)
+
+
+def ivfpq_topk(
+    embs: DataFrame,
+    query_vec: list[float],
+    centroids: dict[int, list[float]],
+    codebooks: dict[int, dict[int, list[float]]],
+    k: int = 10,
+    exclude_vec_id: int | None = None,
+    dim: int = RP_DIM,
+) -> DataFrame:
+    """IVF + PQ (the canonical IVFADC configuration): coarse-quantizer
+    filter to the query's cell, then ADC-score only that cell. Both stages
+    are map-side literal codegen — at 100 TB with the corpus partitioned
+    by coarse cell and codes materialized, the plan reads 1/k_coarse of
+    the CODE bytes (not vectors) and nothing else."""
+    qcid = assign_cluster_py([float(x) for x in query_vec], centroids)
+    v = _as_double(F.col("embedding"))
+    cell = embs.where(assign_cluster_col(v, centroids) == F.lit(qcid))
+    return pq_adc_topk(cell, query_vec, codebooks, k, exclude_vec_id, dim)
+
+
+def semantic_prune(
+    embs: DataFrame,
+    centroids: dict[int, list[float]],
+    tau: float = 0.45,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (cluster-then-prune, after the
+    public SemDeDup recipe): assign every vector to its coarse k-means
+    cell (map-side literal argmin), compare pairs ONLY within a cell, and
+    prune the higher-id member of any pair with cosine >= tau. Returns
+    (vec_id, cid, pruned).
+
+    The within-cell self-join is a hash equi-join on cid — the whole point
+    of the published algorithm is that the quadratic term is bounded by
+    the largest CELL (N/k on average), never the corpus; no all-pairs path
+    exists. Keep-lowest-id matches the exact-dedup convention
+    (`dedup.exact_groups`)."""
+    v = _as_double(F.col("embedding"))
+    asg = embs.select(
+        "vec_id",
+        assign_cluster_col(v, centroids).alias("cid"),
+        v.alias("v"),
+        _norm(v).alias("nrm"),
+    )
+    a = asg.select(
+        F.col("cid"), F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_n"),
+    )
+    b = asg.select(
+        F.col("cid"), F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_n"),
+    )
+    pruned = (
+        a.join(b, "cid")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            F.round(_dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")), 6)
+            >= F.lit(float(tau))
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return asg.join(pruned.withColumn("p", F.lit(True)), "vec_id", "left").select(
+        "vec_id", "cid", F.coalesce(F.col("p"), F.lit(False)).alias("pruned")
+    )

@@ -436,3 +436,83 @@ def mixture_weights(
             F.col("target_share") / share + F.lit(1e-9), 6
         ).alias("sample_weight"),
     )
+
+
+#: autogenerated-file markers (the StarCoder/The-Stack-style code filter)
+AUTOGEN_RE = r"(?i)auto-generated|do not edit|@generated"
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """CCNet-style unigram-LM scoring: per-doc mean surprisal
+    -(1/n_d) * sum_t log2(count(t)/T) under the corpus's own MLE unigram
+    model — the classic cheap perplexity proxy for quality filtering
+    (low = templated/common, high = rare-token noise). Returns
+    (doc_id, n_tokens, surprisal).
+
+    Scale shape: explode is map-side; the per-(token, doc) count
+    partial-combines before it travels; the model is the |vocab|-keyed
+    aggregate; T joins in as a broadcast single-row frame; the final
+    per-doc reduce keys on doc_id. No collect, no windows — every shuffle
+    keys on token or doc_id. The +1e-9 nudge before round(…, 4) is the
+    engine-agreement idiom from `quality_score`."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    ).where(F.length("token") > 0)
+    per_doc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
+    model = per_doc.groupBy("token").agg(F.sum("n").alias("c"))
+    total = model.agg(F.sum("c").alias("t"))
+    scored = per_doc.join(model, "token").join(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.log2(F.col("c") / F.col("t"))).alias("_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(-F.col("_lp") / F.col("n_tokens") + F.lit(1e-9), 4).alias(
+                "surprisal"
+            ),
+        )
+    )
+
+
+def code_file_filters(
+    docs: DataFrame,
+    max_line_len: int = 160,
+    min_alnum_frac: float = 0.55,
+) -> DataFrame:
+    """Per-file code-corpus filters (the published The-Stack/StarCoder
+    recipe): line-length stats, alphanumeric fraction, and the
+    autogenerated-marker flag, plus the composed keep decision. Pure
+    column expressions — map-only, no shuffle, no Python; at 100 TB this
+    runs inside the scan's codegen stage and the keep flag is a pushable
+    predicate for the downstream corpus cut."""
+    lines = F.split(F.col("text"), r"\n")
+    line_lens = F.transform(lines, lambda x: F.length(x))
+    n_lines = F.size(lines).cast("long")
+    maxl = F.array_max(line_lens).cast("long")
+    sum_len = F.aggregate(line_lens, F.lit(0), lambda s, x: s + x)
+    avgl = F.round(sum_len.cast("double") / n_lines + F.lit(1e-9), 4)
+    n_alnum = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[A-Za-z0-9]", "")
+    )
+    alnum_frac = F.round(
+        n_alnum.cast("double") / F.length("text") + F.lit(1e-9), 6
+    )
+    autogen = F.col("text").rlike(AUTOGEN_RE)
+    out = docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        maxl.alias("max_line_len"),
+        avgl.alias("avg_line_len"),
+        alnum_frac.alias("alnum_frac"),
+        autogen.alias("autogen"),
+    )
+    keep = (
+        (F.col("max_line_len") <= max_line_len)
+        & (F.col("alnum_frac") >= min_alnum_frac)
+        & ~F.col("autogen")
+    )
+    return out.withColumn("keep", keep)

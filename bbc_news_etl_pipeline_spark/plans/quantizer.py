@@ -31,6 +31,55 @@ def fit_centroids(
     return _rows_to_dict(S.kmeans_fit_components(embs, seed_ids, iters).collect())
 
 
+def _pq_rows_to_dict(rows) -> dict[int, dict[int, list[float]]]:
+    comp: dict[int, dict[int, dict[int, float]]] = {}
+    for r in rows:
+        comp.setdefault(int(r["m"]), {}).setdefault(int(r["cid"]), {})[
+            int(r["spos"])
+        ] = float(r["c"])
+    return {
+        m: {cid: [d[p] for p in sorted(d)] for cid, d in cbs.items()}
+        for m, cbs in comp.items()
+    }
+
+
+def fit_pq_codebooks(
+    embs: DataFrame,
+    n_sub: int = S.PQ_SUBSPACES,
+    dim: int = S.RP_DIM,
+    seed_ids: list[int] | None = None,
+    iters: int = 3,
+) -> dict[int, dict[int, list[float]]]:
+    """Product-quantizer fit -> per-subspace codebook literals
+    (n_sub x k x sub doubles). The driver loop holds the bounded
+    planning state between iterations — each iteration is ONE map-side
+    literal-assignment aggregation (`pq_iteration_components`), so the
+    per-iteration cost is a single corpus scan regardless of k or iters
+    (the all-DataFrame `pq_fit_components` is the collect-free portable
+    twin; both converge bit-equal, pinned by tests/test_pq.py). Feeds
+    `operators.similarity.pq_code_col` / `pq_adc_topk` map-side."""
+    seed_ids = S.PQ_SEED_IDS if seed_ids is None else seed_ids
+    sub = dim // n_sub
+    seed_rows = (
+        embs.where(F.col("vec_id").isin(seed_ids))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+        )
+        .select(
+            "cid",
+            (F.col("pos") / sub).cast("int").alias("m"),
+            (F.col("pos") % sub).alias("spos"),
+            F.round(F.col("x"), 6).alias("c"),
+        )
+        .collect()
+    )
+    books = _pq_rows_to_dict(seed_rows)
+    for _ in range(iters):
+        books = _pq_rows_to_dict(S.pq_iteration_arrow(embs, books, dim).collect())
+    return books
+
+
 def fit_centroids_arrow(
     embs: DataFrame, seed_ids: list[int] | None = None, iters: int = 3
 ) -> dict[int, list[float]]:

@@ -89,6 +89,10 @@ def main() -> None:
     p.add_argument("--cosine-threshold", type=float, default=0.45)
     p.add_argument("--hash-mode", choices=["portable", "fast"], default="portable")
     p.add_argument("--embedding-pairs", choices=["exact", "lsh"], default="exact")
+    p.add_argument("--semantic-prune", type=float, default=None, metavar="TAU",
+                   help="with --embeddings: SemDeDup-style cluster-then-prune "
+                        "at cosine >= TAU; writes semantic_prune/ "
+                        "(vec_id, cid, pruned)")
     p.add_argument("--boilerplate-topk", type=int, default=None, metavar="K",
                    help="also write boilerplate/ — the K shingles shared by "
                         "the most documents (licence headers, nav chrome; "
@@ -111,6 +115,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from bbc_news_etl_pipeline_spark.operators import dedup as D
+    from bbc_news_etl_pipeline_spark.operators import similarity as S
     from bbc_news_etl_pipeline_spark.operators import textstats as TS
 
     lake = None
@@ -269,6 +274,17 @@ def main() -> None:
         out["embedding_cluster_members"] = spark.read.parquet(
             os.path.join(args.out, "embedding_clusters")
         ).count()
+        if args.semantic_prune is not None:
+            from bbc_news_etl_pipeline_spark.plans import quantizer as Q
+
+            cents = Q.fit_centroids(embs)
+            pruned = S.semantic_prune(embs, cents, tau=args.semantic_prune)
+            pruned.write.mode("overwrite").parquet(
+                os.path.join(args.out, "semantic_prune")
+            )
+            back = spark.read.parquet(os.path.join(args.out, "semantic_prune"))
+            out["semantic_pruned"] = back.where(F.col("pruned")).count()
+            out["semantic_kept"] = back.where(~F.col("pruned")).count()
 
     # diagnostics run over the ELIGIBLE set (the doc_ids store), which both
     # modes write identically: the full cut's post-decontamination docs ==

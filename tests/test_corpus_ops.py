@@ -169,3 +169,61 @@ def test_length_profile_approx_same_schema_close_values(spark):
     # the sketch's p50 stays within 5% of exact on this fixture
     rel = ((exact["p50_chars"] - approx["p50_chars"]).abs() / exact["p50_chars"]).max()
     assert rel < 0.05
+
+
+def test_unigram_surprisal_hand_case(spark):
+    """3 docs over a 2-token vocabulary — surprisal computed by hand.
+    Corpus: 'a a b' + 'a b' + 'b' -> counts a=3, b=3, T=6, so every
+    token's surprisal is -log2(1/2) = 1 bit and every doc scores 1.0."""
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "b")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in TS.unigram_surprisal(docs).collect()}
+    assert {d: r["n_tokens"] for d, r in got.items()} == {1: 3, 2: 2, 3: 1}
+    for d in (1, 2, 3):
+        assert got[d]["surprisal"] == 1.0
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zyx the")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["surprisal"] for r in TS.unigram_surprisal(docs).collect()}
+    assert got[2] > got[1]
+
+
+def test_code_file_filters_hand_case(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "short()\nlines()\nonly"),                       # keeps
+            (2, "x" * 500),                                      # long line
+            (3, "ok line\n# auto-generated file\nmore"),         # autogen
+            (4, "...,,,;;;!!! ???\n///"),                        # low alnum
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in TS.code_file_filters(
+            docs, max_line_len=160, min_alnum_frac=0.5
+        ).collect()
+    }
+    assert got[1]["keep"] and got[1]["n_lines"] == 3 and got[1]["max_line_len"] == 7
+    assert not got[2]["keep"] and got[2]["max_line_len"] == 500
+    assert not got[3]["keep"] and got[3]["autogen"]
+    assert not got[4]["keep"] and got[4]["alnum_frac"] < 0.5
+    # avg over lines of (7, 7, 4) chars
+    assert got[1]["avg_line_len"] == 6.0
+
+
+def test_code_file_filters_is_map_only(spark, sf_dir):
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = (
+        TS.code_file_filters(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Generate" not in plan
