@@ -614,6 +614,61 @@ def pq_adc_lut(
     return lut
 
 
+def pq_encode(
+    embs: DataFrame,
+    codebooks: dict[int, dict[int, list[float]]],
+    dim: int = RP_DIM,
+) -> DataFrame:
+    """Materialization op of the PQ scale contract: (vec_id, codes) with
+    codes = the per-subspace argmin array — map-side literal codegen, no
+    shuffle. Written once at ingest, the corpus's ANN index is n_sub
+    small ints per row (64x smaller than the float32 vectors at
+    dim=64/n_sub=4); every later query scans codes WITHOUT the embedding
+    column (pinned by tests/test_pq.py's ReadSchema assertion)."""
+    n_sub = len(codebooks)
+    sub = dim // n_sub
+    v = _as_double(F.col("embedding"))
+    return embs.select(
+        "vec_id",
+        F.array(
+            *[pq_code_col(v, m, codebooks[m], sub) for m in sorted(codebooks)]
+        ).alias("codes"),
+    )
+
+
+def _adc_score_col(lut: dict[int, dict[int, int]]) -> Column:
+    """SUM of literal-map lookups of the query's precomputed
+    sub-distances over a `codes` array — integer adds only."""
+    score = None
+    for m in sorted(lut):
+        lookup = F.create_map(
+            *[
+                F.lit(x).cast("long")
+                for cid in sorted(lut[m])
+                for x in (cid, lut[m][cid])
+            ]
+        )
+        term = lookup[F.element_at(F.col("codes"), m + 1)]
+        score = term if score is None else score + term
+    return score.cast("long")
+
+
+def pq_adc_topk_from_codes(
+    codes_df: DataFrame,
+    lut: dict[int, dict[int, int]],
+    k: int = 10,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k over an ALREADY-ENCODED (vec_id, codes) frame — the
+    query-time path against a materialized code table: one codes-only
+    scan + TakeOrderedAndProject, no floats, no vector column anywhere
+    in the plan."""
+    out = codes_df.select("vec_id", _adc_score_col(lut).alias("adc_dist_micro"))
+    if exclude_vec_id is not None:
+        out = out.where(F.col("vec_id") != exclude_vec_id)
+    return out.orderBy(F.asc("adc_dist_micro"), F.asc("vec_id")).limit(k)
+
+
 def pq_adc_topk(
     embs: DataFrame,
     query_vec: list[float],
@@ -622,33 +677,18 @@ def pq_adc_topk(
     exclude_vec_id: int | None = None,
     dim: int = RP_DIM,
 ) -> DataFrame:
-    """Exhaustive ADC scan: encode each vector to its per-subspace codes
-    (map-side literal argmin), score = SUM of literal-map lookups of the
-    query's precomputed sub-distances — integer adds only, no vector math
-    in the scan. Output (vec_id, adc_dist_micro) ascending.
-
-    At scale the codes are materialized once at ingest; the query plan is
-    then a codes-only scan (n_sub bytes/row) + TakeOrderedAndProject —
-    no shuffle, no floats, prunable like any other column."""
-    n_sub = len(codebooks)
-    sub = dim // n_sub
+    """Exhaustive ADC scan fused with the encode (the no-materialized-
+    index path): encode each vector to its per-subspace codes (map-side
+    literal argmin), score = integer LUT-sum, TakeOrderedAndProject —
+    one scan, no shuffle. Output (vec_id, adc_dist_micro) ascending.
+    With a materialized code table, use `pq_encode` +
+    `pq_adc_topk_from_codes` instead and the scan drops the vector
+    column entirely."""
+    sub = dim // len(codebooks)
     lut = pq_adc_lut([float(x) for x in query_vec], codebooks, sub)
-    v = _as_double(F.col("embedding"))
-    score = None
-    for m in sorted(codebooks):
-        lookup = F.create_map(
-            *[
-                F.lit(x).cast("long")
-                for cid in sorted(lut[m])
-                for x in (cid, lut[m][cid])
-            ]
-        )
-        term = lookup[pq_code_col(v, m, codebooks[m], sub)]
-        score = term if score is None else score + term
-    out = embs.select("vec_id", score.cast("long").alias("adc_dist_micro"))
-    if exclude_vec_id is not None:
-        out = out.where(F.col("vec_id") != exclude_vec_id)
-    return out.orderBy(F.asc("adc_dist_micro"), F.asc("vec_id")).limit(k)
+    return pq_adc_topk_from_codes(
+        pq_encode(embs, codebooks, dim), lut, k, exclude_vec_id
+    )
 
 
 def ivfpq_topk(

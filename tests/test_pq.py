@@ -148,6 +148,25 @@ def test_adc_identity_and_selection_quality(embs, mat):
     assert np.mean([true_d2[v] for v in top10]) < np.mean(list(true_d2.values()))
 
 
+def test_materialized_codes_scan_never_reads_vectors(embs, tmp_path):
+    """The PQ scale contract end-to-end: encode once, write the code
+    table, query it — the query's scan must read codes only (no
+    embedding column in ReadSchema) and return exactly the fused path's
+    rows."""
+    books = Q.fit_pq_codebooks(embs)
+    qv = [float(x) for x in embs.where(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "codes.parquet")
+    S.pq_encode(embs, books).write.parquet(path)
+    spark = embs.sparkSession
+    codes = spark.read.parquet(path)
+    lut = S.pq_adc_lut(qv, books, SUB)
+    got = S.pq_adc_topk_from_codes(codes, lut, k=10, exclude_vec_id=0)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan and "Exchange" not in plan
+    want = S.pq_adc_topk(embs, qv, books, k=10, exclude_vec_id=0).collect()
+    assert got.collect() == want
+
+
 def test_ivfpq_is_subset_of_cell(embs):
     cents = Q.fit_centroids(embs)
     books = Q.fit_pq_codebooks(embs)
