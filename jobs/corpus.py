@@ -93,6 +93,10 @@ def main() -> None:
                    help="with --embeddings: SemDeDup-style cluster-then-prune "
                         "at cosine >= TAU; writes semantic_prune/ "
                         "(vec_id, cid, pruned)")
+    p.add_argument("--pq-codes", action="store_true",
+                   help="with --embeddings: fit per-subspace PQ codebooks and "
+                        "materialize the ANN index — pq_codes/ (vec_id, codes) "
+                        "+ pq_codebooks.json; ADC queries then scan codes only")
     p.add_argument("--boilerplate-topk", type=int, default=None, metavar="K",
                    help="also write boilerplate/ — the K shingles shared by "
                         "the most documents (licence headers, nav chrome; "
@@ -285,6 +289,22 @@ def main() -> None:
             back = spark.read.parquet(os.path.join(args.out, "semantic_prune"))
             out["semantic_pruned"] = back.where(F.col("pruned")).count()
             out["semantic_kept"] = back.where(~F.col("pruned")).count()
+        if args.pq_codes:
+            from bbc_news_etl_pipeline_spark.plans import quantizer as Q
+
+            books = Q.fit_pq_codebooks(embs)
+            S.pq_encode(embs, books).write.mode("overwrite").parquet(
+                os.path.join(args.out, "pq_codes")
+            )
+            with open(os.path.join(args.out, "pq_codebooks.json"), "w") as f:
+                json.dump(
+                    {str(m): {str(c): v for c, v in cb.items()}
+                     for m, cb in books.items()},
+                    f,
+                )
+            out["pq_encoded"] = spark.read.parquet(
+                os.path.join(args.out, "pq_codes")
+            ).count()
 
     # diagnostics run over the ELIGIBLE set (the doc_ids store), which both
     # modes write identically: the full cut's post-decontamination docs ==
