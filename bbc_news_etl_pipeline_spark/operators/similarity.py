@@ -711,6 +711,93 @@ def ivfpq_topk(
     return pq_adc_topk(cell, query_vec, codebooks, k, exclude_vec_id, dim)
 
 
+#: vec_id packing base for the (distance, vec_id) rank tuples in
+#: `pq_recall`: distances pack above it, ids below — fits comfortably in
+#: a long for micro distances up to ~8e12/2^20 and ids below 2^20
+_ID_PACK = 1 << 20
+
+
+def pq_recall(
+    embs: DataFrame,
+    codebooks: dict[int, dict[int, list[float]]],
+    k: int = 10,
+    every: int = 97,
+    dim: int = RP_DIM,
+) -> DataFrame:
+    """Index-quality DIAGNOSTIC: recall@k of the PQ/ADC ranking against
+    the exact L2 ranking, per probe query (every `every`-th vector).
+    Returns (qid, recall_at_k).
+
+    Deliberately the brute-force tier (a broadcast of the small probe set
+    against one corpus scan — quadratic in |probes| x |corpus| like
+    `ngram_jaccard`'s oracle role): you measure an index on a sample, you
+    don't serve queries with this. Both rankings are integer micro-unit
+    distances with the vec_id packed below the distance (`_ID_PACK`), so
+    ordering is deterministic and the DuckDB oracle reproduces both
+    top-k sets bit-for-bit. Per-query top-k folds through
+    sort_array(collect_list(...)) — bounded by the corpus per probe, the
+    sampling keeps the group count small."""
+    n_sub = len(codebooks)
+    sub = dim // n_sub
+    v = _as_double(F.col("embedding"))
+    corpus = pq_encode(embs, codebooks, dim).join(
+        embs.select("vec_id", v.alias("v")), "vec_id"
+    )
+    probes = embs.where(F.col("vec_id") % every == 0).select(
+        F.col("vec_id").alias("qid"), v.alias("qv")
+    )
+    pairs = corpus.join(F.broadcast(probes)).where(F.col("vec_id") != F.col("qid"))
+    d2_exact = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    exact_packed = (
+        F.round(d2_exact * F.lit(float(_DIST_SCALE))).cast("long") * F.lit(_ID_PACK)
+        + F.col("vec_id")
+    )
+    adc = None
+    for m in sorted(codebooks):
+        recon = F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for cid in sorted(codebooks[m])
+                    for x in (
+                        F.lit(int(cid)).cast("long"),
+                        F.array(*[F.lit(float(c)) for c in codebooks[m][cid]]),
+                    )
+                ]
+            ),
+            F.element_at(F.col("codes"), m + 1),
+        )
+        q_sub = F.slice(F.col("qv"), m * sub + 1, sub)
+        term = F.round(
+            F.aggregate(
+                F.zip_with(q_sub, recon, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            * F.lit(float(_DIST_SCALE))
+        ).cast("long")
+        adc = term if adc is None else adc + term
+    adc_packed = adc * F.lit(_ID_PACK) + F.col("vec_id")
+    topk = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, k)  # noqa: E731
+    ids = lambda c: F.transform(c, lambda x: x % _ID_PACK)  # noqa: E731
+    g = pairs.groupBy("qid").agg(
+        topk(exact_packed).alias("e"), topk(adc_packed).alias("a")
+    )
+    return g.select(
+        "qid",
+        F.round(
+            F.size(F.array_intersect(ids(F.col("e")), ids(F.col("a"))))
+            / F.lit(float(k))
+            + F.lit(1e-9),
+            4,
+        ).alias(f"recall_at_{k}"),
+    )
+
+
 def semantic_prune(
     embs: DataFrame,
     centroids: dict[int, list[float]],

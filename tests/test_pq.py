@@ -208,3 +208,12 @@ def test_semantic_prune_matches_brute_force(embs, mat):
     for i, v in enumerate(ids):
         assert got[int(v)] == (asg[int(v)], int(v) in pruned), int(v)
     assert pruned, "fixture must exercise at least one pruned vector"
+
+
+def test_pq_recall_shape_and_bounds(embs):
+    books = Q.fit_pq_codebooks(embs)
+    rows = S.pq_recall(embs, books, k=10, every=97).collect()
+    n_probes = embs.where(F.col("vec_id") % 97 == 0).count()
+    assert len(rows) == n_probes > 0
+    for r in rows:
+        assert 0.0 <= r["recall_at_10"] <= 1.0
