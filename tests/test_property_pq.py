@@ -1,0 +1,95 @@
+"""Property: the Arrow-driver PQ fit equals the brute-force numpy oracle
+(same seeds, 6-digit mean rounding, micro-unit packed argmin) for ANY
+small random corpus — not just the shipped fixture — and the map-side
+encode agrees with the fit's own assignment on every vector.
+
+Few examples by design: each example runs real Spark jobs; hypothesis's
+value here is randomized corpora + shrinking, not volume."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bbc_news_etl_pipeline_spark.operators import similarity as S
+from bbc_news_etl_pipeline_spark.plans import quantizer as Q
+
+DIM = 8
+N_SUB = 2
+SUB = DIM // N_SUB
+SEEDS = [1, 2, 3]
+
+
+def _np_fit(ids, m, iters=2):
+    books = {}
+    for sub_m in range(N_SUB):
+        x = m[:, sub_m * SUB : (sub_m + 1) * SUB]
+        cents = {cid: np.round(x[ids == cid][0], 6) for cid in SEEDS}
+        for _ in range(iters):
+            cids = sorted(cents)
+            d2 = np.stack(
+                [((x - cents[c][None, :]) ** 2).sum(axis=1) for c in cids], axis=1
+            )
+            packed = (
+                np.rint(d2 * S._DIST_SCALE).astype(np.int64) * S._CID_PACK
+                + np.array(cids)[None, :]
+            )
+            a = np.array(cids)[packed.argmin(axis=1)]
+            cents = {
+                c: np.round(x[a == c].mean(axis=0), 6)
+                for c in cids
+                if (a == c).any()
+            }
+        books[sub_m] = {c: [float(v) for v in cents[c]] for c in cents}
+    return books
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=DIM,
+            max_size=DIM,
+        ),
+        min_size=8,
+        max_size=24,
+    )
+)
+def test_pq_fit_and_encode_match_numpy_on_random_corpora(spark, data):
+    ids = np.arange(len(data), dtype=np.int64)
+    m = np.array(data, dtype=np.float64)
+    embs = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(ids, m)],
+        "vec_id long, embedding array<double>",
+    )
+    got = Q.fit_pq_codebooks(embs, n_sub=N_SUB, dim=DIM, seed_ids=SEEDS, iters=2)
+    want = _np_fit(ids, m, iters=2)
+    assert got == want
+    # encode agreement: the literal map-side argmin reproduces numpy's
+    v = F.col("embedding")
+    codes = {
+        r["vec_id"]: [r[f"c{sm}"] for sm in range(N_SUB)]
+        for r in embs.select(
+            "vec_id",
+            *[
+                S.pq_code_col(v, sm, got[sm], SUB).alias(f"c{sm}")
+                for sm in range(N_SUB)
+            ],
+        ).collect()
+    }
+    for i, vid in enumerate(ids):
+        for sm in range(N_SUB):
+            x = m[i, sm * SUB : (sm + 1) * SUB]
+            best = None
+            for cid, c in sorted(got[sm].items()):
+                d2 = float(((x - np.array(c)) ** 2).sum())
+                pk = int(round(d2 * S._DIST_SCALE)) * S._CID_PACK + cid
+                best = pk if best is None else min(best, pk)
+            assert codes[int(vid)][sm] == best % S._CID_PACK
