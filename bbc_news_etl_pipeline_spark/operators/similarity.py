@@ -443,42 +443,6 @@ def pq_fit_components(
     return cent
 
 
-def pq_iteration_components(
-    embs: DataFrame,
-    codebooks: dict[int, dict[int, list[float]]],
-    dim: int = RP_DIM,
-) -> DataFrame:
-    """ONE product-quantizer Lloyd iteration against LITERAL codebooks:
-    per-subspace codes are map-side packed-argmin codegen (no join, no
-    broadcast, no lineage growth — the codes array is computed once per
-    vector before the explode), then a single (m, cid, spos)-keyed mean.
-    The bounded (n_sub x k x sub) planning state lives in the
-    plans/quantizer.py driver loop, mirroring `kmeans_iteration_arrow`'s
-    split; assignments use the identical fixed-point argmin as the
-    portable `pq_fit_components`, so both fits converge to bit-equal
-    codebooks (pinned by tests/test_pq.py)."""
-    n_sub = len(codebooks)
-    sub = dim // n_sub
-    v = _as_double(F.col("embedding"))
-    comp = embs.select(
-        F.array(*[pq_code_col(v, m, codebooks[m], sub) for m in range(n_sub)]).alias(
-            "codes"
-        ),
-        F.posexplode(v).alias("pos", "x"),
-    )
-    m_col = (F.col("pos") / sub).cast("int")
-    return (
-        comp.select(
-            m_col.alias("m"),
-            (F.col("pos") % sub).alias("spos"),
-            F.element_at(F.col("codes"), m_col + 1).alias("cid"),
-            "x",
-        )
-        .groupBy("m", "cid", "spos")
-        .agg(F.round(F.avg("x"), 6).alias("c"))
-    )
-
-
 def pq_iteration_arrow(
     embs: DataFrame,
     codebooks: dict[int, dict[int, list[float]]],
@@ -490,10 +454,11 @@ def pq_iteration_arrow(
     vectorized numpy pass, and the final mean reduces
     O(partitions x n_sub x k x sub) slim rows. Assignment is the same
     micro-unit packed integer argmin as the portable fit, so the two
-    converge bit-equal (pinned by tests/test_pq.py). This exists because
-    the pure-column iteration (`pq_iteration_components`) pays the codes
-    HOF per EXPLODED row after Catalyst collapses the projects — ~64x
-    redundant interpreted work per vector at dim=64."""
+    converge bit-equal (pinned by tests/test_pq.py). A pure-column
+    iteration (literal codes + posexplode in one select) was tried and
+    rejected: Catalyst collapses the projects and re-evaluates the codes
+    HOF per EXPLODED row — ~64x redundant interpreted work per vector at
+    dim=64."""
     import numpy as np
     from pyspark.sql import types as T
 

@@ -52,9 +52,9 @@ def fit_pq_codebooks(
 ) -> dict[int, dict[int, list[float]]]:
     """Product-quantizer fit -> per-subspace codebook literals
     (n_sub x k x sub doubles). The driver loop holds the bounded
-    planning state between iterations — each iteration is ONE map-side
-    literal-assignment aggregation (`pq_iteration_components`), so the
-    per-iteration cost is a single corpus scan regardless of k or iters
+    planning state between iterations — each iteration is ONE Arrow
+    partial-sum pass (`pq_iteration_arrow`), so the per-iteration cost
+    is a single corpus scan regardless of k or iters
     (the all-DataFrame `pq_fit_components` is the collect-free portable
     twin; both converge bit-equal, pinned by tests/test_pq.py). Feeds
     `operators.similarity.pq_code_col` / `pq_adc_topk` map-side."""
