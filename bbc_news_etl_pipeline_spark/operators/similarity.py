@@ -685,77 +685,111 @@ _ID_PACK = 1 << 20
 def pq_recall(
     embs: DataFrame,
     codebooks: dict[int, dict[int, list[float]]],
+    probes: dict[int, list[float]],
     k: int = 10,
-    every: int = 97,
     dim: int = RP_DIM,
 ) -> DataFrame:
     """Index-quality DIAGNOSTIC: recall@k of the PQ/ADC ranking against
-    the exact L2 ranking, per probe query (every `every`-th vector).
-    Returns (qid, recall_at_k).
+    the exact L2 ranking, per probe query. Returns (qid, recall_at_k).
 
-    Deliberately the brute-force tier (a broadcast of the small probe set
-    against one corpus scan — quadratic in |probes| x |corpus| like
-    `ngram_jaccard`'s oracle role): you measure an index on a sample, you
-    don't serve queries with this. Both rankings are integer micro-unit
-    distances with the vec_id packed below the distance (`_ID_PACK`), so
-    ordering is deterministic and the DuckDB oracle reproduces both
-    top-k sets bit-for-bit. Per-query top-k folds through
-    sort_array(collect_list(...)) — bounded by the corpus per probe, the
-    sampling keeps the group count small."""
+    `probes` is a bounded literal sample (collected by the
+    plans/quantizer.py driver — you measure an index on a sample, you
+    don't serve queries with this). One `mapInPandas` pass computes, per
+    PARTITION, the partial top-k of BOTH rankings for every probe in one
+    vectorized numpy step (exact d2 via the inner-product expansion, ADC
+    via the integer LUT over the partition's codes); the merge reduces
+    O(partitions x probes x 2k) slim packed rows. Distances are integer
+    micro-units with the vec_id packed below (`_ID_PACK`), so ordering
+    is total and the DuckDB oracle reproduces both top-k sets
+    bit-for-bit."""
+    import numpy as np
+    from pyspark.sql import types as T
+
     n_sub = len(codebooks)
     sub = dim // n_sub
-    v = _as_double(F.col("embedding"))
-    corpus = pq_encode(embs, codebooks, dim).join(
-        embs.select("vec_id", v.alias("v")), "vec_id"
-    )
-    probes = embs.where(F.col("vec_id") % every == 0).select(
-        F.col("vec_id").alias("qid"), v.alias("qv")
-    )
-    pairs = corpus.join(F.broadcast(probes)).where(F.col("vec_id") != F.col("qid"))
-    d2_exact = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    exact_packed = (
-        F.round(d2_exact * F.lit(float(_DIST_SCALE))).cast("long") * F.lit(_ID_PACK)
-        + F.col("vec_id")
-    )
-    adc = None
-    for m in sorted(codebooks):
-        recon = F.element_at(
-            F.create_map(
-                *[
-                    x
-                    for cid in sorted(codebooks[m])
-                    for x in (
-                        F.lit(int(cid)).cast("long"),
-                        F.array(*[F.lit(float(c)) for c in codebooks[m][cid]]),
-                    )
-                ]
+    qids = np.array(sorted(probes), dtype=np.int64)
+    qmat = np.array([probes[q] for q in qids], dtype=np.float64)
+    cb = {
+        m: (
+            np.array(sorted(codebooks[m]), dtype=np.int64),
+            np.array(
+                [codebooks[m][c] for c in sorted(codebooks[m])], dtype=np.float64
             ),
-            F.element_at(F.col("codes"), m + 1),
         )
-        q_sub = F.slice(F.col("qv"), m * sub + 1, sub)
-        term = F.round(
-            F.aggregate(
-                F.zip_with(q_sub, recon, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda s, x: s + x,
+        for m in codebooks
+    }
+    # per-probe integer ADC LUTs, indexed by codebook POSITION
+    qlut = {
+        m: np.rint(
+            ((qmat[:, None, m * sub : (m + 1) * sub] - cmat[None, :, :]) ** 2).sum(
+                axis=2
             )
-            * F.lit(float(_DIST_SCALE))
-        ).cast("long")
-        adc = term if adc is None else adc + term
-    adc_packed = adc * F.lit(_ID_PACK) + F.col("vec_id")
-    topk = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, k)  # noqa: E731
-    ids = lambda c: F.transform(c, lambda x: x % _ID_PACK)  # noqa: E731
-    g = pairs.groupBy("qid").agg(
-        topk(exact_packed).alias("e"), topk(adc_packed).alias("a")
+            * _DIST_SCALE
+        ).astype(np.int64)
+        for m, (_, cmat) in cb.items()
+    }
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("kind", T.IntegerType()),
+            T.StructField("pk", T.LongType()),
+        ]
     )
+
+    def partial_topk(batches, _qids=qids, _qmat=qmat, _cb=cb, _qlut=qlut):
+        import pandas as pd
+
+        qq = (_qmat * _qmat).sum(axis=1)
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            vv = (mat * mat).sum(axis=1)
+            # exact micro distances, (rows x probes)
+            ex = np.rint(
+                (vv[:, None] + qq[None, :] - 2.0 * (mat @ _qmat.T)) * _DIST_SCALE
+            ).astype(np.int64)
+            # ADC micro distances from the partition's codes: per subspace,
+            # assign codes (same integer argmin as the fit/encode), then
+            # gather each probe's LUT entry — adc[row, probe]
+            adc = np.zeros_like(ex)
+            for m, (cids, cmat) in _cb.items():
+                x = mat[:, m * sub : (m + 1) * sub]
+                d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                packed = (
+                    np.rint(d2 * _DIST_SCALE).astype(np.int64) * _CID_PACK
+                    + cids[None, :]
+                )
+                code_idx = packed.argmin(axis=1)  # position in sorted cids
+                adc += _qlut[m][:, code_idx].T
+            rows = {"qid": [], "kind": [], "pk": []}
+            for qi, qid in enumerate(_qids):
+                for kind, dm in ((0, ex[:, qi]), (1, adc[:, qi])):
+                    pk = dm * _ID_PACK + ids
+                    pk = pk[ids != qid]
+                    top = np.sort(pk)[: min(k, len(pk))]
+                    rows["qid"].extend([int(qid)] * len(top))
+                    rows["kind"].extend([kind] * len(top))
+                    rows["pk"].extend(int(x) for x in top)
+            yield pd.DataFrame(rows)
+
+    src = embs.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    out = src.mapInPandas(partial_topk, schema=out_schema)
+    topk = lambda kind: F.slice(  # noqa: E731
+        F.sort_array(F.collect_list(F.when(F.col("kind") == kind, F.col("pk")))),
+        1,
+        k,
+    )
+    ids_of = lambda c: F.transform(c, lambda x: x % _ID_PACK)  # noqa: E731
+    g = out.groupBy("qid").agg(topk(0).alias("e"), topk(1).alias("a"))
     return g.select(
         "qid",
         F.round(
-            F.size(F.array_intersect(ids(F.col("e")), ids(F.col("a"))))
+            F.size(F.array_intersect(ids_of(F.col("e")), ids_of(F.col("a"))))
             / F.lit(float(k))
             + F.lit(1e-9),
             4,
@@ -767,41 +801,70 @@ def semantic_prune(
     embs: DataFrame,
     centroids: dict[int, list[float]],
     tau: float = 0.45,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (cluster-then-prune, after the
     public SemDeDup recipe): assign every vector to its coarse k-means
     cell (map-side literal argmin), compare pairs ONLY within a cell, and
     prune the higher-id member of any pair with cosine >= tau. Returns
-    (vec_id, cid, pruned).
+    (vec_id, cid, pruned); keep-lowest-id matches the exact-dedup
+    convention (`dedup.exact_groups`).
 
-    The within-cell self-join is a hash equi-join on cid — the whole point
-    of the published algorithm is that the quadratic term is bounded by
-    the largest CELL (N/k on average), never the corpus; no all-pairs path
-    exists. Keep-lowest-id matches the exact-dedup convention
-    (`dedup.exact_groups`)."""
+    The quadratic term is bounded by the largest CELL (the published
+    algorithm's whole point), and inside a cell it runs as CELL-SCOPED
+    TRIANGLE BLOCKING — the `dedup.embedding_near_dup_pairs` shape with
+    the cell id added to the block-pair key: one vectorized numpy matmul
+    per (cell, block-pair) task, per-task memory 2·|cell|/B vectors,
+    every within-cell pair met in exactly one task. (A plain self-join on
+    cid evaluates an interpreted fold per PAIR — measured 100x slower at
+    50M pairs — and is the shape this op deliberately avoids.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     v = _as_double(F.col("embedding"))
     asg = embs.select(
-        "vec_id",
-        assign_cluster_col(v, centroids).alias("cid"),
-        v.alias("v"),
-        _norm(v).alias("nrm"),
+        "vec_id", assign_cluster_col(v, centroids).alias("cid"), v.alias("v")
     )
-    a = asg.select(
-        F.col("cid"), F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"),
-        F.col("nrm").alias("a_n"),
+    blk = F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    combos = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda o: F.struct(
+            F.least(F.col("block"), o).alias("i"),
+            F.greatest(F.col("block"), o).alias("j"),
+        ),
     )
-    b = asg.select(
-        F.col("cid"), F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"),
-        F.col("nrm").alias("b_n"),
-    )
-    pruned = (
-        a.join(b, "cid")
-        .where(F.col("a_id") < F.col("b_id"))
-        .where(
-            F.round(_dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")), 6)
-            >= F.lit(float(tau))
+    src = (
+        asg.withColumn("block", blk)
+        .withColumn("c", F.explode(combos))
+        .select(
+            "vec_id", "cid", "v", "block",
+            F.col("c.i").alias("i"), F.col("c.j").alias("j"),
         )
-        .select(F.col("b_id").alias("vec_id"))
+    )
+
+    out_schema = T.StructType([T.StructField("vec_id", T.LongType())])
+
+    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = int(pdf["i"].iloc[0]), int(pdf["j"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        if i == j:
+            cos = np.round(m @ m.T, 6)
+            _, bi = np.nonzero((cos >= tau) & (ids[:, None] < ids[None, :]))
+            pruned = ids[bi]
+        else:
+            left = pdf["block"].to_numpy() == i
+            la, lb = ids[left], ids[~left]
+            cos = np.round(m[left] @ m[~left].T, 6)
+            ai, bi = np.nonzero(cos >= tau)
+            pruned = np.maximum(la[ai], lb[bi])
+        return pd.DataFrame({"vec_id": np.unique(pruned)})
+
+    pruned = (
+        src.groupBy("cid", "i", "j")
+        .applyInPandas(block_pair, schema=out_schema)
         .distinct()
     )
     return asg.join(pruned.withColumn("p", F.lit(True)), "vec_id", "left").select(

@@ -80,6 +80,21 @@ def fit_pq_codebooks(
     return books
 
 
+def collect_probe_vecs(
+    embs: DataFrame, every: int = 97
+) -> dict[int, list[float]]:
+    """Bounded probe sample for the `pq_recall` diagnostic: every
+    `every`-th vector, collected as (qid -> vector) literals. Sizing is
+    the caller's dial — |corpus|/every rows of dim doubles; the same
+    class of bounded planning/diagnostic collect as the centroid fits."""
+    rows = (
+        embs.where(F.col("vec_id") % every == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    return {int(r[0]): [float(x) for x in r[1]] for r in rows}
+
+
 def fit_centroids_arrow(
     embs: DataFrame, seed_ids: list[int] | None = None, iters: int = 3
 ) -> dict[int, list[float]]:

@@ -212,8 +212,20 @@ def test_semantic_prune_matches_brute_force(embs, mat):
 
 def test_pq_recall_shape_and_bounds(embs):
     books = Q.fit_pq_codebooks(embs)
-    rows = S.pq_recall(embs, books, k=10, every=97).collect()
+    probes = Q.collect_probe_vecs(embs, every=97)
+    rows = S.pq_recall(embs, books, probes, k=10).collect()
     n_probes = embs.where(F.col("vec_id") % 97 == 0).count()
     assert len(rows) == n_probes > 0
     for r in rows:
         assert 0.0 <= r["recall_at_10"] <= 1.0
+
+
+def test_pq_recall_partition_invariant(embs):
+    """The partial-top-k merge must be independent of the physical
+    partitioning (every probe's global top-k is the merge of per-
+    partition top-ks)."""
+    books = Q.fit_pq_codebooks(embs)
+    probes = Q.collect_probe_vecs(embs, every=97)
+    a = sorted(map(tuple, S.pq_recall(embs, books, probes).collect()))
+    b = sorted(map(tuple, S.pq_recall(embs.repartition(7), books, probes).collect()))
+    assert a == b
