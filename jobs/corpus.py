@@ -26,7 +26,7 @@ Usage:
 Writes under --out:
     clusters/           (cluster_id, doc_id) near-dup components
     retained/           the deduplicated corpus (keep-first canonical)
-    text_stats/         token counts + quality + language id per doc
+    text_stats/         token counts + quality + language id + code-file filter columns per doc
     sketches/ pairs/ doc_ids/  slim per-doc state (~110 B/doc) consumed by
                         the NEXT incremental refresh
     _corpus_meta.json   cut parameters + the lake snapshot it read
@@ -152,10 +152,21 @@ def main() -> None:
         return spark.read.parquet(os.path.join(args.out, name))
 
     def _stats(frame):
+        # one row per doc; every component is PER-DOC independent, which
+        # the incremental path relies on (it recomputes stats for the
+        # delta only and carries the rest forward — a corpus-GLOBAL stat
+        # like unigram_surprisal would silently diverge from a full cut
+        # there, so it deliberately stays out of this frame)
         return (
             TS.token_stats(frame)
             .join(TS.quality_score(frame).select("doc_id", "quality"), "doc_id")
             .join(TS.lang_id(frame).select("doc_id", "pred_lang"), "doc_id")
+            .join(
+                TS.code_file_filters(frame).select(
+                    "doc_id", "max_line_len", "alnum_frac", "autogen", "keep"
+                ),
+                "doc_id",
+            )
         )
 
     if args.update_from:
