@@ -3337,6 +3337,52 @@ class LakeTable:
                 total += e["rows"] - e["tombstones"]
         return total
 
+    def export_symlink_manifest(
+        self, epoch: int | str | None = None, out_dir: str | None = None
+    ) -> dict:
+        """Symlink-format manifest export (Delta `GENERATE
+        symlink_format_manifest` parity): one text file per bucket
+        listing the snapshot's parquet files as file:// URIs, so external
+        engines (Trino/Presto/Hive-style readers, or plain DuckDB globs)
+        can scan the snapshot WITHOUT understanding this table's manifest
+        chain. Driver-side metadata walk — no Spark job, O(head files).
+
+        REFUSES on a layered snapshot: a symlink manifest lists raw
+        files, so an external reader would see superseded layer copies
+        of a key and resurrect overwritten rows — compact first (the same
+        honesty rule as `count_live`). Clone-inherited entries resolve
+        through their `root` marker, so exporting a shallow clone lists
+        source-tree files correctly. Layout:
+        `<out>/epoch-<E>/bucket_p=<b>/manifest`; re-export overwrites
+        atomically per bucket file."""
+        e = self.resolve_ref(epoch) if epoch is not None else None
+        m = self.manifest(e) if e is not None else self.current_manifest()
+        if m is None:
+            raise ValueError(f"lake {self.root} has no committed snapshot")
+        if m.get("layered"):
+            raise ValueError(
+                f"snapshot {m['epoch']} is layered: a symlink manifest lists "
+                "raw files, so an external reader would resurrect superseded "
+                "rows — compact() first"
+            )
+        base = out_dir or os.path.join(self.root, "_symlink_format_manifest")
+        edir = os.path.join(base, f"epoch-{m['epoch']}")
+        n_files = 0
+        for bucket, entries in sorted(m["buckets"].items()):
+            bdir = os.path.join(edir, f"bucket_p={bucket}")
+            os.makedirs(bdir, exist_ok=True)
+            uris = [
+                "file://" + os.path.abspath(entry_abspath(self.root, fe))
+                for fe in entries
+            ]
+            tmp = os.path.join(bdir, ".manifest.tmp")
+            with open(tmp, "w") as f:
+                f.write("\n".join(uris) + ("\n" if uris else ""))
+            os.replace(tmp, os.path.join(bdir, "manifest"))
+            n_files += len(uris)
+        return {"epoch": m["epoch"], "dir": edir, "buckets": len(m["buckets"]),
+                "files": n_files}
+
     def fsck(self, deep: bool = False) -> dict:
         """Table integrity check (the Delta FSCK / Iceberg metadata-
         validation analog) — READ-ONLY, driver-side metadata walk, no

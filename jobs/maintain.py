@@ -136,6 +136,14 @@ def main() -> None:
     p.add_argument("--vacuum-orphans-grace", type=float, default=None,
                    help="reclaim crashed-write files older than this many "
                         "seconds that no retained manifest references")
+    p.add_argument("--export-symlinks", default=None, nargs="?", const="head",
+                   metavar="E|TAG",
+                   help="write a symlink-format manifest (Delta GENERATE "
+                        "parity) for the head or the named snapshot: one "
+                        "file:// URI list per bucket under "
+                        "_symlink_format_manifest/epoch-E/ so external "
+                        "engines scan the snapshot without the manifest "
+                        "chain; refuses on a layered snapshot")
     p.add_argument("--fsck", action="store_true",
                    help="read-only integrity check: manifests parse, every "
                         "entry's file exists, layered flags/layer ordinals/"
@@ -260,6 +268,9 @@ def main() -> None:
         out["vacuumed"] = lake.vacuum_orphans(
             grace_seconds=args.vacuum_orphans_grace
         )
+    if args.export_symlinks is not None:
+        ref = None if args.export_symlinks == "head" else args.export_symlinks
+        out["symlink_manifest"] = lake.export_symlink_manifest(epoch=ref)
     if args.fsck:
         out["fsck"] = lake.fsck(deep=args.fsck_deep)
     if args.report:

@@ -1,0 +1,91 @@
+"""Symlink-format manifest export (`LakeTable.export_symlink_manifest`,
+Delta `GENERATE symlink_format_manifest` parity): the exported URI lists
+must cover EXACTLY the snapshot's manifest entries, an external engine
+(DuckDB) reading only those files must reproduce the engine's live state,
+layered snapshots refuse (raw-file lists would resurrect superseded
+rows), and time-travel/tag targets export their own snapshot."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable, entry_abspath
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+E = 3_000
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("symlink")
+    stream = str(d / "stream")
+    root = str(d / "lake")
+    gen.build_stream(E, 2, stream)
+    R.replay(spark, stream, root, n_buckets=4)
+    return root
+
+
+def _exported_uris(edir: str) -> list[str]:
+    uris = []
+    for mf in sorted(glob.glob(os.path.join(edir, "bucket_p=*", "manifest"))):
+        with open(mf) as f:
+            uris.extend(line.strip() for line in f if line.strip())
+    return uris
+
+
+def test_export_covers_manifest_and_duckdb_reads_live_state(spark, built):
+    lake = LakeTable(built, n_buckets=4)
+    out = lake.export_symlink_manifest()
+    m = lake.current_manifest()
+    assert out["epoch"] == m["epoch"]
+    want = {
+        "file://" + os.path.abspath(entry_abspath(built, fe))
+        for entries in m["buckets"].values()
+        for fe in entries
+    }
+    got = _exported_uris(out["dir"])
+    assert set(got) == want and len(got) == len(want) == out["files"]
+    # external-engine read: DuckDB over the listed files only == engine state
+    paths = [u[len("file://"):] for u in got]
+    ext = duckdb.connect().execute(
+        "SELECT count(*), sum(lsn) FROM read_parquet(?, union_by_name=true) "
+        "WHERE NOT is_deleted",
+        [paths],
+    ).fetchone()
+    live = lake.read_state(spark)
+    from pyspark.sql import functions as F
+
+    eng = live.agg(F.count(F.lit(1)), F.sum("lsn")).first()
+    assert (ext[0], int(ext[1])) == (eng[0], int(eng[1]))
+
+
+def test_export_time_travel_and_layered_refusal(spark, built, tmp_path):
+    import shutil
+
+    root = str(tmp_path / "lake")
+    shutil.copytree(built, root)
+    lake = LakeTable(root, n_buckets=4)
+    first = sorted(
+        int(p.split("-")[-1].split(".")[0])
+        for p in glob.glob(os.path.join(root, "_manifests", "manifest-*.json"))
+    )[0]
+    out = lake.export_symlink_manifest(epoch=first)
+    assert out["epoch"] == first
+    m0 = lake.manifest(first)
+    assert out["files"] == sum(len(v) for v in m0["buckets"].values())
+    # a layered MOR snapshot refuses
+    d2 = str(tmp_path / "mor")
+    stream2 = str(tmp_path / "stream2")
+    gen.build_stream(E, 2, stream2)
+    R.replay(spark, stream2, d2, n_buckets=4, mode="mor")
+    mor = LakeTable(d2, n_buckets=4)
+    if mor.current_manifest().get("layered"):
+        with pytest.raises(ValueError, match="layered"):
+            mor.export_symlink_manifest()
+        mor.compact(spark)
+    assert mor.export_symlink_manifest()["files"] > 0
