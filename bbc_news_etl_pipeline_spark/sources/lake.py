@@ -33,6 +33,7 @@ import glob
 import json
 import os
 import re
+import shutil
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1888,7 +1889,26 @@ class LakeTable:
         for bdir in glob.glob(_data_glob):
             if not os.listdir(bdir):
                 os.rmdir(bdir)
-        return {"manifests_dropped": len(drop), "files_deleted": n_deleted}
+        # drop symlink-manifest exports of expired snapshots: a stale URI
+        # list pointing at just-deleted files is a trap for the external
+        # readers the export exists for (retained epochs' exports stand)
+        n_exports = 0
+        kept = set(keep)
+        for edir in glob.glob(
+            os.path.join(self.root, "_symlink_format_manifest", "epoch-*")
+        ):
+            try:
+                ep = int(os.path.basename(edir).split("-", 1)[1])
+            except ValueError:
+                continue
+            if ep not in kept:
+                shutil.rmtree(edir, ignore_errors=True)
+                n_exports += 1
+        return {
+            "manifests_dropped": len(drop),
+            "files_deleted": n_deleted,
+            "symlink_exports_dropped": n_exports,
+        }
 
     def rollback(self, to_epoch: int) -> dict:
         """Iceberg-parity `rollback_to_snapshot`: make a RETAINED historical

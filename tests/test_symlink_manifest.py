@@ -89,3 +89,24 @@ def test_export_time_travel_and_layered_refusal(spark, built, tmp_path):
             mor.export_symlink_manifest()
         mor.compact(spark)
     assert mor.export_symlink_manifest()["files"] > 0
+
+
+def test_expire_drops_stale_exports_keeps_retained(spark, built, tmp_path):
+    import shutil as sh
+
+    root = str(tmp_path / "lake")
+    sh.copytree(built, root)
+    lake = LakeTable(root, n_buckets=4)
+    epochs = sorted(
+        int(p.split("-")[-1].split(".")[0])
+        for p in glob.glob(os.path.join(root, "_manifests", "manifest-*.json"))
+    )
+    for ep in epochs:
+        lake.export_symlink_manifest(epoch=ep)
+    res = lake.expire_snapshots(keep_last=1)
+    assert res["symlink_exports_dropped"] == len(epochs) - 1
+    left = glob.glob(os.path.join(root, "_symlink_format_manifest", "epoch-*"))
+    assert [os.path.basename(p) for p in left] == [f"epoch-{epochs[-1]}"]
+    # and the surviving export still reads clean after file deletion
+    for u in _exported_uris(left[0]):
+        assert os.path.exists(u[len("file://"):])
