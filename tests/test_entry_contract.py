@@ -23,6 +23,25 @@ def test_every_oracle_has_a_query():
     assert rows_only <= {"cdc_replay_state"}, f"unexpected rows-only: {rows_only}"
 
 
+def test_gate_priority_covers_first_50_slots():
+    """The driver's correctness gate samples the first 50 keys of queries().
+    Pin that window to the 20 cdc_* lifecycle rows + one representative per
+    operator family (_GATE_PRIORITY), and keep queries()/oracle_sql() in the
+    same order."""
+    prio = list(E._GATE_PRIORITY)
+    assert len(prio) == 50
+    assert len(set(prio)) == 50
+    qkeys = list(E.queries())
+    assert qkeys[:50] == prio
+    # every cdc_* contract row sits inside the gate window
+    cdc = [k for k in qkeys if k.startswith("cdc_")]
+    assert set(cdc) <= set(prio)
+    assert len(cdc) == 20
+    # oracle_sql leads with the same 50-slot gate window
+    okeys = list(E.oracle_sql())
+    assert okeys[:50] == prio
+
+
 def test_sample_queries_run_sf0001(spark, sf_dir):
     qs = E.queries()
     for name in ("q1_pricing_summary", "dedup_exact_groups", "ann_bruteforce_topk",
