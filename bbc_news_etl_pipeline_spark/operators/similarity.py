@@ -169,6 +169,21 @@ _DIST_SCALE = 1_000_000
 _CID_PACK = 65_536
 
 
+def _micro_away(d2):
+    """Micro-unit grid rounding for NON-NEGATIVE squared distances,
+    half-AWAY-from-zero — the mode Spark's `F.round` (BigDecimal
+    HALF_UP) and DuckDB's `round()` apply to doubles. numpy's `rint`
+    and Python's `round()` are half-EVEN, which diverges on exact .5
+    micro values (reachable from binary-fraction float32 inputs, e.g.
+    d2 = 2/256 -> 7812.5); `floor(x + 0.5)` reproduces half-away for
+    x >= 0, keeping the Arrow/numpy/Python paths bit-equal to the
+    Spark expressions and the DuckDB oracle. x stays far below 2^52,
+    so the +0.5 is exact. Accepts numpy arrays or Python floats."""
+    import numpy as np
+
+    return np.floor(np.asarray(d2, dtype=np.float64) * _DIST_SCALE + 0.5)
+
+
 def _dist_packed(dist2: Column, cid: Column) -> Column:
     return F.round(dist2 * F.lit(float(_DIST_SCALE))).cast("long") * F.lit(
         _CID_PACK
@@ -264,7 +279,7 @@ def kmeans_iteration_arrow(
             # the same integer argmin as the portable fit
             d2 = ((m[:, None, :] - _cmat[None, :, :]) ** 2).sum(axis=2)
             packed = (
-                np.rint(d2 * _DIST_SCALE).astype(np.int64) * _CID_PACK
+                _micro_away(d2).astype(np.int64) * _CID_PACK
                 + _cids[None, :]
             )
             a = packed.argmin(axis=1)
@@ -318,7 +333,7 @@ def assign_cluster_py(vec: list[float], centroids: dict[int, list[float]]) -> in
         d2 = 0.0
         for a, b in zip(vec, c):
             d2 += (a - b) * (a - b)
-        pk = int(round(d2 * _DIST_SCALE)) * _CID_PACK + cid
+        pk = int(_micro_away(d2)) * _CID_PACK + cid
         best = pk if best is None else min(best, pk)
     return best % _CID_PACK
 
@@ -497,7 +512,7 @@ def pq_iteration_arrow(
                 x = mat[:, m * _sub : (m + 1) * _sub]
                 d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
                 packed = (
-                    np.rint(d2 * _DIST_SCALE).astype(np.int64) * _CID_PACK
+                    _micro_away(d2).astype(np.int64) * _CID_PACK
                     + cids[None, :]
                 )
                 a = packed.argmin(axis=1)
@@ -563,8 +578,8 @@ def pq_adc_lut(
     """Asymmetric-distance lookup table: lut[m][cid] = micro-unit squared
     distance from the query's m-th sub-vector to that sub-centroid.
     Driver-side Python over the bounded (n_sub x k x sub) literals; the
-    same half-even rounding grid as `_dist_packed`, so the oracle's SQL
-    `round(sum(..)*1e6)` lands on identical integers."""
+    same half-AWAY rounding grid as `_dist_packed` (`_micro_away`), so
+    the oracle's SQL `round(sum(..)*1e6)` lands on identical integers."""
     lut: dict[int, dict[int, int]] = {}
     for m, cb in codebooks.items():
         q_sub = query_vec[m * sub : (m + 1) * sub]
@@ -573,9 +588,9 @@ def pq_adc_lut(
             d2 = 0.0
             for a, b in zip(q_sub, c):
                 d2 += (a - b) * (a - b)
-            # Python 3 round() is half-even — the same mode Spark's
-            # F.round/DuckDB's round apply to doubles on this grid
-            lut[m][cid] = int(round(d2 * _DIST_SCALE))
+            # half-away grid, matching Spark F.round / DuckDB round —
+            # NOT Python round(), which is half-even (see _micro_away)
+            lut[m][cid] = int(_micro_away(d2))
     return lut
 
 
@@ -678,7 +693,11 @@ def ivfpq_topk(
 
 #: vec_id packing base for the (distance, vec_id) rank tuples in
 #: `pq_recall`: distances pack above it, ids below — fits comfortably in
-#: a long for micro distances up to ~8e12/2^20 and ids below 2^20
+#: a long for micro distances up to ~8e12/2^20 and ids below 2^20.
+#: `pq_recall` REJECTS ids outside [0, 2^20) (driver-side for probes,
+#: per-batch for corpus rows) rather than silently corrupting rankings;
+#: at larger id spaces remap to a dense id first (the recall diagnostic
+#: runs on a bounded sample anyway).
 _ID_PACK = 1 << 20
 
 
@@ -707,6 +726,13 @@ def pq_recall(
 
     n_sub = len(codebooks)
     sub = dim // n_sub
+    if probes and not all(0 <= q < _ID_PACK for q in probes):
+        raise ValueError(
+            f"pq_recall probe ids must lie in [0, {_ID_PACK}): got "
+            f"{[q for q in probes if not 0 <= q < _ID_PACK][:5]} — the "
+            "(distance, vec_id) rank packing reserves only 20 id bits; "
+            "remap ids densely before measuring recall"
+        )
     qids = np.array(sorted(probes), dtype=np.int64)
     qmat = np.array([probes[q] for q in qids], dtype=np.float64)
     cb = {
@@ -720,11 +746,10 @@ def pq_recall(
     }
     # per-probe integer ADC LUTs, indexed by codebook POSITION
     qlut = {
-        m: np.rint(
+        m: _micro_away(
             ((qmat[:, None, m * sub : (m + 1) * sub] - cmat[None, :, :]) ** 2).sum(
                 axis=2
             )
-            * _DIST_SCALE
         ).astype(np.int64)
         for m, (_, cmat) in cb.items()
     }
@@ -745,11 +770,19 @@ def pq_recall(
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             if not len(ids):
                 continue
+            if ids.min() < 0 or ids.max() >= _ID_PACK:
+                # id bits would bleed into the distance field and silently
+                # corrupt BOTH rankings — fail loudly instead
+                raise ValueError(
+                    f"pq_recall vec_id out of packing range [0, {_ID_PACK}): "
+                    f"min={ids.min()}, max={ids.max()}; remap ids densely "
+                    "before measuring recall"
+                )
             mat = np.array(list(pdf["v"]), dtype=np.float64)
             vv = (mat * mat).sum(axis=1)
             # exact micro distances, (rows x probes)
-            ex = np.rint(
-                (vv[:, None] + qq[None, :] - 2.0 * (mat @ _qmat.T)) * _DIST_SCALE
+            ex = _micro_away(
+                vv[:, None] + qq[None, :] - 2.0 * (mat @ _qmat.T)
             ).astype(np.int64)
             # ADC micro distances from the partition's codes: per subspace,
             # assign codes (same integer argmin as the fit/encode), then
@@ -759,7 +792,7 @@ def pq_recall(
                 x = mat[:, m * sub : (m + 1) * sub]
                 d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
                 packed = (
-                    np.rint(d2 * _DIST_SCALE).astype(np.int64) * _CID_PACK
+                    _micro_away(d2).astype(np.int64) * _CID_PACK
                     + cids[None, :]
                 )
                 code_idx = packed.argmin(axis=1)  # position in sorted cids

@@ -1850,7 +1850,11 @@ class LakeTable:
                 keep = sorted(set(keep) | set(young))
                 drop = [e for e in drop if e not in set(keep)]
             if not drop:
-                return {"manifests_dropped": 0, "files_deleted": 0}
+                return {
+                    "manifests_dropped": 0,
+                    "files_deleted": 0,
+                    "symlink_exports_dropped": 0,
+                }
             referenced = set()
             # clone-inherited entries (explicit "root" marker) are the
             # SOURCE table's files: never candidates for local deletion,
@@ -3374,7 +3378,18 @@ class LakeTable:
         through their `root` marker, so exporting a shallow clone lists
         source-tree files correctly. Layout:
         `<out>/epoch-<E>/bucket_p=<b>/manifest`; re-export overwrites
-        atomically per bucket file."""
+        atomically per bucket file.
+
+        TOMBSTONES: even a non-layered snapshot may retain soft-delete
+        rows (``is_deleted = true`` — compaction keeps them above the
+        tombstone horizon so later MOR layers can shadow older copies),
+        and a symlink manifest lists raw files, so an external scan that
+        ignores the flag would resurrect deleted rows. The export
+        therefore writes an ``EXPORT_README.txt`` + ``_export_meta.json``
+        beside the manifests stating the REQUIRED read predicate
+        (``WHERE NOT is_deleted``), and the return dict carries the
+        snapshot's manifest-recorded tombstone count (``tombstones``;
+        None when a legacy manifest predates per-entry counts)."""
         e = self.resolve_ref(epoch) if epoch is not None else None
         m = self.manifest(e) if e is not None else self.current_manifest()
         if m is None:
@@ -3400,8 +3415,42 @@ class LakeTable:
                 f.write("\n".join(uris) + ("\n" if uris else ""))
             os.replace(tmp, os.path.join(bdir, "manifest"))
             n_files += len(uris)
+        # manifest-recorded tombstone count (None if any entry predates
+        # per-entry counts) — external readers must filter these out
+        tombstones: int | None = 0
+        for entries in m["buckets"].values():
+            for fe in entries:
+                if "tombstones" not in fe:
+                    tombstones = None
+                    break
+                tombstones += int(fe["tombstones"])
+            if tombstones is None:
+                break
+        meta = {
+            "epoch": m["epoch"],
+            "required_predicate": "NOT is_deleted",
+            "tombstones": tombstones,
+            "note": (
+                "Raw snapshot files may retain soft-delete rows "
+                "(is_deleted = true). Every external scan MUST apply "
+                "WHERE NOT is_deleted or deleted keys are resurrected."
+            ),
+        }
+        with open(os.path.join(edir, "_export_meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        with open(os.path.join(edir, "EXPORT_README.txt"), "w") as f:
+            f.write(
+                "Symlink-format manifest export of snapshot "
+                f"{m['epoch']}.\n"
+                "Each bucket_p=*/manifest lists the snapshot's parquet "
+                "files as file:// URIs.\n\n"
+                "REQUIRED read predicate: WHERE NOT is_deleted\n"
+                "(raw files retain soft-delete tombstone rows; scanning "
+                "without the predicate resurrects deleted keys — "
+                f"this snapshot records {tombstones!r} tombstone rows).\n"
+            )
         return {"epoch": m["epoch"], "dir": edir, "buckets": len(m["buckets"]),
-                "files": n_files}
+                "files": n_files, "tombstones": tombstones}
 
     def fsck(self, deep: bool = False) -> dict:
         """Table integrity check (the Delta FSCK / Iceberg metadata-

@@ -219,12 +219,21 @@ def main() -> None:
         out["clusters"] = clusters.select("cluster_id").distinct().count()
         out["docs_retained"] = _write(upd["retained"], "retained").count()
         # per-doc stats are deterministic: carry unchanged rows forward,
-        # recompute only the delta's
+        # recompute only the delta's. If the stats schema grew since the
+        # previous cut (e.g. the code-filter columns), carried rows can't
+        # represent the new columns — recompute the whole frame instead
+        # of unioning mismatched schemas (one map-only pass; this is the
+        # documented upgrade path for pre-upgrade cuts).
         old_stats = spark.read.parquet(os.path.join(args.update_from, "text_stats"))
-        changed_keys = delta.select("doc_id").distinct()
-        stats = old_stats.join(changed_keys, "doc_id", "left_anti").unionByName(
-            _stats(new_docs)
-        )
+        delta_stats = _stats(new_docs)
+        if set(old_stats.columns) != set(delta_stats.columns):
+            stats = _stats(docs)
+            out["stats_recomputed"] = "schema_upgrade"
+        else:
+            changed_keys = delta.select("doc_id").distinct()
+            stats = old_stats.join(changed_keys, "doc_id", "left_anti").unionByName(
+                delta_stats
+            )
         out["stats_rows"] = _write(stats, "text_stats").count()
         meta = {**meta, "lake_epoch": cut_epoch, "updated_from": args.update_from}
     else:

@@ -191,3 +191,58 @@ def test_lake_to_corpus_incremental_equals_full_recut(spark, tmp_path):
         hint_broadcast=True,
     )
     _assert_same(inc, _full_cut(head_docs))
+
+
+def test_update_from_pre_upgrade_stats_schema(spark, tmp_path):
+    """--update-from against a cut written BEFORE the stats frame gained
+    the code-filter columns must not throw on the carried-forward union:
+    the job detects the schema gap, recomputes the whole stats frame, and
+    the refreshed text_stats equals a from-scratch cut at head."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    log_dir = str(tmp_path / "log")
+    gen.build_stream(2_000, 2, log_dir)
+    root = str(tmp_path / "lake")
+    R.replay(spark, log_dir, root, n_buckets=4)
+
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(*extra):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "corpus.py"),
+             "--lake", root, "--master", "local[4]", *extra],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return _json.loads(out.stdout.strip().splitlines()[-1])
+
+    run("--lake-epoch", "0", "--out", str(tmp_path / "o0"))
+    # simulate a pre-upgrade cut: strip the code-filter columns
+    stats_dir = os.path.join(str(tmp_path / "o0"), "text_stats")
+    old = (
+        spark.read.parquet(stats_dir)
+        .drop("max_line_len", "alnum_frac", "autogen", "keep")
+        .toPandas()
+    )
+    import shutil
+
+    shutil.rmtree(stats_dir)
+    spark.createDataFrame(old).write.parquet(stats_dir)
+
+    r1 = run("--update-from", str(tmp_path / "o0"), "--log-dir", log_dir,
+             "--out", str(tmp_path / "o1"))
+    assert r1.get("stats_recomputed") == "schema_upgrade"
+    rf = run("--out", str(tmp_path / "of"))
+    assert r1["stats_rows"] == rf["stats_rows"]
+    a = spark.read.parquet(os.path.join(str(tmp_path / "o1"), "text_stats"))
+    b = spark.read.parquet(os.path.join(str(tmp_path / "of"), "text_stats"))
+    assert set(a.columns) == set(b.columns)
+    cols = sorted(a.columns)
+    assert (
+        a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+        and b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+    )

@@ -54,7 +54,7 @@ def _np_fit(ids, m, iters=3):
                 [((x - cents[c][None, :]) ** 2).sum(axis=1) for c in cids], axis=1
             )
             packed = (
-                np.rint(d2 * S._DIST_SCALE).astype(np.int64) * S._CID_PACK
+                S._micro_away(d2).astype(np.int64) * S._CID_PACK
                 + np.array(cids)[None, :]
             )
             a = np.array(cids)[packed.argmin(axis=1)]
@@ -101,7 +101,7 @@ def test_encode_matches_per_row_python(embs, mat):
             best = None
             for cid, c in sorted(books[sub_m].items()):
                 d2 = float(((x - np.array(c)) ** 2).sum())
-                pk = int(round(d2 * S._DIST_SCALE)) * S._CID_PACK + cid
+                pk = int(S._micro_away(d2)) * S._CID_PACK + cid
                 best = pk if best is None else min(best, pk)
             assert got[int(vid)][sub_m] == best % S._CID_PACK, (vid, sub_m)
 
@@ -139,7 +139,7 @@ def test_adc_identity_and_selection_quality(embs, mat):
             best = None
             for cid, c in sorted(books[sub_m].items()):
                 d2 = float(((x - np.array(c)) ** 2).sum())
-                pk = int(round(d2 * S._DIST_SCALE)) * S._CID_PACK + cid
+                pk = int(S._micro_away(d2)) * S._CID_PACK + cid
                 best = pk if best is None else min(best, pk)
             want += lut[sub_m][best % S._CID_PACK]
         assert got[int(vid)] == want, int(vid)
@@ -229,3 +229,36 @@ def test_pq_recall_partition_invariant(embs):
     a = sorted(map(tuple, S.pq_recall(embs, books, probes).collect()))
     b = sorted(map(tuple, S.pq_recall(embs.repartition(7), books, probes).collect()))
     assert a == b
+
+
+def test_micro_away_is_half_away_on_exact_half_grid(spark):
+    """The fixed-point grid must round half-AWAY everywhere: Spark F.round
+    (the `_dist_packed` expression), DuckDB round (the oracle), and the
+    numpy/Python paths (`_micro_away`). d2 = 2/256 is an exactly
+    representable binary fraction whose micro value is 7812.5 — half-even
+    (np.rint / Python round) lands on 7812 and would break the pinned
+    bit-equality; all three engine paths must land on 7813."""
+    import duckdb
+
+    d2 = 2.0 / 256.0
+    assert d2 * S._DIST_SCALE == 7812.5  # exact on the binary grid
+    assert int(S._micro_away(d2)) == 7813
+    assert int(np.rint(d2 * S._DIST_SCALE)) == 7812  # the trap this guards
+    spark_val = (
+        spark.range(1)
+        .select(F.round(F.lit(d2) * F.lit(float(S._DIST_SCALE))).cast("long"))
+        .collect()[0][0]
+    )
+    assert spark_val == 7813
+    (ddb_val,) = duckdb.sql(f"SELECT CAST(round({d2!r} * 1e6) AS BIGINT)").fetchone()
+    assert ddb_val == 7813
+
+
+def test_pq_recall_rejects_ids_outside_pack_range(embs):
+    probes = {0: [0.0] * S.RP_DIM}
+    cbs = Q.fit_pq_codebooks(embs, n_sub=4, iters=1)
+    bad = embs.withColumn("vec_id", F.col("vec_id") + F.lit(int(S._ID_PACK)))
+    with pytest.raises(Exception, match="packing range"):
+        S.pq_recall(bad, cbs, probes, k=3).collect()
+    with pytest.raises(ValueError, match="probe ids"):
+        S.pq_recall(embs, cbs, {int(S._ID_PACK) + 7: [0.0] * S.RP_DIM}, k=3)

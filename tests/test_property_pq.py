@@ -33,7 +33,7 @@ def _np_fit(ids, m, iters=2):
                 [((x - cents[c][None, :]) ** 2).sum(axis=1) for c in cids], axis=1
             )
             packed = (
-                np.rint(d2 * S._DIST_SCALE).astype(np.int64) * S._CID_PACK
+                S._micro_away(d2).astype(np.int64) * S._CID_PACK
                 + np.array(cids)[None, :]
             )
             a = np.array(cids)[packed.argmin(axis=1)]
@@ -90,6 +90,6 @@ def test_pq_fit_and_encode_match_numpy_on_random_corpora(spark, data):
             best = None
             for cid, c in sorted(got[sm].items()):
                 d2 = float(((x - np.array(c)) ** 2).sum())
-                pk = int(round(d2 * S._DIST_SCALE)) * S._CID_PACK + cid
+                pk = int(S._micro_away(d2)) * S._CID_PACK + cid
                 best = pk if best is None else min(best, pk)
             assert codes[int(vid)][sm] == best % S._CID_PACK

@@ -126,7 +126,11 @@ def test_expire_snapshots_older_than_age_guard(spark, tmp_path):
 
     # every snapshot is freshly committed: an age guard of 1h drops nothing
     stats = lake.expire_snapshots(keep_last=1, older_than_seconds=3600)
-    assert stats == {"manifests_dropped": 0, "files_deleted": 0}
+    assert stats == {
+        "manifests_dropped": 0,
+        "files_deleted": 0,
+        "symlink_exports_dropped": 0,
+    }
     assert lake.committed_epochs() == [0, 1, 2]
 
     # backdate snapshot 0 beyond the cutoff: it (alone) becomes expirable

@@ -8,6 +8,7 @@ rows), and time-travel/tag targets export their own snapshot."""
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 import duckdb
@@ -62,6 +63,17 @@ def test_export_covers_manifest_and_duckdb_reads_live_state(spark, built):
 
     eng = live.agg(F.count(F.lit(1)), F.sum("lsn")).first()
     assert (ext[0], int(ext[1])) == (eng[0], int(eng[1]))
+    # the export documents the required NOT is_deleted predicate in-band
+    meta = json.load(open(os.path.join(out["dir"], "_export_meta.json")))
+    assert meta["required_predicate"] == "NOT is_deleted"
+    assert meta["epoch"] == out["epoch"]
+    readme = open(os.path.join(out["dir"], "EXPORT_README.txt")).read()
+    assert "WHERE NOT is_deleted" in readme
+    # manifest-recorded tombstone count matches the raw-vs-live row gap
+    raw = duckdb.connect().execute(
+        "SELECT count(*) FROM read_parquet(?, union_by_name=true)", [paths]
+    ).fetchone()[0]
+    assert out["tombstones"] == meta["tombstones"] == raw - ext[0]
 
 
 def test_export_time_travel_and_layered_refusal(spark, built, tmp_path):
