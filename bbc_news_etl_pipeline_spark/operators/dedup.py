@@ -108,14 +108,44 @@ def top_shared_shingles(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
+#: corpus-size ceiling above which the deliberately-quadratic oracle-tier
+#: ops REFUSE without an explicit opt-in: at ~20k docs the all-pairs /
+#: undersized-band joins were measured in the hundreds of seconds at sf1,
+#: and the cost grows as N^2 from there — pointing a real corpus at them
+#: is always a mistake, so the guard fails loudly and names the scale twin
+QUADRATIC_GUARD_DOCS = 20_000
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    allow_quadratic: bool = False,
+    max_docs: int = QUADRATIC_GUARD_DOCS,
+) -> DataFrame:
     """All near-duplicate pairs by word-n-gram Jaccard >= threshold.
 
     Exact (no approximation): |A∩B| via a self-equi-join on hashed shingle,
     then |A∪B| = |A|+|B|-|A∩B|. Quadratic in docs sharing a shingle — use
     the LSH composition at scale. AQE's skew-join split handles stop-word
     shingles that appear in a large share of the corpus.
+
+    ORACLE TIER: above ``max_docs`` documents this op REFUSES unless
+    ``allow_quadratic=True`` — the shared-shingle self-join does
+    O(sum_g c_g^2) work, a scale-killer on any real corpus. The scale twin
+    with the same answer (up to LSH recall) is `near_dup_pairs_lsh`
+    (banded MinHash candidates + exact verify, sub-quadratic end to end).
     """
+    if not allow_quadratic:
+        n_docs = docs.count()
+        if n_docs > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs is exact all-pairs (quadratic in docs "
+                f"sharing a shingle): corpus has {n_docs:,} docs > "
+                f"max_docs={max_docs:,}. Use near_dup_pairs_lsh (banded "
+                "MinHash + exact verify) at scale, or pass "
+                "allow_quadratic=True to accept the cost knowingly."
+            )
     sh = _hashed_shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -520,7 +550,11 @@ def lsh_plane_params(
 
 
 def embedding_lsh_candidates(
-    embs: DataFrame, n_planes: int | None = None, n_bands: int = 4
+    embs: DataFrame,
+    n_planes: int | None = None,
+    n_bands: int = 4,
+    allow_undersized: bool = False,
+    guard_vectors: int = QUADRATIC_GUARD_DOCS,
 ) -> DataFrame:
     """Candidate (vec_a, vec_b) pairs that collide on >=1 band of
     random-hyperplane sign bits. Band signatures are pure map-side columns
@@ -534,11 +568,32 @@ def embedding_lsh_candidates(
     `lsh_plane_params` (one metadata-cheap count; a corpus materialized
     with row-count stats supplies it for free). Callers pinning explicit
     params (the sf0.01 oracle contract uses 2-bit bands so recall is
-    near-total and DuckDB-verifiable) take the collision cost knowingly."""
+    near-total and DuckDB-verifiable) take the collision cost knowingly —
+    but above ``guard_vectors`` vectors, explicit bands SMALLER than the
+    corpus-sized ones REFUSE unless ``allow_undersized=True``: a 2-bit
+    band admits ~1/4 of ALL pairs, so the candidate join goes effectively
+    quadratic (measured 490 s vs 25 s sized at sf1)."""
+    import math
+
     from .similarity import _as_double, rp_planes, rp_signature_col
 
     if n_planes is None:
         n_planes, n_bands = lsh_plane_params(embs.count(), n_bands)
+    elif not allow_undersized:
+        n_vec = embs.count()
+        if n_vec > guard_vectors:
+            sized_bits = min(
+                16, max(2, math.ceil(math.log2(max(2.0, n_vec / 64))))
+            )
+            if n_planes // max(1, n_bands) < sized_bits:
+                raise ValueError(
+                    f"embedding LSH bands are undersized for {n_vec:,} "
+                    f"vectors: {n_planes // max(1, n_bands)} bits/band vs "
+                    f"{sized_bits} sized — the candidate join is effectively "
+                    "quadratic at this collision rate. Pass n_planes=None to "
+                    "auto-size (the scale path), or allow_undersized=True to "
+                    "accept the cost knowingly (oracle tier only)."
+                )
     if n_planes % n_bands:
         raise ValueError("n_planes must be divisible by n_bands")
     bs = n_planes // n_bands
@@ -575,6 +630,7 @@ def embedding_near_dup_pairs_lsh(
     threshold: float = 0.45,
     n_planes: int | None = None,
     n_bands: int = 4,
+    allow_undersized: bool = False,
 ) -> DataFrame:
     """The SCALE path for embedding near-dup: banded sign-bit LSH candidates
     -> exact cosine verify on candidates only. Same answer as
@@ -617,7 +673,7 @@ def embedding_near_dup_pairs_lsh(
 
     v = _as_double(F.col("embedding"))
     cand = (
-        embedding_lsh_candidates(embs, n_planes, n_bands)
+        embedding_lsh_candidates(embs, n_planes, n_bands, allow_undersized)
         # tiny by construction (collision-rate-bounded); materialize once so
         # the id prune and the verify join don't replay the banding join
         .localCheckpoint(eager=True)

@@ -27,6 +27,37 @@ from bbc_news_etl_pipeline_spark.sources.lake import LakeTable  # noqa: E402
 from bbc_news_etl_pipeline_spark.streaming import replay as R  # noqa: E402
 
 
+#: stream size at which the COW-mode scaling caveat fires
+COW_HINT_EVENTS = 1_000_000
+
+
+def cow_scale_hint(mode: str, log_dir: str) -> str | None:
+    """COW rewrites every touched bucket per epoch — O(table) write
+    bandwidth, and its measured N->4N scaling efficiency (campaign median
+    0.704 on large streams, BENCH/BASELINE.md) sits BELOW the 0.8 target;
+    MOR (median 0.863) is the scale path. Return the operator-facing
+    caveat when --mode cow is pointed at a stream big enough for the
+    trade to matter, else None."""
+    if mode != "cow":
+        return None
+    try:
+        with open(os.path.join(log_dir, "_segments.json")) as f:
+            pending = sum(s.get("n_events", 0) for s in json.load(f))
+    except (OSError, ValueError):
+        return None
+    if pending < COW_HINT_EVENTS:
+        return None
+    return (
+        f"[cdc-replay] NOTE: --mode cow on a {pending:,}-event stream: "
+        "copy-on-write rewrites whole buckets per epoch (O(table) write "
+        "bandwidth; measured N->4N scaling efficiency ~0.70, below the "
+        "0.8 target). For large streams prefer --mode mor "
+        "--auto-compact-layers K (measured ~0.86; compaction bounds read "
+        "amplification). COW remains the right choice for small tables "
+        "and read-optimized serving."
+    )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--log-dir", required=True)
@@ -83,6 +114,10 @@ def main() -> None:
 
         if not os.path.exists(os.path.join(args.log_dir, "_segments.json")):
             build_stream(args.generate_events, args.generate_epochs, args.log_dir)
+
+    hint = cow_scale_hint(args.mode, args.log_dir)
+    if hint:
+        print(hint, file=sys.stderr)
 
     spark = build_session(app_name="cdc-replay", master=args.master)
     ship_engine_package(spark)

@@ -66,3 +66,27 @@ def test_auto_sized_default_stays_a_verified_subset(spark, embs):
     assert set(auto) <= set(exact)
     for k, cos in auto.items():
         assert cos == exact[k]
+
+
+def test_undersized_explicit_bands_refuse_above_guard(spark, embs):
+    """Explicit bands smaller than the corpus-sized ones are the oracle
+    tier: above the guard threshold they must refuse loudly and name the
+    scale path, unless opted into explicitly."""
+    with pytest.raises(ValueError, match="undersized"):
+        D.embedding_lsh_candidates(
+            embs, n_planes=8, n_bands=4, guard_vectors=10
+        )
+    # the opt-in and the auto-sized path both proceed
+    assert D.embedding_lsh_candidates(
+        embs, n_planes=8, n_bands=4, guard_vectors=10, allow_undersized=True
+    ).count() >= 0
+    assert D.embedding_lsh_candidates(embs, n_planes=None).count() >= 0
+
+
+def test_quadratic_ngram_jaccard_refuses_above_guard(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError, match="near_dup_pairs_lsh"):
+        D.ngram_jaccard_pairs(docs, max_docs=10)
+    # explicit opt-in proceeds (oracle tier), small corpora need no flag
+    assert D.ngram_jaccard_pairs(docs, max_docs=10, allow_quadratic=True).count() >= 0
+    assert D.ngram_jaccard_pairs(docs).count() >= 0

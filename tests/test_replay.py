@@ -596,3 +596,32 @@ def test_sql_facade_files_and_partitions(spark, tmp_path):
         assert p["file_count"] == len(grp)
         assert p["total_bytes"] == sum(g["file_bytes"] for g in grp)
         assert p["total_rows"] == sum(g["record_count"] for g in grp)
+
+
+def test_cow_scale_hint_fires_only_on_big_cow_streams(tmp_path):
+    """jobs/replay.py prints the documented COW scaling caveat (measured
+    N->4N efficiency ~0.70 < 0.8 target) when --mode cow targets a large
+    stream, and stays quiet for MOR / small streams / missing index."""
+    import importlib.util
+    import json as _json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "replay_job", os.path.join(os.path.dirname(__file__), "..", "jobs", "replay.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    log = tmp_path / "log"
+    log.mkdir()
+    (log / "_segments.json").write_text(
+        _json.dumps([{"n_events": mod.COW_HINT_EVENTS}])
+    )
+    hint = mod.cow_scale_hint("cow", str(log))
+    assert hint and "--mode mor --auto-compact-layers" in hint
+    assert mod.cow_scale_hint("mor", str(log)) is None
+    (log / "_segments.json").write_text(
+        _json.dumps([{"n_events": mod.COW_HINT_EVENTS - 1}])
+    )
+    assert mod.cow_scale_hint("cow", str(log)) is None
+    assert mod.cow_scale_hint("cow", str(tmp_path / "absent")) is None
