@@ -464,3 +464,197 @@ def append_event_segment(spark, log_dir: str, events, ver: int) -> dict:
     os.rename(tmp, os.path.join(log_dir, "_segments.json"))
     return {"matched": n, "segment": seg_name,
             "seq_lo": entry["seq_lo"], "seq_hi": entry["seq_hi"]}
+
+
+# ---------------------------------------------------------------------------
+# SQL-string facade: the narrow MERGE INTO / DELETE FROM / UPDATE grammar a
+# Delta/Iceberg user types, parsed and dispatched to the oracle-checked
+# synthesize_* API above. Deliberately NOT a SQL engine: the statement's
+# predicates/conditions pass through verbatim to Catalyst (F.expr), only the
+# statement SHAPE is parsed here. Entry point: `LakeTable.sql(...)`.
+# ---------------------------------------------------------------------------
+
+_DML_WS = r"\s+"
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on `sep` at paren-depth 0 and outside quotes (the SET list)."""
+    parts, depth, q, start = [], 0, None, 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if q:
+            if c == q:
+                # doubled quote = escaped quote inside a literal
+                if i + 1 < len(s) and s[i + 1] == q:
+                    i += 1
+                else:
+                    q = None
+        elif c in ("'", '"'):
+            q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_on_keys(on: str, t_alias: str, s_alias: str) -> None:
+    """The merge API joins on the engine's (repo, path) key — the ON clause
+    must be exactly those equalities (either side order), else refuse."""
+    eqs = []
+    for part in re.split(r"(?i)\s+AND\s+", on.strip()):
+        m = re.fullmatch(
+            r"\(?\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)?", part.strip()
+        )
+        if not m:
+            raise ValueError(
+                f"unsupported MERGE ON term {part.strip()!r}: the engine "
+                "merges on the (repo, path) key — use "
+                "t.repo = s.repo AND t.path = s.path"
+            )
+        a1, c1, a2, c2 = m.groups()
+        if {a1, a2} != {t_alias, s_alias} or c1 != c2:
+            raise ValueError(
+                f"MERGE ON term {part.strip()!r} must equate the same key "
+                f"column across aliases {t_alias!r}/{s_alias!r}"
+            )
+        eqs.append(c1)
+    if sorted(eqs) != ["path", "repo"]:
+        raise ValueError(
+            f"MERGE ON must cover exactly the (repo, path) key, got {eqs}"
+        )
+
+
+def parse_dml(statement: str, state_view: str = "cdc_state") -> tuple[str, dict]:
+    """Parse the narrow DML grammar and return ``(kind, parsed)``:
+
+    - ``DELETE FROM <state_view> WHERE <expr>`` ->
+      ``("delete", {"where": expr})``
+    - ``UPDATE <state_view> SET c = e[, ...] WHERE <expr>`` ->
+      ``("update", {"where": expr, "set": {c: e}})``
+    - ``MERGE INTO <state_view> [[AS] t] USING <view> [[AS] s]
+      ON t.repo = s.repo AND t.path = s.path
+      [WHEN MATCHED [AND <cond>] THEN UPDATE [SET *] | DELETE]...
+      [WHEN NOT MATCHED [AND <cond>] THEN INSERT [*]]...`` ->
+      ``("merge", {"using": view, "when_matched": [...],
+      "when_not_matched": [...]})``
+    - ``SELECT``/``WITH`` -> ``("select", {})`` (read passthrough).
+
+    Conditions/predicates are NOT interpreted here — they flow verbatim
+    into the synthesize_* API (Catalyst parses them); clause ORDER is
+    preserved (first-true-wins, matching Delta). Aliases, when given,
+    must be ``t`` (target) and ``s`` (source) because the conditional
+    clauses are evaluated over ``t.``/``s.``-prefixed rows."""
+    stmt = statement.strip().rstrip(";").strip()
+    head = stmt.split(None, 1)[0].upper() if stmt else ""
+    if head in ("SELECT", "WITH"):
+        return "select", {}
+
+    m = re.fullmatch(
+        rf"(?is)DELETE{_DML_WS}FROM{_DML_WS}(\w+){_DML_WS}WHERE{_DML_WS}(.+)",
+        stmt,
+    )
+    if m:
+        table, where = m.group(1), m.group(2).strip()
+        if table != state_view:
+            raise ValueError(
+                f"DML targets the live-state view {state_view!r}, got {table!r}"
+            )
+        return "delete", {"where": where}
+
+    m = re.fullmatch(
+        rf"(?is)UPDATE{_DML_WS}(\w+){_DML_WS}SET{_DML_WS}(.+?){_DML_WS}"
+        rf"WHERE{_DML_WS}(.+)",
+        stmt,
+    )
+    if m:
+        table, set_list, where = m.group(1), m.group(2), m.group(3).strip()
+        if table != state_view:
+            raise ValueError(
+                f"DML targets the live-state view {state_view!r}, got {table!r}"
+            )
+        set_exprs: dict[str, str] = {}
+        for item in _split_top_level(set_list):
+            sm = re.fullmatch(r"(?s)(\w+)\s*=\s*(.+)", item)
+            if not sm:
+                raise ValueError(f"unsupported SET item {item!r}")
+            set_exprs[sm.group(1)] = sm.group(2).strip()
+        if not set_exprs:
+            raise ValueError("UPDATE with an empty SET list")
+        return "update", {"where": where, "set": set_exprs}
+
+    m = re.fullmatch(
+        rf"(?is)MERGE{_DML_WS}INTO{_DML_WS}(\w+)(?:{_DML_WS}(?:AS{_DML_WS})?(\w+))?"
+        rf"{_DML_WS}USING{_DML_WS}(\w+)(?:{_DML_WS}(?:AS{_DML_WS})?(\w+))?"
+        rf"{_DML_WS}ON{_DML_WS}(.+?)({_DML_WS}WHEN{_DML_WS}.+)",
+        stmt,
+    )
+    if m:
+        table, t_alias, using, s_alias, on, whens = (
+            m.group(1),
+            m.group(2) or "t",
+            m.group(3),
+            m.group(4) or "s",
+            m.group(5).strip(),
+            m.group(6),
+        )
+        if table != state_view:
+            raise ValueError(
+                f"MERGE targets the live-state view {state_view!r}, got {table!r}"
+            )
+        if (t_alias, s_alias) != ("t", "s"):
+            raise ValueError(
+                "MERGE aliases must be t (target) and s (source) — clause "
+                f"conditions are evaluated over t./s. rows; got "
+                f"{t_alias!r}/{s_alias!r}"
+            )
+        _parse_on_keys(on, t_alias, s_alias)
+        wm: list = []
+        wnm: list = []
+        for cm in re.finditer(
+            r"(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+            r"(UPDATE(?:\s+SET\s+\*)?|DELETE|INSERT(?:\s+\*)?|SKIP)\s*",
+            whens,
+        ):
+            is_not = bool(cm.group(1))
+            cond = cm.group(2).strip() if cm.group(2) else None
+            action = cm.group(3).split()[0].lower()
+            if is_not:
+                if action not in ("insert", "skip"):
+                    raise ValueError(
+                        f"WHEN NOT MATCHED supports INSERT/SKIP, got {action}"
+                    )
+                wnm.append((cond, action))
+            else:
+                if action not in ("update", "delete", "skip"):
+                    raise ValueError(
+                        f"WHEN MATCHED supports UPDATE/DELETE/SKIP, got {action}"
+                    )
+                wm.append((cond, action))
+        leftover = re.sub(
+            r"(?is)WHEN\s+(?:NOT\s+)?MATCHED(?:\s+AND\s+.+?)?\s+THEN\s+"
+            r"(?:UPDATE(?:\s+SET\s+\*)?|DELETE|INSERT(?:\s+\*)?|SKIP)",
+            "",
+            whens,
+        ).strip()
+        if leftover:
+            raise ValueError(f"unparsed MERGE clause text: {leftover!r}")
+        if not wm and not wnm:
+            raise ValueError("MERGE needs at least one WHEN clause")
+        return "merge", {
+            "using": using,
+            "when_matched": wm if wm else [(None, "skip")],
+            "when_not_matched": wnm if wnm else [(None, "skip")],
+        }
+
+    raise ValueError(
+        "unsupported statement (narrow grammar: SELECT/WITH passthrough, "
+        "DELETE FROM <state> WHERE, UPDATE <state> SET ... WHERE, "
+        f"MERGE INTO <state> USING ... ON ... WHEN ...): {stmt[:120]!r}"
+    )

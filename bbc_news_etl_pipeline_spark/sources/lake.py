@@ -3184,6 +3184,81 @@ class LakeTable:
             return None
         return spark.read.parquet(*dirs)
 
+    def sql(
+        self,
+        spark: SparkSession,
+        statement: str,
+        log_dir: str | None = None,
+        prefix: str = "cdc",
+    ):
+        """SQL-STRING surface for the lake — the statement a Delta/Iceberg
+        user types, dispatched to the oracle-checked API paths:
+
+        - ``SELECT``/``WITH`` — registers the read views
+          (`register_views`) and returns ``spark.sql(statement)``.
+        - ``DELETE FROM cdc_state WHERE <pred>`` /
+          ``UPDATE cdc_state SET c = e, ... WHERE <pred>`` —
+          `operators.dml.synthesize_dml_segment` (events into
+          ``log_dir``; apply with an ordinary replay/tail run).
+        - ``MERGE INTO cdc_state [AS t] USING <view> [AS s] ON t.repo =
+          s.repo AND t.path = s.path WHEN [NOT] MATCHED [AND <cond>]
+          THEN UPDATE|DELETE|INSERT|SKIP ...`` —
+          `operators.dml.synthesize_merge_segment`; ``<view>`` is any
+          registered temp view/table. Source columns that exist only for
+          clause conditions (e.g. a Debezium ``__deleted`` flag,
+          referenced as ``s.<col>``) are auto-passed as ``control_cols``.
+
+        Only the statement SHAPE is parsed (`operators.dml.parse_dml`);
+        predicates, SET expressions, and clause conditions flow verbatim
+        to Catalyst. DML returns the synthesize result dict — the log
+        stays the single source of truth, so the statement is applied by
+        the next replay exactly like any source event (same fence, LWW,
+        time travel, rollback self-heal)."""
+        from ..operators import dml as _dml
+
+        kind, p = _dml.parse_dml(statement, state_view=f"{prefix}_state")
+        if kind == "select":
+            self.register_views(spark, prefix=prefix)
+            return spark.sql(statement)
+        if log_dir is None:
+            raise ValueError(
+                "DML statements synthesize change events into the event "
+                "log: pass log_dir"
+            )
+        if kind == "delete":
+            return _dml.synthesize_dml_segment(
+                spark, self, log_dir, where=p["where"]
+            )
+        if kind == "update":
+            return _dml.synthesize_dml_segment(
+                spark, self, log_dir, where=p["where"], set_exprs=p["set"]
+            )
+        source = spark.table(p["using"])
+        # auto-derive control columns: extra source columns referenced in a
+        # clause condition are condition-only (never emitted); extras NOT
+        # referenced fall through to the API's validation error (typo guard)
+        m = self.current_manifest()
+        control: list[str] = []
+        if m is not None:
+            payload = {n for n, _ in reg.payload_fields(int(m["schema_version"]))}
+            extra = set(source.columns) - set(reg.KEY_COLUMNS) - payload
+            conds = " ".join(
+                c
+                for c, _ in [*p["when_matched"], *p["when_not_matched"]]
+                if c
+            )
+            referenced = set(re.findall(r"\bs\.(\w+)", conds))
+            control = sorted(extra & referenced)
+        return _dml.synthesize_merge_segment(
+            spark,
+            self,
+            log_dir,
+            source,
+            when_matched=p["when_matched"],
+            when_not_matched=p["when_not_matched"],
+            control_cols=control,
+        )
+
     def register_views(self, spark: SparkSession, prefix: str = "cdc") -> list[str]:
         """SQL facade: register the merged state and every sidecar as temp
         views so `spark.sql` works against the lake the way the reference's

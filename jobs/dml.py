@@ -7,6 +7,19 @@ Usage:
         [--set "license='MIT'" --set "content=upper(content)"] \
         [--no-apply] [--mode cow|mor] [--n-buckets N]
 
+Or the SQL string itself (LakeTable.sql's narrow Delta-style grammar;
+views for MERGE USING register from parquet via --sql-view):
+
+    spark-submit jobs/dml.py --lake-root R --log-dir L \
+        --sql "DELETE FROM cdc_state WHERE lang = 'md'"
+    spark-submit jobs/dml.py --lake-root R --log-dir L \
+        --sql-view src=/path/source.parquet \
+        --sql "MERGE INTO cdc_state AS t USING src AS s \
+               ON t.repo = s.repo AND t.path = s.path \
+               WHEN MATCHED AND s.__deleted THEN DELETE \
+               WHEN MATCHED THEN UPDATE \
+               WHEN NOT MATCHED AND NOT s.__deleted THEN INSERT"
+
 Or MERGE INTO from a parquet source of (repo, path, payload...) rows:
 
     spark-submit jobs/dml.py --lake-root R --log-dir L \
@@ -87,6 +100,15 @@ def main() -> None:
     p.add_argument("--soft-delete-col", default=None,
                    help="Debezium soft-delete control column: matched+flag "
                         "deletes, unmatched+flag skips the insert")
+    p.add_argument("--sql", default=None,
+                   help="SQL-string DML statement (the narrow "
+                        "MERGE INTO / DELETE FROM / UPDATE grammar — see "
+                        "LakeTable.sql); mutually exclusive with "
+                        "--where/--merge-source")
+    p.add_argument("--sql-view", action="append", default=[],
+                   metavar="NAME=PARQUET",
+                   help="register a parquet path as temp view NAME before "
+                        "running --sql (the MERGE USING source; repeatable)")
     p.add_argument("--no-apply", action="store_true",
                    help="append the segment only; don't run the replay")
     p.add_argument("--mode", default="cow", choices=["cow", "mor"])
@@ -100,12 +122,26 @@ def main() -> None:
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
-    if bool(args.where) == bool(args.merge_source):
-        raise SystemExit("exactly one of --where / --merge-source is required")
+    if sum(bool(x) for x in (args.where, args.merge_source, args.sql)) != 1:
+        raise SystemExit(
+            "exactly one of --where / --merge-source / --sql is required"
+        )
     spark = build_session(app_name="cdc-dml", master=args.master)
     ship_engine_package(spark)
     lake = LakeTable(args.lake_root, n_buckets=args.n_buckets)
-    if args.merge_source:
+    if args.sql:
+        for it in args.sql_view:
+            name, eq, path = it.partition("=")
+            if not eq or not name.strip():
+                raise SystemExit(f"--sql-view expects NAME=PARQUET, got {it!r}")
+            spark.read.parquet(path.strip()).createOrReplaceTempView(name.strip())
+        res = lake.sql(spark, args.sql, log_dir=args.log_dir)
+        if not isinstance(res, dict):
+            raise SystemExit(
+                "jobs/dml.py runs DML statements only; for reads use "
+                "LakeTable.register_views + spark.sql"
+            )
+    elif args.merge_source:
         from bbc_news_etl_pipeline_spark.operators.dml import (  # noqa: E402
             synthesize_merge_segment,
         )

@@ -1,0 +1,169 @@
+"""SQL-string DML facade (`LakeTable.sql` + `operators.dml.parse_dml`):
+the statement a Delta/Iceberg user types must dispatch to the SAME
+oracle-checked API paths (synthesize_dml_segment / synthesize_merge_segment)
+— facade-vs-API digest equality after replay — with the narrow grammar
+refusing loudly outside its shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from bbc_news_etl_pipeline_spark.fixtures import generator as gen
+from bbc_news_etl_pipeline_spark.operators.dml import (
+    parse_dml,
+    synthesize_dml_segment,
+    synthesize_merge_segment,
+)
+from bbc_news_etl_pipeline_spark.sources.lake import LakeTable
+from bbc_news_etl_pipeline_spark.streaming import replay as R
+
+from .util import engine_digest, engine_live_pdf
+
+E = 2_000
+
+
+def _twin_lakes(spark, tmp_path):
+    """Two identical lakes over two copies of the same log: facade runs on
+    one, the direct API on the other, digests must stay equal."""
+    import shutil
+
+    d_a = str(tmp_path / "log_a")
+    gen.build_stream(E, 2, d_a)
+    d_b = str(tmp_path / "log_b")
+    shutil.copytree(d_a, d_b)
+    root_a = str(tmp_path / "lake_a")
+    root_b = str(tmp_path / "lake_b")
+    R.replay(spark, d_a, root_a, n_buckets=4)
+    R.replay(spark, d_b, root_b, n_buckets=4)
+    return (d_a, LakeTable(root_a, n_buckets=4), root_a), (
+        d_b,
+        LakeTable(root_b, n_buckets=4),
+        root_b,
+    )
+
+
+def test_parse_dml_shapes():
+    assert parse_dml("DELETE FROM cdc_state WHERE lang = 'md'") == (
+        "delete",
+        {"where": "lang = 'md'"},
+    )
+    kind, p = parse_dml(
+        "UPDATE cdc_state SET license = 'X', content = concat(content, '!') "
+        "WHERE repo = 'a'"
+    )
+    assert kind == "update" and p["set"] == {
+        "license": "'X'",
+        "content": "concat(content, '!')",
+    }
+    kind, p = parse_dml(
+        "MERGE INTO cdc_state AS t USING src AS s "
+        "ON t.repo = s.repo AND t.path = s.path "
+        "WHEN MATCHED AND s.content IS DISTINCT FROM t.content THEN UPDATE "
+        "WHEN NOT MATCHED THEN INSERT"
+    )
+    assert kind == "merge" and p["using"] == "src"
+    assert p["when_matched"] == [
+        ("s.content IS DISTINCT FROM t.content", "update")
+    ]
+    assert p["when_not_matched"] == [(None, "insert")]
+    assert parse_dml("SELECT count(*) FROM cdc_state")[0] == "select"
+
+    for bad in (
+        "DELETE FROM other_table WHERE x = 1",  # wrong target
+        "MERGE INTO cdc_state USING s2 ON t.repo = s.repo "
+        "WHEN MATCHED THEN UPDATE",  # ON misses path
+        "MERGE INTO cdc_state AS a USING s2 AS b "
+        "ON a.repo = b.repo AND a.path = b.path "
+        "WHEN MATCHED THEN UPDATE",  # aliases must be t/s
+        "DROP TABLE cdc_state",  # outside the grammar
+        "UPDATE cdc_state SET WHERE x = 1",  # empty SET
+    ):
+        with pytest.raises(ValueError):
+            parse_dml(bad)
+
+
+def test_sql_delete_and_update_match_api_path(spark, tmp_path):
+    (d_a, lake_a, root_a), (d_b, lake_b, root_b) = _twin_lakes(spark, tmp_path)
+
+    res_sql = lake_a.sql(
+        spark, "DELETE FROM cdc_state WHERE lang = 'py'", log_dir=d_a
+    )
+    res_api = synthesize_dml_segment(spark, lake_b, d_b, "lang = 'py'")
+    assert res_sql["op"] == "delete"
+    assert res_sql["matched"] == res_api["matched"] > 0
+    R.replay(spark, d_a, root_a, n_buckets=4)
+    R.replay(spark, d_b, root_b, n_buckets=4)
+    assert engine_digest(spark, root_a) == engine_digest(spark, root_b)
+
+    res_sql = lake_a.sql(
+        spark,
+        "UPDATE cdc_state SET license = 'MIT-SQL' WHERE lang = 'go'",
+        log_dir=d_a,
+    )
+    res_api = synthesize_dml_segment(
+        spark, lake_b, d_b, "lang = 'go'", set_exprs={"license": "'MIT-SQL'"}
+    )
+    assert res_sql["op"] == "update"
+    assert res_sql["matched"] == res_api["matched"] > 0
+    R.replay(spark, d_a, root_a, n_buckets=4)
+    R.replay(spark, d_b, root_b, n_buckets=4)
+    assert engine_digest(spark, root_a) == engine_digest(spark, root_b)
+    hit = engine_live_pdf(spark, root_a)
+    assert (hit[hit["lang"] == "go"]["license"] == "MIT-SQL").all()
+
+    # DML without a log refuses; SELECT passes through with views registered
+    with pytest.raises(ValueError, match="log_dir"):
+        lake_a.sql(spark, "DELETE FROM cdc_state WHERE lang = 'rs'")
+    n = lake_a.sql(spark, "SELECT count(*) AS n FROM cdc_state").first()["n"]
+    assert n == len(hit)
+
+
+def test_sql_merge_with_soft_delete_matches_api_path(spark, tmp_path):
+    (d_a, lake_a, root_a), (d_b, lake_b, root_b) = _twin_lakes(spark, tmp_path)
+    head = engine_live_pdf(spark, root_a)
+
+    # source: update one live key (changed content), soft-delete another,
+    # insert a brand-new one; __deleted exists only for the conditions
+    k_upd, k_del = head.iloc[0], head.iloc[1]
+    src = spark.createDataFrame(
+        [
+            (k_upd["repo"], k_upd["path"], "merged body", False),
+            (k_del["repo"], k_del["path"], None, True),
+            ("org_new/repo_sql", "src/facade.py", "fresh body", False),
+        ],
+        "repo string, path string, content string, __deleted boolean",
+    )
+    src.createOrReplaceTempView("src")
+
+    stmt = (
+        "MERGE INTO cdc_state AS t USING src AS s "
+        "ON t.repo = s.repo AND t.path = s.path "
+        "WHEN MATCHED AND s.__deleted THEN DELETE "
+        "WHEN MATCHED AND s.content IS DISTINCT FROM t.content THEN UPDATE "
+        "WHEN NOT MATCHED AND NOT s.__deleted THEN INSERT"
+    )
+    res_sql = lake_a.sql(spark, stmt, log_dir=d_a)
+    res_api = synthesize_merge_segment(
+        spark,
+        lake_b,
+        d_b,
+        src,
+        when_matched=[
+            ("s.__deleted", "delete"),
+            ("s.content IS DISTINCT FROM t.content", "update"),
+        ],
+        when_not_matched=[("NOT s.__deleted", "insert")],
+        control_cols=["__deleted"],
+    )
+    for k in ("updated", "deleted", "inserted"):
+        assert res_sql[k] == res_api[k], k
+    assert res_sql["deleted"] == 1 and res_sql["inserted"] == 1
+    R.replay(spark, d_a, root_a, n_buckets=4)
+    R.replay(spark, d_b, root_b, n_buckets=4)
+    assert engine_digest(spark, root_a) == engine_digest(spark, root_b)
+    after = engine_live_pdf(spark, root_a)
+    assert "org_new/repo_sql" in set(after["repo"])
+    assert (
+        len(after[(after["repo"] == k_del["repo"]) & (after["path"] == k_del["path"])])
+        == 0
+    )
