@@ -246,3 +246,49 @@ def test_update_from_pre_upgrade_stats_schema(spark, tmp_path):
         a.select(*cols).exceptAll(b.select(*cols)).count() == 0
         and b.select(*cols).exceptAll(a.select(*cols)).count() == 0
     )
+
+
+def test_corpus_refresh_across_schema_evolution_boundary(spark, tmp_path):
+    """The previous cut reads a snapshot written BEFORE the stream's schema
+    evolved (v1/v2-era physical files: int32 size_bytes, no license); the
+    refresh runs at the evolved head. read_documents must reconcile both
+    snapshots through the registry cast, and the incremental refresh must
+    equal a from-scratch cut at head — schema evolution is invisible to
+    the corpus tier by construction, and this pins it."""
+    log_dir = str(tmp_path / "log")
+    gen.build_stream(4_000, 3, log_dir)
+    root = str(tmp_path / "lake")
+    R.replay(spark, log_dir, root, n_buckets=4)
+    lake = LakeTable(root, n_buckets=4)
+
+    v0 = int(lake.manifest(0)["schema_version"])
+    vh = int(lake.current_manifest()["schema_version"])
+    assert v0 < vh, "fixture must straddle a schema-evolution boundary"
+    # the old snapshot's files physically carry pre-evolution versions
+    entry_vers = {
+        int(e.get("schema_version", v0))
+        for entries in lake.manifest(0)["buckets"].values()
+        for e in entries
+    }
+    assert min(entry_vers) < vh
+    # time travel shows the snapshot at ITS OWN schema version...
+    old_native = lake.read_state(spark, epoch=0)
+    assert "license" not in old_native.columns
+    # ...and casting up to the head version surfaces the evolved columns
+    # (null-padded license, widened size_bytes)
+    old_state = lake.read_state(spark, target_version=vh, epoch=0)
+    assert "license" in old_state.columns
+    assert dict(old_state.dtypes)["size_bytes"] == "bigint"
+
+    prev_docs = lake.read_documents(spark, epoch=0)
+    prev = _full_cut(prev_docs)
+    head_docs = lake.read_documents(spark)
+    changes = lake.read_changes(spark, EventLog(log_dir), from_epoch=0)
+    delta = CI.changes_to_delta(changes)
+    assert delta.count() > 0
+
+    inc = CI.incremental_corpus_update(
+        head_docs, delta, prev["sketches"], prev["pairs"], prev["doc_ids"],
+        hint_broadcast=True,
+    )
+    _assert_same(inc, _full_cut(head_docs))
