@@ -141,16 +141,102 @@ def bench_sf1(spark) -> dict | None:
         "overwrite"
     ).format("noop").save()
     queries["dedup_embedding_lsh_pairs_sized"] = round(time.perf_counter() - t1, 3)
+    incr = bench_incremental_corpus_sf1(spark, sf1_dir)
     return {
         "sf": 1.0,
         "total_sec": round(sum(queries.values()), 3),
         "wall_sec": round(time.perf_counter() - t0, 3),
         "queries": queries,
+        "incremental_corpus": incr,
         "excluded": [
             "dedup_ngram_jaccard",
             "dedup_embedding_lsh_pairs (pinned 2-bit oracle params; "
             "the sized variant is measured instead)",
         ],
+    }
+
+
+def bench_incremental_corpus_sf1(spark, sf1_dir: str) -> dict:
+    """Incremental corpus refresh vs full re-cut at sf1 (the whole point of
+    `--update-from`): a <=10% simulated delta over the sf1 documents table
+    (doc_id % 29 deleted ~3.4%, % 17 updated ~5.9% — same construction as
+    the `corpus_incremental_retained` contract row, smaller moduli), the
+    previous cut's slim state (sketches / verified pairs / doc ids)
+    materialized to parquet UNTIMED — that is exactly what `--update-from`
+    reads back — then the refresh and a from-scratch cut of the head each
+    timed end to end over the same four outputs (sketches, pairs,
+    clusters, retained)."""
+    from pyspark.sql import functions as F
+
+    from bbc_news_etl_pipeline_spark.operators import corpus_incremental as CI
+    from bbc_news_etl_pipeline_spark.operators import dedup as D
+    from bbc_news_etl_pipeline_spark.util import BROADCAST_KEYS_MAX
+
+    cur = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+    deleted = F.col("doc_id") % 29 == 0
+    updated = (F.col("doc_id") % 17 == 0) & ~deleted
+    dummy = [F.lit("r").alias("repo"), F.lit("p").alias("path")]
+    prev_docs = cur.select(
+        "doc_id",
+        F.when(
+            updated, F.concat_ws(" ", F.reverse(F.split(F.col("text"), " ")))
+        ).otherwise(F.col("text")).alias("text"),
+        *dummy,
+        "lang",
+    )
+    head_docs = cur.where(~deleted).select("doc_id", "text", *dummy, "lang")
+    delta = cur.where(deleted | updated).select(
+        "doc_id", (~deleted).alias("alive"), "text", *dummy, "lang"
+    )
+    n_docs, n_changed = cur.count(), delta.count()
+
+    state_dir = tempfile.mkdtemp(prefix="bench_incr_corpus_")
+
+    def _mat(df, name):
+        df.write.mode("overwrite").parquet(os.path.join(state_dir, name))
+        return spark.read.parquet(os.path.join(state_dir, name))
+
+    try:
+        # previous-cut state: built + written OUTSIDE the timed window
+        prev_sketches = _mat(D.corpus_sketches(prev_docs), "sketches")
+        prev_pairs = _mat(D.near_dup_pairs_lsh(prev_docs), "pairs")
+        prev_ids = _mat(prev_docs.select("doc_id"), "doc_ids")
+
+        def _consume(d):
+            for name in ("sketches", "pairs", "clusters", "retained"):
+                d[name].write.mode("overwrite").format("noop").save()
+
+        t0 = time.perf_counter()
+        upd = CI.incremental_corpus_update(
+            head_docs, delta, prev_sketches, prev_pairs, prev_ids,
+            hint_broadcast=n_changed <= BROADCAST_KEYS_MAX,
+        )
+        _consume(upd)
+        incr_sec = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        sketches = D.corpus_sketches(head_docs)
+        pairs = D.near_dup_pairs_lsh(head_docs)
+        clusters = D.duplicate_clusters(None, pairs=pairs)
+        losers = clusters.where(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+        _consume({
+            "sketches": sketches,
+            "pairs": pairs,
+            "clusters": clusters,
+            "retained": head_docs.join(losers, "doc_id", "left_anti"),
+        })
+        full_sec = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return {
+        "docs": n_docs,
+        "delta_docs": n_changed,
+        "delta_frac": round(n_changed / max(1, n_docs), 4),
+        "incremental_sec": incr_sec,
+        "full_recut_sec": full_sec,
+        "speedup": round(full_sec / max(1e-9, incr_sec), 2),
     }
 
 
