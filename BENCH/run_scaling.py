@@ -408,9 +408,10 @@ every level, so a round whose large level burned substantially more CPU
 than its small level (ratio >> 1.0) was taxed by a contended host phase,
 not by the engine:
 
-| round | local[{lo_c}] events/sec | local[{hi_c}] events/sec | pair eff. | CPU local[{lo_c}] (s) | CPU local[{hi_c}] (s) | CPU ratio |
-|---|---|---|---|---|---|---|
-{chr(10).join(f"| {d['round']} | {d['eps'][lo_c]:,} | {d['eps'][hi_c]:,} | {d['pair_eff']} | {d['executor_cpu_s'][lo_c]} | {d['executor_cpu_s'][hi_c]} | {d['cpu_ratio_hi_over_lo']} |" for d in round_detail)}
+| round | local[{lo_c}] events/sec | local[{hi_c}] events/sec | pair eff. | CPU local[{lo_c}] (s) | CPU local[{hi_c}] (s) | CPU ratio | pre-round BW (GB/s) | qualified |
+|---|---|---|---|---|---|---|---|---|
+{chr(10).join(f"| {d['round']} | {d['eps'][lo_c]:,} | {d['eps'][hi_c]:,} | {d['pair_eff']} | {d['executor_cpu_s'][lo_c]} | {d['executor_cpu_s'][hi_c]} | {d['cpu_ratio_hi_over_lo']} | {d.get('pre_bw_GBps', '—')} | {d.get('qualified', '—')} |" for d in round_detail)}
+{(f"{chr(10)}Window qualification (warm-pool 32-worker bandwidth >= {args.qualify_bw} GB/s pre-round, CPU ratio <= {args.qualify_cpu_ratio} post-round): {len(qualified_effs)} qualified rounds, efficiencies {qualified_effs}, qualified median **{statistics.median(qualified_effs):.3f}**." if qualifying and qualified_effs else "")}
 
 Total executor CPU seconds are reported per level because wall-clock on
 this shared host fluctuates 2-4x between identical runs: near-constant CPU
