@@ -691,14 +691,27 @@ def ivfpq_topk(
     return pq_adc_topk(cell, query_vec, codebooks, k, exclude_vec_id, dim)
 
 
-#: vec_id packing base for the (distance, vec_id) rank tuples in
-#: `pq_recall`: distances pack above it, ids below — fits comfortably in
-#: a long for micro distances up to ~8e12/2^20 and ids below 2^20.
-#: `pq_recall` REJECTS ids outside [0, 2^20) (driver-side for probes,
-#: per-batch for corpus rows) rather than silently corrupting rankings;
-#: at larger id spaces remap to a dense id first (the recall diagnostic
-#: runs on a bounded sample anyway).
+#: DEFAULT vec_id packing base for the (distance, vec_id) rank tuples in
+#: `pq_recall`: distances pack above it, ids below. `_pack_base` widens
+#: it to the next power of two above the corpus's largest id (one slim
+#: max() agg), so large id spaces pack correctly; negative ids and
+#: distances that would overflow the widened base still fail loudly
+#: rather than silently corrupting rankings.
 _ID_PACK = 1 << 20
+
+
+def _pack_base(max_id: int) -> int:
+    """The (distance, vec_id) pack base for `pq_recall`: the default 2^20
+    while ids fit, else the next power of two above the largest id — the
+    SAME deterministic rule the DuckDB oracle computes in SQL
+    (GREATEST(2^20, 2^ceil(log2(max_id + 1)))), so the packed rank tuples
+    stay bit-equal across engines at any id scale. Distance headroom
+    shrinks as the base grows; `pq_recall` checks the product fits in 63
+    bits per batch and fails loudly instead of corrupting rankings."""
+    pack = _ID_PACK
+    while pack <= max_id:
+        pack <<= 1
+    return pack
 
 
 def pq_recall(
@@ -726,13 +739,24 @@ def pq_recall(
 
     n_sub = len(codebooks)
     sub = dim // n_sub
-    if probes and not all(0 <= q < _ID_PACK for q in probes):
+    if probes and any(q < 0 for q in probes):
         raise ValueError(
-            f"pq_recall probe ids must lie in [0, {_ID_PACK}): got "
-            f"{[q for q in probes if not 0 <= q < _ID_PACK][:5]} — the "
-            "(distance, vec_id) rank packing reserves only 20 id bits; "
-            "remap ids densely before measuring recall"
+            f"pq_recall probe ids must be non-negative, got "
+            f"{sorted(q for q in probes if q < 0)[:5]}"
         )
+    # pack base sized to the corpus + probe ids (2^20 default; next power
+    # of two above the largest id otherwise) — one slim max() agg, the
+    # same rule the DuckDB oracle computes inline
+    bounds = embs.agg(
+        F.max("vec_id").alias("mx"), F.min("vec_id").alias("mn")
+    ).first()
+    if bounds["mn"] is not None and int(bounds["mn"]) < 0:
+        raise ValueError(
+            f"pq_recall vec_id must be non-negative, got min={bounds['mn']}"
+        )
+    pack = _pack_base(
+        max(int(bounds["mx"] or 0), max(probes) if probes else 0)
+    )
     qids = np.array(sorted(probes), dtype=np.int64)
     qmat = np.array([probes[q] for q in qids], dtype=np.float64)
     cb = {
@@ -762,7 +786,9 @@ def pq_recall(
         ]
     )
 
-    def partial_topk(batches, _qids=qids, _qmat=qmat, _cb=cb, _qlut=qlut):
+    def partial_topk(
+        batches, _qids=qids, _qmat=qmat, _cb=cb, _qlut=qlut, _pack=pack
+    ):
         import pandas as pd
 
         qq = (_qmat * _qmat).sum(axis=1)
@@ -770,13 +796,13 @@ def pq_recall(
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             if not len(ids):
                 continue
-            if ids.min() < 0 or ids.max() >= _ID_PACK:
+            if ids.min() < 0 or ids.max() >= _pack:
                 # id bits would bleed into the distance field and silently
-                # corrupt BOTH rankings — fail loudly instead
+                # corrupt BOTH rankings — fail loudly instead (negative or
+                # raced-in ids above the driver-sampled max)
                 raise ValueError(
-                    f"pq_recall vec_id out of packing range [0, {_ID_PACK}): "
-                    f"min={ids.min()}, max={ids.max()}; remap ids densely "
-                    "before measuring recall"
+                    f"pq_recall vec_id out of packing range [0, {_pack}): "
+                    f"min={ids.min()}, max={ids.max()}"
                 )
             mat = np.array(list(pdf["v"]), dtype=np.float64)
             vv = (mat * mat).sum(axis=1)
@@ -797,10 +823,18 @@ def pq_recall(
                 )
                 code_idx = packed.argmin(axis=1)  # position in sorted cids
                 adc += _qlut[m][:, code_idx].T
+            # distance headroom check: dm * pack + id must stay below 2^63
+            dmax = int(max(ex.max(initial=0), adc.max(initial=0)))
+            if dmax >= (1 << 62) // _pack:
+                raise ValueError(
+                    f"pq_recall distance {dmax} micro overflows the rank "
+                    f"packing at base {_pack} — normalize the embeddings "
+                    "or remap ids densely"
+                )
             rows = {"qid": [], "kind": [], "pk": []}
             for qi, qid in enumerate(_qids):
                 for kind, dm in ((0, ex[:, qi]), (1, adc[:, qi])):
-                    pk = dm * _ID_PACK + ids
+                    pk = dm * _pack + ids
                     pk = pk[ids != qid]
                     top = np.sort(pk)[: min(k, len(pk))]
                     rows["qid"].extend([int(qid)] * len(top))
@@ -817,7 +851,7 @@ def pq_recall(
         1,
         k,
     )
-    ids_of = lambda c: F.transform(c, lambda x: x % _ID_PACK)  # noqa: E731
+    ids_of = lambda c: F.transform(c, lambda x: x % F.lit(pack))  # noqa: E731
     g = out.groupBy("qid").agg(topk(0).alias("e"), topk(1).alias("a"))
     return g.select(
         "qid",

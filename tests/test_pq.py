@@ -254,11 +254,33 @@ def test_micro_away_is_half_away_on_exact_half_grid(spark):
     assert ddb_val == 7813
 
 
-def test_pq_recall_rejects_ids_outside_pack_range(embs):
-    probes = {0: [0.0] * S.RP_DIM}
+def test_pq_recall_pack_base_widens_with_large_ids(spark, embs):
+    """Ids past the default 2^20 base widen the pack (corpus-max rule)
+    instead of silently corrupting rankings: shifting every id by a
+    constant must leave per-probe recall values IDENTICAL (identity-only
+    use of ids). Negative ids still refuse. The sf1 derivation offsets
+    vec_ids past 2^20 — this is the exact shape that caught the r04
+    latent corruption."""
+    assert S._pack_base(0) == S._ID_PACK
+    assert S._pack_base(S._ID_PACK - 1) == S._ID_PACK
+    assert S._pack_base(S._ID_PACK) == S._ID_PACK * 2
+    assert S._pack_base(2_000_500) == 1 << 21
+
     cbs = Q.fit_pq_codebooks(embs, n_sub=4, iters=1)
-    bad = embs.withColumn("vec_id", F.col("vec_id") + F.lit(int(S._ID_PACK)))
-    with pytest.raises(Exception, match="packing range"):
-        S.pq_recall(bad, cbs, probes, k=3).collect()
-    with pytest.raises(ValueError, match="probe ids"):
-        S.pq_recall(embs, cbs, {int(S._ID_PACK) + 7: [0.0] * S.RP_DIM}, k=3)
+    probe_row = embs.where(F.col("vec_id") == 3).first()
+    base_probes = {3: [float(x) for x in probe_row["embedding"]]}
+    ref = {r["qid"]: r["recall_at_3"]
+           for r in S.pq_recall(embs, cbs, base_probes, k=3).collect()}
+
+    shift = int(S._ID_PACK) + 7
+    shifted = embs.withColumn("vec_id", F.col("vec_id") + F.lit(shift))
+    probes = {3 + shift: base_probes[3]}
+    got = {r["qid"] - shift: r["recall_at_3"]
+           for r in S.pq_recall(shifted, cbs, probes, k=3).collect()}
+    assert got == ref and len(ref) == 1
+
+    with pytest.raises(ValueError, match="non-negative"):
+        S.pq_recall(embs, cbs, {-1: [0.0] * S.RP_DIM}, k=3)
+    neg = embs.withColumn("vec_id", F.col("vec_id") - F.lit(10_000))
+    with pytest.raises(ValueError, match="non-negative"):
+        S.pq_recall(neg, cbs, base_probes, k=3).collect()
