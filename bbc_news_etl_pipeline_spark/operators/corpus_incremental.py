@@ -138,6 +138,7 @@ def incremental_corpus_update(
     hash_mode: str = "portable",
     new_docs_eligible: DataFrame | None = None,
     hint_broadcast: bool = False,
+    old_clusters: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """One corpus refresh. Inputs: the head snapshot's documents view
     (`docs_head`, only candidate texts are ever read from it), the
@@ -150,6 +151,19 @@ def incremental_corpus_update(
     Returns {"sketches", "pairs", "doc_ids", "clusters", "retained"} —
     the first three are the state to persist for the NEXT refresh; all
     five are bit-for-bit what a from-scratch cut at the head produces.
+
+    ``old_clusters`` (the previous cut's clusters store, optional): SCOPED
+    cluster resolution. Connected components only change where an edge
+    changed, and every added/removed edge touches a changed doc — so the
+    previous cut's components that contain no changed doc and no endpoint
+    of a new pair are still exactly right and carry forward as rows;
+    min-label propagation then runs ONLY over pairs inside affected
+    components. Without it, resolution runs globally over the full merged
+    pair set — same answer (the equality tests pin both paths), but
+    O(all duplicate pairs) x O(log diameter) rounds per refresh instead
+    of O(delta-adjacent pairs). At corpus scale the scoped path is what
+    keeps the refresh O(changed), so `jobs/corpus.py --update-from`
+    always passes it.
     """
     changed_keys = delta.select("doc_id").distinct()
     new_docs = delta.where(F.col("alive")).select(
@@ -181,11 +195,58 @@ def incremental_corpus_update(
     cand = incremental_band_pairs(
         new_sk, sketches, num_hashes, band_size, hint_broadcast=hint_broadcast
     )
-    inc_pairs = _verify_candidates(cand, docs_head, sketches, threshold, n)
-    pairs = surv_pairs.unionByName(inc_pairs)
+    # checkpoint the (tiny) new-pair set ONCE: the band-join + verify
+    # chain is the expensive part, and it has three consumers (the merged
+    # pair store, scoped resolution's affected-doc derivation, and
+    # duplicate_clusters' own eager checkpoint)
+    inc_pairs = _verify_candidates(
+        cand, docs_head, sketches, threshold, n
+    ).localCheckpoint(eager=True)
+    pairs = surv_pairs.unionByName(inc_pairs).localCheckpoint(eager=True)
 
-    # --- resolution over the (tiny) pair set ---
-    clusters = duplicate_clusters(None, pairs=pairs)
+    # --- resolution ---
+    if old_clusters is not None:
+        # SCOPED: components change only where an edge changed, and every
+        # changed edge touches an affected doc = a changed key or an
+        # endpoint of a newly-found pair. (A removed pair's other endpoint
+        # shares its old component with the changed doc, so it is covered
+        # through the component, not the doc list.)
+        aff_docs = (
+            changed_keys
+            .unionByName(inc_pairs.select(F.col("doc_a").alias("doc_id")))
+            .unionByName(inc_pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        aff_cids = (
+            old_clusters.join(aff_docs, "doc_id", "left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        aff_members = (
+            old_clusters.join(
+                F.broadcast(aff_cids) if hint_broadcast else aff_cids,
+                "cluster_id",
+                "left_semi",
+            )
+            .select("doc_id")
+            .unionByName(aff_docs)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        amb = F.broadcast(aff_members) if hint_broadcast else aff_members
+        # an old pair's endpoints share a component, a new pair's are both
+        # affected — membership of doc_a alone decides the whole pair
+        pairs_aff = pairs.join(
+            amb.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        )
+        carried = old_clusters.join(
+            F.broadcast(aff_cids) if hint_broadcast else aff_cids,
+            "cluster_id",
+            "left_anti",
+        )
+        clusters = carried.unionByName(duplicate_clusters(None, pairs=pairs_aff))
+    else:
+        clusters = duplicate_clusters(None, pairs=pairs)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     retained = docs_head.join(doc_ids, "doc_id", "left_semi").join(
         losers, "doc_id", "left_anti"

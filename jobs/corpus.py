@@ -197,12 +197,20 @@ def main() -> None:
             new_docs = D.decontaminated_corpus(
                 new_docs, bench, max_overlap=args.max_overlap
             )
+        # the previous cut's clusters store scopes resolution to affected
+        # components (absent only for cuts written before the store existed)
+        old_clusters_dir = os.path.join(args.update_from, "clusters")
         upd = CI.incremental_corpus_update(
             docs,
             delta,
             spark.read.parquet(os.path.join(args.update_from, "sketches")),
             spark.read.parquet(os.path.join(args.update_from, "pairs")),
             spark.read.parquet(os.path.join(args.update_from, "doc_ids")),
+            old_clusters=(
+                spark.read.parquet(old_clusters_dir)
+                if os.path.isdir(old_clusters_dir)
+                else None
+            ),
             threshold=meta["threshold"],
             num_hashes=meta["num_hashes"],
             band_size=meta["band_size"],

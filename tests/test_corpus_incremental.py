@@ -97,7 +97,8 @@ def test_fixture_has_the_intended_pair_structure(spark, base_docs):
     assert (100, 300) not in pairs  # A !~ C: B is the bridge
 
 
-def test_bridge_deletion_splits_the_cluster(spark, base_docs):
+@pytest.mark.parametrize("scoped", [False, True])
+def test_bridge_deletion_splits_the_cluster(spark, base_docs, scoped):
     """Delete B: full recut on {A, C, E, S} has NO pairs. The persisted
     clusters alone could never split {A,B,C}; the pair store must."""
     prev = _full_cut(base_docs)
@@ -107,7 +108,8 @@ def test_bridge_deletion_splits_the_cluster(spark, base_docs):
     )
     head = base_docs.where(F.col("doc_id") != 200)
     inc = CI.incremental_corpus_update(
-        head, delta, prev["sketches"], prev["pairs"], prev["doc_ids"]
+        head, delta, prev["sketches"], prev["pairs"], prev["doc_ids"],
+        old_clusters=prev["clusters"] if scoped else None,
     )
     _assert_same(inc, _full_cut(head))
     assert inc["pairs"].count() == 0
@@ -115,7 +117,8 @@ def test_bridge_deletion_splits_the_cluster(spark, base_docs):
     assert sorted(r["doc_id"] for r in inc["retained"].collect()) == [100, 300, 500, 600]
 
 
-def test_new_smaller_id_displaces_the_canonical(spark, base_docs):
+@pytest.mark.parametrize("scoped", [False, True])
+def test_new_smaller_id_displaces_the_canonical(spark, base_docs, scoped):
     """Insert doc 50 == doc 500's text: the cluster's canonical becomes 50,
     so previously-retained 500 must leave the retained set."""
     prev = _full_cut(base_docs)
@@ -130,13 +133,15 @@ def test_new_smaller_id_displaces_the_canonical(spark, base_docs):
     inc = CI.incremental_corpus_update(
         head, delta, prev["sketches"], prev["pairs"], prev["doc_ids"],
         hint_broadcast=True,
+        old_clusters=prev["clusters"] if scoped else None,
     )
     _assert_same(inc, _full_cut(head))
     retained = sorted(r["doc_id"] for r in inc["retained"].collect())
     assert 50 in retained and 500 not in retained
 
 
-def test_update_changes_pair_membership_both_ways(spark, base_docs):
+@pytest.mark.parametrize("scoped", [False, True])
+def test_update_changes_pair_membership_both_ways(spark, base_docs, scoped):
     """Rewrite C to match E's text: (B,C) must dissolve, (C,500) must form
     — an update is a delete+insert of the SAME doc_id."""
     prev = _full_cut(base_docs)
@@ -149,21 +154,24 @@ def test_update_changes_pair_membership_both_ways(spark, base_docs):
         spark.createDataFrame([(300, e_text, "r1", "c.py", "py")], DOCS_SCHEMA)
     )
     inc = CI.incremental_corpus_update(
-        head, delta, prev["sketches"], prev["pairs"], prev["doc_ids"]
+        head, delta, prev["sketches"], prev["pairs"], prev["doc_ids"],
+        old_clusters=prev["clusters"] if scoped else None,
     )
     _assert_same(inc, _full_cut(head))
     pairs = {(r["doc_a"], r["doc_b"]) for r in inc["pairs"].collect()}
     assert (300, 500) in pairs and (200, 300) not in pairs
 
 
-def test_empty_delta_is_a_noop(spark, base_docs):
+@pytest.mark.parametrize("scoped", [False, True])
+def test_empty_delta_is_a_noop(spark, base_docs, scoped):
     prev = _full_cut(base_docs)
     delta = spark.createDataFrame(
         [],
         "doc_id long, alive boolean, text string, repo string, path string, lang string",
     )
     inc = CI.incremental_corpus_update(
-        base_docs, delta, prev["sketches"], prev["pairs"], prev["doc_ids"]
+        base_docs, delta, prev["sketches"], prev["pairs"], prev["doc_ids"],
+        old_clusters=prev["clusters"] if scoped else None,
     )
     _assert_same(inc, _full_cut(base_docs))
 
@@ -188,7 +196,7 @@ def test_lake_to_corpus_incremental_equals_full_recut(spark, tmp_path):
 
     inc = CI.incremental_corpus_update(
         head_docs, delta, prev["sketches"], prev["pairs"], prev["doc_ids"],
-        hint_broadcast=True,
+        hint_broadcast=True, old_clusters=prev["clusters"],
     )
     _assert_same(inc, _full_cut(head_docs))
 
@@ -289,6 +297,72 @@ def test_corpus_refresh_across_schema_evolution_boundary(spark, tmp_path):
 
     inc = CI.incremental_corpus_update(
         head_docs, delta, prev["sketches"], prev["pairs"], prev["doc_ids"],
-        hint_broadcast=True,
+        hint_broadcast=True, old_clusters=prev["clusters"],
     )
     _assert_same(inc, _full_cut(head_docs))
+
+
+@pytest.mark.parametrize("scoped", [False, True])
+def test_new_bridge_merges_two_existing_clusters(spark, scoped):
+    """Two DISJOINT previous clusters {100,110} and {300,310} plus
+    singleton 500; the delta inserts 200 (the mid-variant) pairing with
+    both sides — the refresh must produce ONE merged component with the
+    global minimum as canonical. Under scoped resolution both old
+    components are affected (200's new pairs touch each), so this pins
+    the merge-across-components path."""
+    rows = [
+        (100, _text(a="aaa"), "r1", "a.py", "py"),
+        (110, _text(a="aab"), "r1", "a2.py", "py"),
+        (300, _text(c="ccc"), "r1", "c.py", "py"),
+        (310, _text(c="ccd"), "r1", "c2.py", "py"),
+        (500, "completely different words " + " ".join(f"x{i}" for i in range(26)),
+         "r2", "e.py", "py"),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    prev = _full_cut(docs)
+    prev_cl = {(r["cluster_id"], r["doc_id"]) for r in prev["clusters"].collect()}
+    assert prev_cl == {(100, 100), (100, 110), (300, 300), (300, 310)}
+
+    bridge = _text()
+    delta = spark.createDataFrame(
+        [(200, True, bridge, "r1", "b.py", "py")],
+        "doc_id long, alive boolean, text string, repo string, path string, lang string",
+    )
+    head = docs.unionByName(
+        spark.createDataFrame([(200, bridge, "r1", "b.py", "py")], DOCS_SCHEMA)
+    )
+    inc = CI.incremental_corpus_update(
+        head, delta, prev["sketches"], prev["pairs"], prev["doc_ids"],
+        old_clusters=prev["clusters"] if scoped else None,
+    )
+    _assert_same(inc, _full_cut(head))
+    cl = {(r["cluster_id"], r["doc_id"]) for r in inc["clusters"].collect()}
+    assert {c for c, _ in cl} == {100}
+    assert {d for _, d in cl} == {100, 110, 200, 300, 310}
+
+
+@pytest.mark.parametrize("scoped", [False, True])
+def test_untouched_component_carries_forward(spark, scoped):
+    """A delta that touches only one of two disjoint clusters must leave
+    the other cluster's rows (and its canonical) exactly as they were —
+    the carried-forward path of scoped resolution."""
+    rows = [
+        (100, _text(a="aaa"), "r1", "a.py", "py"),
+        (110, _text(a="aab"), "r1", "a2.py", "py"),
+        (300, _text(c="ccc"), "r1", "c.py", "py"),
+        (310, _text(c="ccd"), "r1", "c2.py", "py"),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    prev = _full_cut(docs)
+    delta = spark.createDataFrame(  # delete 310: {300,310} dissolves
+        [(310, False, None, "r1", "c2.py", None)],
+        "doc_id long, alive boolean, text string, repo string, path string, lang string",
+    )
+    head = docs.where(F.col("doc_id") != 310)
+    inc = CI.incremental_corpus_update(
+        head, delta, prev["sketches"], prev["pairs"], prev["doc_ids"],
+        old_clusters=prev["clusters"] if scoped else None,
+    )
+    _assert_same(inc, _full_cut(head))
+    cl = {(r["cluster_id"], r["doc_id"]) for r in inc["clusters"].collect()}
+    assert cl == {(100, 100), (100, 110)}
